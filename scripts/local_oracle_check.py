@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 oracle compare (SURVEY.md §5.2).
+
+Usage: python3 scripts/local_oracle_check.py <sfDir> <verifyOutDir>
+
+For every query dumped by graft.Verify into <verifyOutDir>/<name>/, run the
+matching oracle_sql.json entry in DuckDB over the parquet tables in <sfDir>
+(views named region, nation, ... like the driver does), then compare:
+  - column name sets (compare sorts columns by name, like the driver),
+  - row counts,
+  - cell-by-cell values in produced row order (NaN==NaN, None==None).
+
+Exit 0 iff every oracle-declared query matches. Queries present in the dump
+but absent from oracle_sql.json are reported as rows-only (driver's weaker
+check) and only verified to have >0 rows.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def cells_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = sf_dir / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+
+    dumped = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
+    n_ok = n_bad = 0
+    failures = []
+    for name in dumped:
+        files = list((out_dir / name).glob("*.parquet"))
+        if not files:
+            failures.append((name, "no parquet produced (Spark query failed)"))
+            n_bad += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({[str(f) for f in files]})").fetchdf()
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "EMPTY(!)"
+            print(f"  [{status}] {name}: {len(got)} rows, no oracle declared")
+            if len(got) == 0:
+                failures.append((name, "no oracle and 0 rows"))
+                n_bad += 1
+            else:
+                n_ok += 1
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            n_bad += 1
+            continue
+        got_cols, exp_cols = sorted(got.columns), sorted(exp.columns)
+        if got_cols != exp_cols:
+            failures.append((name, f"columns differ: spark={got_cols} oracle={exp_cols}"))
+            n_bad += 1
+            continue
+        if len(got) != len(exp):
+            failures.append((name, f"row counts differ: spark={len(got)} oracle={len(exp)}"))
+            n_bad += 1
+            continue
+        g = got[got_cols].values.tolist()
+        e = exp[exp_cols].values.tolist()
+        bad = None
+        for i, (gr, er) in enumerate(zip(g, e)):
+            for j, (gc, ec) in enumerate(zip(gr, er)):
+                # pandas may surface ints as numpy types / floats; normalize
+                gv = gc.item() if hasattr(gc, "item") else gc
+                ev = ec.item() if hasattr(ec, "item") else ec
+                if hasattr(gv, "tolist"):
+                    gv = gv.tolist()
+                if hasattr(ev, "tolist"):
+                    ev = ev.tolist()
+                if not cells_equal(gv, ev):
+                    bad = (i, got_cols[j], gv, ev)
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"))
+            n_bad += 1
+        else:
+            print(f"  [OK] {name}: {len(got)} rows hash-equivalent")
+            n_ok += 1
+
+    missing = sorted(set(oracle) - set(dumped))
+    for name in missing:
+        failures.append((name, "oracle declared but no dump dir (query not in queries map?)"))
+        n_bad += 1
+
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    for name, why in failures:
+        print(f"  [FAIL] {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
