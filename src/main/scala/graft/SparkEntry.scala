@@ -14,7 +14,12 @@ object SparkEntry {
     Aggs.aggHash(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (Scans.queries, Scans.oracle),
+    (Filters.queries, Filters.oracle),
+    (Joins.queries, Joins.oracle),
     (Aggs.queries, Aggs.oracle),
+    (Sorts.queries, Sorts.oracle),
+    (Sets.queries, Sets.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

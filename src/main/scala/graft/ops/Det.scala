@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Det {
   /** Round a double expression to 4 decimals — REQUIRED on every double
-    * output column (SURVEY.md §7.3 item 1). */
-  def r4(c: Column): Column = round(c, 4)
+    * output column (SURVEY.md §7.3 item 1).
+    *
+    * NOT the built-in `round`: Spark rounds via BigDecimal HALF_UP on the
+    * shortest decimal repr, DuckDB via `std::round(x*10^4)/10^4` — they
+    * disagree on .xxxx5-boundary doubles (seen empirically: 33187.24395 →
+    * .244 vs .2439). Both sides instead evaluate the identical IEEE
+    * expression floor(x*10000 + 0.5)/10000 (`r4Sql` is the oracle twin),
+    * so rounding is engine-independent. x*10000 stays < 2^53 for every
+    * magnitude in the fixtures → exact. */
+  def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
 
   /** Timestamp → epoch seconds as BIGINT. Safe across the ns(µs) divide:
     * both engines agree once sub-second precision is dropped. */
@@ -27,5 +35,8 @@ object Det {
 
   /** Average computed as round(sum/count) — more stable across engines
     * than rounding a built-in avg of a long chain (SURVEY.md §7.3). */
-  def avgR4(c: Column): Column = round(sum(c) / count(c), 4)
+  def avgR4(c: Column): Column = r4(sum(c) / count(c))
+
+  /** Oracle-SQL twin of `r4` — splice into DuckDB strings. */
+  def r4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
 }

@@ -31,24 +31,171 @@ object Aggs {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** agg_distinct — exact per-group COUNT(DISTINCT …); Spark expands to a
+    * two-pass aggregate (distinct keys first, then counts) — scalable
+    * because the distinct shuffle is on (group, value) pairs. */
+  val aggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+           countDistinct(col("l_suppkey")).as("nd_supp"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** agg_approx_distinct — HLL++ sketch; the 100 TB substitute for exact
+    * distinct (single pass, fixed memory). Not oracle-checked: sketch
+    * estimates are engine-specific (unit-tested vs exact ±5%, AggSpec). */
+  val aggApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("apx_part"),
+           approx_count_distinct(col("l_suppkey")).as("apx_supp"))
+      .orderBy("l_returnflag")
+
+  /** agg_grouping_sets — ((flag,status),(flag),()) in one pass; subtotal
+    * rows surfaced via coalesce-to-'ALL' so no output column is null. */
+  val aggGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  private def custNationOrders(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+
+  /** agg_rollup — hierarchical subtotals over (nation, priority). */
+  val aggRollup: Q = (s, d) =>
+    custNationOrders(s, d)
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("tot"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+              col("n"), col("tot"))
+      .orderBy("nat", "prio")
+
+  /** agg_cube — all 4 grouping combinations of (nation, priority). */
+  val aggCube: Q = (s, d) =>
+    custNationOrders(s, d)
+      .cube(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("tot"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+              col("n"), col("tot"))
+      .orderBy("nat", "prio")
+
+  /** agg_stats — single-pass moment aggregates (Welford partials merge
+    * associatively → same two-phase scale shape as sum/count). */
+  val aggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+           r4(var_samp(col("l_quantity"))).as("var_qty"),
+           r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+           r4(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"))
+      .orderBy("l_returnflag")
+
+  /** agg_percentile — exact interpolated median/p90 (matches DuckDB
+    * percentile_cont). Exact percentile sorts per group — fine for bounded
+    * group counts; the 100 TB fallback is approx_percentile. */
+  val aggPercentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+           r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** agg_having — post-aggregation filter on the rounded aggregate (both
+    * engines filter the identically-rounded value: SURVEY.md §7.3). */
+  val aggHaving: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(r4(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .where(col("sum_qty") > 800)
+      .orderBy("l_partkey")
+
   val queries: Map[String, Q] = Map(
-    "agg_hash" -> aggHash,
+    "agg_hash"            -> aggHash,
+    "agg_distinct"        -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets"   -> aggGroupingSets,
+    "agg_rollup"          -> aggRollup,
+    "agg_cube"            -> aggCube,
+    "agg_stats"           -> aggStats,
+    "agg_percentile"      -> aggPercentile,
+    "agg_having"          -> aggHaving,
   )
 
   val oracle: Map[String, String] = Map(
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice), 4) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-        | round(sum(l_quantity) / count(*), 4) AS avg_qty,
-        | round(sum(l_extendedprice) / count(*), 4) AS avg_price,
-        | round(sum(l_discount) / count(*), 4) AS avg_disc,
+        | floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+        | floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
+        | floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+        | floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+        | floor((sum(l_extendedprice) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+        | floor((sum(l_discount) / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS nd_part,
+        | count(DISTINCT l_suppkey) AS nd_supp,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(n_name, 'ALL') AS nat,
+        | coalesce(o_orderpriority, 'ALL') AS prio,
+        | count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS tot
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nat, prio""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(n_name, 'ALL') AS nat,
+        | coalesce(o_orderpriority, 'ALL') AS prio,
+        | count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS tot
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, o_orderpriority)
+        |ORDER BY nat, prio""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000 AS sd_qty,
+        | floor((var_samp(l_quantity)) * 10000 + 0.5) / 10000 AS var_qty,
+        | floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS corr_qp,
+        | floor((covar_pop(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        | floor((percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p50,
+        | floor((percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_having" ->
+      """SELECT l_partkey, floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING floor((sum(l_quantity)) * 10000 + 0.5) / 10000 > 800
+        |ORDER BY l_partkey""".stripMargin,
   )
 }

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Join operators — SURVEY.md §2.3.
+  *
+  * Scale design notes (100 TB):
+  *  - dims (part, nation, region) get explicit `broadcast()` hints →
+  *    BroadcastHashJoin, no shuffle of the fact side;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle both sides on the key →
+  *    SortMergeJoin; AQE handles skew splitting at runtime;
+  *  - the as-of join is the union-then-window formulation: O(n log n) per
+  *    key instead of the O(events × orders) range-join blowup per user —
+  *    this is the 100 TB-safe shape (a range join here would be quadratic
+  *    in the per-user row counts);
+  *  - the cross join is explicitly bounded (pairs of the small embeddings
+  *    table) and exists as the brute-force baseline the LSH path in
+  *    graft.functions replaces at scale.
+  */
+object Joins {
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** join_broadcast — fact ⋈ broadcast(dim); plan pinned to
+    * BroadcastHashJoin (asserted in JoinSpec). */
+  val joinBroadcast: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), r4(sum(revenue)).as("revenue"))
+      .orderBy("p_brand")
+
+  /** join_shuffle — large ⋈ large on o_orderkey → SortMergeJoin. */
+  val joinShuffle: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), r4(sum(revenue)).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** join_multiway — TPC-H Q5-shape star: region ⋈ nation ⋈ customer ⋈
+    * orders ⋈ lineitem; small dims broadcast, facts shuffle once. */
+  val joinMultiway: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_lines"), r4(sum(revenue)).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** join_left — null-side aggregation: orders with zero recent lineitems
+    * keep count 0 / qty 0. */
+  val joinLeft: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_lines"),
+           r4(coalesce(sum("l_quantity"), lit(0.0))).as("qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** join_full — full outer over two derived sides (rich customers vs
+    * big-spender custkeys) so both null sides are populated. */
+  val joinFull: Q = (s, d) => {
+    val a = Tables.customer(s, d).where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val b = Tables.orders(s, d).where(col("o_totalprice") > 50000)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big"), r4(sum("o_totalprice")).as("tot_big"))
+    a.join(b, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.cast("int").as("has_cust"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        r4(coalesce(col("tot_big"), lit(0.0))).as("tot_big"))
+      .orderBy("custkey")
+  }
+
+  /** join_semi — EXISTS: orders having any max-quantity lineitem. */
+  val joinSemi: Q = (s, d) => {
+    val li = Tables.lineitem(s, d).where(col("l_quantity") > 49)
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** join_anti — NOT EXISTS: orders with no early-shipped line. */
+  val joinAnti: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    Tables.orders(s, d)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
+      .orderBy("o_orderkey")
+  }
+
+  /** join_theta_range — equi key + range residual: line shipped within 90
+    * days of its order date. SMJ on the equi key, range as post-filter. */
+  val joinThetaRange: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), r4(sum(revenue)).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** join_asof — latest order at-or-before each event's ts, per
+    * user(=custkey). Union-then-window formulation (SURVEY.md §7.3 item 6):
+    * tag both streams, sort by (t, orders-first, okey), running
+    * `last(okey ignoreNulls)` — definitionally the ASOF (≥, latest) join,
+    * with max-okey tiebreak on equal dates, and O(n log n) per user. */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts").as("t"),
+      col("event_id"), lit(0).as("is_order"), lit(null).cast("long").as("okey"))
+    val or = Tables.orders(s, d).select(
+      col("o_custkey").as("u"), col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"), lit(1).as("is_order"),
+      col("o_orderkey").as("okey"))
+    val w = Window.partitionBy("u")
+      .orderBy(col("t"), col("is_order").desc, col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(or)
+      .withColumn("last_okey", last("okey", ignoreNulls = true).over(w))
+      .where(col("is_order") === 0 && col("last_okey").isNotNull)
+      .select(col("event_id"), col("u").as("user_id"),
+              epochS(col("t")).as("ts_s"), col("last_okey").as("o_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** join_cross_topk — bounded cross join over embedding pairs, global
+    * top-100 by rounded dot product. Brute-force baseline for §2.10;
+    * higher-order functions keep it inside codegen (no UDF). */
+  val joinCrossTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val a = e.select(col("vec_id").as("vid_a"), col("embedding").cast("array<double>").as("ea"))
+    val b = e.select(col("vec_id").as("vid_b"), col("embedding").cast("array<double>").as("eb"))
+    a.crossJoin(b)
+      .where(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"),
+        r4(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")).as("dot"))
+      .orderBy(col("dot").desc, col("vid_a"), col("vid_b"))
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast"   -> joinBroadcast,
+    "join_shuffle"     -> joinShuffle,
+    "join_multiway"    -> joinMultiway,
+    "join_left"        -> joinLeft,
+    "join_full"        -> joinFull,
+    "join_semi"        -> joinSemi,
+    "join_anti"        -> joinAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_asof"        -> joinAsof,
+    "join_cross_topk"  -> joinCrossTopk,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_multiway" ->
+      """SELECT r_name, n_name, count(*) AS n_lines,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_left" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_lines,
+        | floor((coalesce(sum(l_quantity), 0)) * 10000 + 0.5) / 10000 AS qty
+        |FROM orders LEFT JOIN
+        | (SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00') li
+        | ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        | CAST(c_custkey IS NOT NULL AS INT) AS has_cust,
+        | coalesce(n_big, 0) AS n_big,
+        | floor((coalesce(tot_big, 0)) * 10000 + 0.5) / 10000 AS tot_big
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) a
+        |FULL OUTER JOIN
+        | (SELECT o_custkey, count(*) AS n_big, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS tot_big
+        |  FROM orders WHERE o_totalprice > 50000 GROUP BY o_custkey) b
+        | ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, ts_s, last_okey AS o_orderkey FROM (
+        | SELECT event_id, u AS user_id, CAST(floor(epoch(t)) AS BIGINT) AS ts_s, is_order,
+        |  last_value(okey IGNORE NULLS) OVER (
+        |    PARTITION BY u ORDER BY t, is_order DESC, okey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_okey
+        | FROM (
+        |  SELECT user_id AS u, ts AS t, event_id, 0 AS is_order, CAST(NULL AS BIGINT) AS okey FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, CAST(NULL AS BIGINT), 1, o_orderkey FROM orders)
+        |) WHERE is_order = 0 AND last_okey IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "join_cross_topk" ->
+      """SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+        | floor((list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])) * 10000 + 0.5) / 10000 AS dot
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |ORDER BY dot DESC, vid_a, vid_b LIMIT 100""".stripMargin,
+  )
+}

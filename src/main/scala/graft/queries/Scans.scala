@@ -1,0 +1,121 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Scans, sources and sinks — SURVEY.md §2.1.
+  *
+  * Everything rides the Hadoop FileSystem API underneath (`file:/` here,
+  * `hdfs://`/`s3a://` unchanged on a cluster). Scale design: Parquet scans
+  * split per row-group across executors; the sink/source roundtrips write
+  * through the distributed committers, so the same code shape moves 100 TB —
+  * only the temp paths become cluster URIs.
+  */
+object Scans {
+
+  /** scan_parquet — full vectorized scan of lineitem, totally ordered.
+    * Raw columns only (no arithmetic) so doubles are bit-identical to the
+    * oracle's read of the same file. */
+  val scanParquet: Q = (s, d) =>
+    Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+
+  /** scan_pruned — column pruning + predicate pushdown: only 4 of 11 columns
+    * reach ReadSchema and the shipdate range lands in PushedFilters
+    * (asserted in ScanSpec). */
+  val scanPruned: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** sink_parquet — write → read-back roundtrip through the parquet sink,
+    * then aggregate; oracle aggregates the original table, so the roundtrip
+    * must be lossless to match. */
+  val sinkParquet: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    Tables.lineitem(s, d).write.mode("overwrite").parquet(s"$tmp/lineitem")
+    s.read.parquet(s"$tmp/lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** source_csv — delivery-pipeline CSV ingest with explicit schema (no
+    * inference pass — at 100 TB schema inference is a full extra scan).
+    * Roundtrip: parquet → csv → explicit-schema read → aggregate. Java's
+    * shortest-roundtrip double formatting makes the hop lossless. */
+  val sourceCsv: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(s"$tmp/orders")
+    val schema = "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
+    s.read.schema(schema).option("header", "true").csv(s"$tmp/orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** source_json — same shape over JSON-lines with explicit schema. */
+  val sourceJson: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_json").toString
+    Tables.events(s, d)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").json(s"$tmp/events")
+    val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    s.read.schema(schema).json(s"$tmp/events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** copy_partitioned — distcp-style re-delivery: read → write partitioned by
+    * a column → read back. On a cluster this is the layout step that makes
+    * later partition pruning free; here the read-back aggregate proves the
+    * copy was lossless. */
+  val copyPartitioned: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_copy").toString
+    Tables.lineitem(s, d)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$tmp/li")
+    s.read.parquet(s"$tmp/li")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r4(sum("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet"     -> scanParquet,
+    "scan_pruned"      -> scanPruned,
+    "sink_parquet"     -> sinkParquet,
+    "source_csv"       -> sourceCsv,
+    "source_json"      -> sourceJson,
+    "copy_partitioned" -> copyPartitioned,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sink_parquet" ->
+      """SELECT l_returnflag, count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "source_csv" ->
+      """SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "source_json" ->
+      """SELECT event_type, count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "copy_partitioned" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+}
