@@ -20,6 +20,8 @@ object SparkEntry {
     (Aggs.queries, Aggs.oracle),
     (Sorts.queries, Sorts.oracle),
     (Sets.queries, Sets.oracle),
+    (Windows.queries, Windows.oracle),
+    (Scalars.queries, Scalars.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

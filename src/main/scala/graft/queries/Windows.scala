@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Window functions — SURVEY.md §2.5.
+  *
+  * Scale shape: one shuffle on the partition key, then a per-partition
+  * sort — Spark's WindowExec streams frames without materializing the
+  * whole partition for ranking/running frames. Partition keys here
+  * (nation, customer) have bounded per-key row counts; at 100 TB a
+  * skewed key would need salting, noted per query where relevant.
+  *
+  * Determinism: every ORDER BY inside a window carries a unique tie-break
+  * column whenever row identity matters (row_number, ntile, lag/lead,
+  * running frames); rank/dense_rank deliberately order by the coarse key
+  * alone — their results depend only on key values, not row order.
+  */
+object Windows {
+
+  /** win_rank — row_number / rank / dense_rank / ntile(4) per nation over a
+    * coarse balance bucket (real ties exercise rank vs dense_rank). */
+  val winRank: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("bal_k", floor(col("c_acctbal") / 1000))
+    val unique = Window.partitionBy("n_name").orderBy(col("bal_k").desc, col("c_custkey"))
+    val ties   = Window.partitionBy("n_name").orderBy(col("bal_k").desc)
+    base.select(
+        col("n_name"), col("c_custkey"), col("bal_k"),
+        row_number().over(unique).cast("long").as("rn"),
+        rank().over(ties).cast("long").as("rnk"),
+        dense_rank().over(ties).cast("long").as("drnk"),
+        ntile(4).over(unique).cast("long").as("nt"))
+      .orderBy("n_name", "rn")
+  }
+
+  /** win_lag_lead — previous/next order price per customer by date. */
+  val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** win_running — cumulative spend per customer (ROWS unbounded-preceding
+    * frame; both engines fold the same row order → identical sums). */
+  val winRunning: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+        r4(sum("o_totalprice").over(w)).as("run_total"),
+        count(lit(1)).over(w).as("run_n"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** win_range_frame — trailing-30-day moving spend per customer: RANGE
+    * frame over a numeric day key (ties on the same day all included). */
+  val winRangeFrame: Q = (s, d) => {
+    val withDay = Tables.orders(s, d)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("day")).rangeBetween(-30, 0)
+    withDay
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("day"),
+        r4(sum("o_totalprice").over(w)).as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
+  /** win_first_last — first/last value over the full partition with an
+    * explicit unbounded frame (default frame would cut last_value at the
+    * current row — the classic trap, pinned explicitly on both sides). */
+  val winFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy("n_name")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name"), col("c_custkey"),
+        first("c_name").over(w).as("top_name"),
+        last("c_name").over(w).as("bottom_name"))
+      .orderBy("n_name", "c_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_rank"        -> winRank,
+    "win_lag_lead"    -> winLagLead,
+    "win_running"     -> winRunning,
+    "win_range_frame" -> winRangeFrame,
+    "win_first_last"  -> winFirstLast,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT n_name, c_custkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+        | row_number() OVER (PARTITION BY n_name ORDER BY floor(c_acctbal / 1000) DESC, c_custkey) AS rn,
+        | rank() OVER (PARTITION BY n_name ORDER BY floor(c_acctbal / 1000) DESC) AS rnk,
+        | dense_rank() OVER (PARTITION BY n_name ORDER BY floor(c_acctbal / 1000) DESC) AS drnk,
+        | ntile(4) OVER (PARTITION BY n_name ORDER BY floor(c_acctbal / 1000) DESC, c_custkey) AS nt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        | lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_running" ->
+      s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        | ${r4Sql("sum(o_totalprice) OVER w")} AS run_total,
+        | count(*) OVER w AS run_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey, day,
+        | ${r4Sql("sum(o_totalprice) OVER w")} AS mov_sum,
+        | count(*) OVER w AS mov_n
+        |FROM (SELECT *, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+    "win_first_last" ->
+      """SELECT n_name, c_custkey,
+        | first_value(c_name) OVER w AS top_name,
+        | last_value(c_name) OVER w AS bottom_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY n_name, c_custkey""".stripMargin,
+  )
+}
