@@ -22,6 +22,7 @@ object SparkEntry {
     (Sets.queries, Sets.oracle),
     (Windows.queries, Windows.oracle),
     (Scalars.queries, Scalars.oracle),
+    (Events.queries, Events.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Event-time operators over the stored `events` stream — SURVEY.md §2.9.
+  *
+  * Batch-first: each operator is checked against the DuckDB oracle here;
+  * the Structured Streaming twins (readStream + watermark + the same
+  * window/session specs, mapGroupsWithState for the running state) live in
+  * graft.streaming and are proven batch/stream-parity in StreamingSpec.
+  *
+  * Windows are epoch-aligned (Spark default), so window starts are pure
+  * integer arithmetic on epoch seconds — reproduced literally in the
+  * oracle SQL. All ts output as epoch seconds (ns/µs divide, §7.3).
+  *
+  * Scale: tumbling/sliding/session/dedup/stateful all shuffle once on
+  * (window‑|user‑)keys — the standard streaming-agg shape. The watermark
+  * mirror is the one deliberately sequential op (global arrival order is
+  * its semantics); its streaming twin distributes naturally.
+  */
+object Events {
+
+  /** ev_tumbling — 1-hour tumbling window: count + sum(value) per type. */
+  val evTumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .select(epochS(col("window.start")).as("win_s"), col("event_type"),
+              col("n"), col("sum_value"))
+      .orderBy("event_type", "win_s")
+
+  /** ev_sliding — 1h window every 15m: every event lands in exactly 4
+    * windows (grid-aligned), counts per window start. */
+  val evSliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .select(epochS(col("window.start")).as("win_s"), col("n"), col("sum_value"))
+      .orderBy("win_s")
+
+  /** ev_session — 30-min-gap sessionization per user. Spark session_window
+    * extends while ts < prev_max_ts + gap (half-open [start, end)); the
+    * oracle's gaps-and-islands uses the same strict-< convention
+    * (SessionParitySpec proves the boundary). */
+  val evSession: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r4(sum("value")).as("sum_value"))
+      .select(col("user_id"), epochS(col("session_window.start")).as("sess_start"),
+              col("n_events"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  /** ev_dedup — first event per (user, type) by (ts, event_id); the
+    * deterministic row_number=1 form of dropDuplicates. */
+  val evDedup: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+              epochS(col("ts")).as("ts_s"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** ev_late_watermark — batch mirror of a 10-minute watermark: arrival
+    * order = event_id; a row is late (dropped) if its ts is more than 10
+    * minutes behind the max event-time seen so far. Deliberately a global
+    * ordered window: arrival order IS the semantics (the distributed
+    * streaming twin is graft.streaming.EventStreams.withLateDrop). */
+  val evLateWatermark: Q = (s, d) => {
+    val w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("wm", max("ts").over(w) - expr("INTERVAL 10 MINUTES"))
+      .where(col("wm").isNull || col("ts") >= col("wm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), r4(sum("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** ev_stateful — running per-user state at each event: purchases so far
+    * and cumulative value (batch twin of mapGroupsWithState). */
+  val evStateful: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w).as("n_purch"),
+        r4(sum("value").over(w)).as("cum_value"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ev_tumbling"       -> evTumbling,
+    "ev_sliding"        -> evSliding,
+    "ev_session"        -> evSession,
+    "ev_dedup"          -> evDedup,
+    "ev_late_watermark" -> evLateWatermark,
+    "ev_stateful"       -> evStateful,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_tumbling" ->
+      s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_s, event_type,
+        | count(*) AS n, ${r4Sql("sum(value)")} AS sum_value
+        |FROM events GROUP BY win_s, event_type
+        |ORDER BY event_type, win_s""".stripMargin,
+    "ev_sliding" ->
+      s"""SELECT win_s, count(*) AS n, ${r4Sql("sum(value)")} AS sum_value FROM (
+        | SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 - 900 * k AS win_s, value
+        | FROM events, (VALUES (0),(1),(2),(3)) t(k))
+        |GROUP BY win_s ORDER BY win_s""".stripMargin,
+    "ev_session" ->
+      s"""WITH marked AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        | SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM marked)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+        | count(*) AS n_events, ${r4Sql("sum(value)")} AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "ev_dedup" ->
+      """SELECT user_id, event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_late_watermark" ->
+      s"""SELECT event_type, count(*) AS n_kept, ${r4Sql("sum(value)")} AS sum_value
+        |FROM (SELECT *, max(ts) OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM events)
+        |WHERE mx IS NULL OR ts >= mx - INTERVAL 10 MINUTE
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_stateful" ->
+      s"""SELECT event_id, user_id,
+        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS n_purch,
+        | ${r4Sql("sum(value) OVER w")} AS cum_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+  )
+}
