@@ -81,6 +81,12 @@ def main():
             failures.append((name, f"row counts differ: spark={len(got)} oracle={len(exp)}"))
             n_bad += 1
             continue
+        # dtype drift (e.g. DuckDB HUGEINT sums vs Spark BIGINT) can pass
+        # value equality here but may fail a stricter driver-side hash —
+        # surface it loudly.
+        for c in got_cols:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"  [WARN] {name}: dtype {c}: spark={got[c].dtype} oracle={exp[c].dtype}")
         g = got[got_cols].values.tolist()
         e = exp[exp_cols].values.tolist()
         bad = None

@@ -23,6 +23,7 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (Scalars.queries, Scalars.oracle),
     (Events.queries, Events.oracle),
+    (Llm.queries, Llm.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -143,7 +143,7 @@ object Events {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_stateful" ->
       s"""SELECT event_id, user_id,
-        | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS n_purch,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS n_purch,
         | ${r4Sql("sum(value) OVER w")} AS cum_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.10.
+  *
+  * Scale design (the 100 TB story for each family):
+  *  - exact dedup: hash-groupBy — one shuffle on the 256-bit digest, no
+  *    text comparison; digests are uniform so never skewed.
+  *  - cosine top-k: brute force is the CORRECTNESS baseline (bounded
+  *    fixture); norms are precomputed per vector before the cross join so
+  *    the pair loop is one fused dot product. The scale path is LSH
+  *    bucketing (graft.functions.MinHash / SimHash, M6) that turns the
+  *    cross join into a bucket-equi-join.
+  *  - jaccard near-dup: rarity blocking (each doc keyed by its globally
+  *    rarest token) — candidate generation is an equi-join on the block
+  *    key, NOT the quadratic shared-token self-join; intersections are
+  *    computed relationally only on candidates.
+  *  - tf-idf/token stats: explode + two-phase aggs; partial aggregation
+  *    keeps shuffle width = distinct (doc|lang, term), not token count.
+  */
+object Llm {
+
+  /** llm_exact_dedup — exact dedup by sha256(text): keeper = min doc_id. */
+  val llmExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups", "h")
+      .orderBy("keep_id")
+
+  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v)")))
+
+  private def cosPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val v = withNorm(s, d)
+    val a = v.select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vid"), col("label").as("nb_label"),
+                     col("e").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).where(col("qid") =!= col("vid"))
+      .withColumn("cos", r4(
+        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+          / (col("na") * col("nb"))))
+  }
+
+  private def top5(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    cosPairs(s, d).withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 5)
+  }
+
+  /** llm_cosine_topk — top-5 nearest neighbours per vector by rounded
+    * cosine (ties broken by vid on both engines). */
+  val llmCosineTopk: Q = (s, d) =>
+    top5(s, d).select("qid", "vid", "cos", "rn").orderBy("qid", "rn")
+
+  /** llm_knn_label — 5-NN majority label (ties → smaller label). */
+  val llmKnnLabel: Q = (s, d) => {
+    val votes = top5(s, d).groupBy("qid", "nb_label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("nb_label"))
+    votes.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .select(col("qid"), col("nb_label").cast("long").as("pred_label"), col("votes"))
+      .orderBy("qid")
+  }
+
+  private def tokens(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+
+  /** llm_token_stats — per-language corpus stats + most frequent term. */
+  val llmTokenStats: Q = (s, d) => {
+    val tok = tokens(s, d)
+    val byLang = tok.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("doc_id").as("n_docs"))
+      .withColumn("avg_tok", r4(col("n_tokens") * lit(1.0) / col("n_docs")))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    val top = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("lang"), col("token").as("top_term"), col("cnt").as("top_term_n"))
+    byLang.join(top, "lang")
+      .select("lang", "n_docs", "n_tokens", "avg_tok", "top_term", "top_term_n")
+      .orderBy("lang")
+  }
+
+  /** llm_tfidf — tf·idf per (doc, term); top term per doc. */
+  val llmTfidf: Q = (s, d) => {
+    val tok = tokens(s, d).select("doc_id", "token")
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf_n"))
+    val nd = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(nd, "doc_id").join(dft, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score", r4((col("tf_n") * lit(1.0) / col("n_tok"))
+        * log(col("n_docs") * lit(1.0) / col("df"))))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** llm_jaccard_pairs — near-dup candidates via rarity blocking, exact
+    * token-set Jaccard ≥ 0.8 within the same language. */
+  val llmJaccardPairs: Q = (s, d) => {
+    val tok = tokens(s, d).distinct()
+    val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    val block = tok.join(dfTok, "token")
+      .withColumn("rn", row_number().over(wBlock)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val cand = block.as("a")
+      .join(block.as("b"),
+        col("a.block_tok") === col("b.block_tok") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val inter = cand
+      .join(tok.as("ta"), col("ta.doc_id") === col("doc_a"))
+      .join(tok.as("tb"), col("tb.doc_id") === col("doc_b") && col("ta.token") === col("tb.token"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("ni") * lit(1.0) / (col("sa.nt") + col("sb.nt") - col("ni"))).as("jac"))
+      .where(col("jac") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** llm_multimodal_schema — the multimodal column model: pack rows into
+    * typed struct columns (content/meta), operate on nested fields, unpack.
+    * Oracle checks the flat equivalents (schema plumbing is Spark-side;
+    * MultimodalSpec covers the binary-payload variant). */
+  val llmMultimodalSchema: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        struct(col("text"), col("lang")).as("content"),
+        struct(col("n_chars"), col("source")).as("meta"))
+      .select(col("content.lang").as("lang"), col("meta.n_chars").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "llm_exact_dedup"       -> llmExactDedup,
+    "llm_cosine_topk"       -> llmCosineTopk,
+    "llm_knn_label"         -> llmKnnLabel,
+    "llm_token_stats"       -> llmTokenStats,
+    "llm_tfidf"             -> llmTfidf,
+    "llm_jaccard_pairs"     -> llmJaccardPairs,
+    "llm_multimodal_schema" -> llmMultimodalSchema,
+  )
+
+  private val cosSql = r4Sql("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")
+
+  val oracle: Map[String, String] = Map(
+    "llm_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, sha256(text) AS h
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "llm_cosine_topk" ->
+      s"""SELECT qid, vid, cos, rn FROM (
+        | SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        | FROM (SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos
+        |       FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id))
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "llm_knn_label" ->
+      s"""WITH pairs AS (
+        | SELECT a.vec_id AS qid, b.vec_id AS vid, b.label AS nb_label, $cosSql AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |top5 AS (
+        | SELECT * FROM (SELECT qid, nb_label,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn FROM pairs)
+        | WHERE rn <= 5),
+        |votes AS (SELECT qid, nb_label, count(*) AS votes FROM top5 GROUP BY qid, nb_label)
+        |SELECT qid, CAST(nb_label AS BIGINT) AS pred_label, votes FROM (
+        | SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, nb_label) AS rnk
+        | FROM votes)
+        |WHERE rnk = 1 ORDER BY qid""".stripMargin,
+    "llm_token_stats" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |by_lang AS (
+        | SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        |  ${r4Sql("count(*) * 1.0 / count(DISTINCT doc_id)")} AS avg_tok
+        | FROM tok GROUP BY lang),
+        |top AS (
+        | SELECT lang, token AS top_term, cnt AS top_term_n FROM (
+        |  SELECT lang, token, count(*) AS cnt,
+        |   row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rn
+        |  FROM tok GROUP BY lang, token) WHERE rn = 1)
+        |SELECT b.lang, b.n_docs, b.n_tokens, b.avg_tok, t.top_term, t.top_term_n
+        |FROM by_lang b JOIN top t ON b.lang = t.lang ORDER BY b.lang""".stripMargin,
+    "llm_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf_n FROM tok GROUP BY doc_id, token),
+        |nd AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.token,
+        |  ${r4Sql("(tf.tf_n * 1.0 / nd.n_tok) * ln(n.n_docs * 1.0 / dft.df)")} AS score
+        | FROM tf JOIN nd ON tf.doc_id = nd.doc_id JOIN dft ON tf.token = dft.token, n)
+        |SELECT doc_id, token AS top_term, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        | FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "llm_jaccard_pairs" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        |block AS (
+        | SELECT doc_id, lang, token AS block_tok FROM (
+        |  SELECT t.doc_id, t.lang, t.token,
+        |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+        |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn = 1),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
+        |  AND a.doc_id < b.doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS ni
+        | FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, jac FROM (
+        | SELECT i.doc_a, i.doc_b,
+        |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
+        | FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+        |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_multimodal_schema" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}

@@ -43,7 +43,7 @@ object Sorts {
       .groupBy("p_brand", "p_partkey")
       .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
     val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_partkey"))
-    rev.withColumn("rn", row_number().over(w))
+    rev.withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= 3)
       .select("p_brand", "p_partkey", "revenue", "rn")
       .orderBy("p_brand", "rn")
