@@ -24,6 +24,7 @@ object SparkEntry {
     (Scalars.queries, Scalars.oracle),
     (Events.queries, Events.oracle),
     (Llm.queries, Llm.oracle),
+    (Sketches.queries, Sketches.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

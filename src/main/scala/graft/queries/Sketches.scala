@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{MinHashAgg, SimHashAgg}
+import graft.ops.Det._
+
+/** Sketch-based near-dup operators — SURVEY.md §2.10 `llm_minhash` /
+  * `llm_simhash`. Not oracle-checked (hash values are engine-specific by
+  * design, §7.3 item 7); correctness = MinHashSpec/SimHashSpec property
+  * tests against the exact-Jaccard answer. These ARE the 100 TB
+  * replacements for the bounded brute-force pairs in Llm / Joins:
+  * LSH banding → candidate equi-join instead of a cross join.
+  */
+object Sketches {
+
+  val minhash = udaf(new MinHashAgg(128))
+  val simhash = udaf(new SimHashAgg)
+
+  /** llm_minhash — MinHash(128) signatures + 16×8 LSH banding: candidate
+    * pairs sharing any band bucket, estimated Jaccard = signature
+    * agreement, kept at est ≥ 0.7. The band join S-curve detects
+    * jac 0.9 pairs w.p. >0.9999 (16 bands of 8 rows). */
+  val llmMinhash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sigs = tok.groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig"))
+    val banded = sigs
+      .withColumn("band", explode(expr("sequence(0, 15)")))
+      .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jac", r4(expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 128.0")))
+      .where(col("est_jac") >= 0.7)
+      .select("doc_a", "doc_b", "est_jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** llm_simhash — 64-bit SimHash per doc; near-dup pairs via 4×16-bit
+    * band blocking + exact Hamming distance ≤ 4 (empirically the ≥0.8-
+    * Jaccard operating point for these short docs; ≤8 admits 0.6-ish
+    * pairs). */
+  val llmSimhash: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sigs = tok.groupBy("doc_id", "lang").agg(simhash(col("token")).as("sh"))
+    val banded = sigs
+      .withColumn("band", explode(expr("sequence(0, 3)")))
+      .withColumn("bkey", expr("(sh >> (band * 16)) & 65535"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .where(col("hamming") <= 4)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_minhash" -> llmMinhash,
+    "llm_simhash" -> llmSimhash,
+  )
+
+  /** Sketch values are engine-specific; no SQL oracle (rows-only check). */
+  val oracle: Map[String, String] = Map.empty
+}

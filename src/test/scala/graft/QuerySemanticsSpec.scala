@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.queries.{Aggs, Events}
+
+/** In-engine semantic checks that back the oracle declarations
+  * (SURVEY.md §7.3 items 5-7). */
+class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("session_window matches gaps-and-islands (30-min strict-< boundary)") {
+    val viaSessionWindow = Events.evSession(spark, sfDir).collect().toSeq
+    // independent gaps-and-islands formulation in Spark itself
+    val ev = Tables.events(spark, sfDir)
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = ev.withColumn("prev_ts", lag("ts", 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+    val sess = marked.withColumn("sid",
+      sum("new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val viaIslands = sess.groupBy("user_id", "sid")
+      .agg(unix_timestamp(min("ts")).as("sess_start"),
+           count(lit(1)).as("n_events"),
+           graft.ops.Det.r4(sum("value")).as("sum_value"))
+      .select("user_id", "sess_start", "n_events", "sum_value")
+      .orderBy("user_id", "sess_start")
+      .collect().toSeq
+    viaSessionWindow should equal(viaIslands)
+  }
+
+  test("approx_count_distinct within 5% of exact per group") {
+    val exact = Aggs.aggDistinct(spark, sfDir)
+      .select("l_returnflag", "nd_part").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Aggs.aggApproxDistinct(spark, sfDir)
+      .select("l_returnflag", "apx_part").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.keySet should equal(approx.keySet)
+    for ((k, ex) <- exact) {
+      math.abs(approx(k) - ex).toDouble / ex should be <= 0.05
+    }
+  }
+
+  test("as-of join: every event matched to latest order at-or-before ts") {
+    val out = graft.queries.Joins.joinAsof(spark, sfDir)
+    val ev = Tables.events(spark, sfDir).select(col("event_id"),
+      col("user_id"), col("ts"))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    // brute-force reference (fine at sf0.001): max (date, okey) <= ts
+    val ref = ev.join(orders, col("user_id") === col("o_custkey") &&
+        col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = out.select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got should equal(ref)
+  }
+
+  test("exact dedup is idempotent: dedup of dedup output changes nothing") {
+    val once = graft.queries.Llm.llmExactDedup(spark, sfDir)
+    once.select(countDistinct("h")).head().getLong(0) shouldBe once.count()
+  }
+}

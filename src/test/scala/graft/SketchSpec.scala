@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.functions.{MinHashAgg, SimHashAgg}
+import graft.queries.{Llm, Sketches}
+
+/** MinHash/SimHash correctness vs exact Jaccard (SURVEY.md §5.1 layer 4,
+  * §7.3 item 7: sketches are property-tested, not oracle-checked). */
+class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def exactJaccard(a: Set[String], b: Set[String]): Double =
+    (a & b).size.toDouble / (a | b).size
+
+  private def minhashSig(tokens: Set[String], agg: MinHashAgg): Array[Int] =
+    tokens.foldLeft(agg.zero)((buf, t) => agg.reduce(buf, t))
+
+  test("minhash agreement estimates jaccard within 4 sigma (deterministic examples)") {
+    val agg = new MinHashAgg(128)
+    val base = (1 to 60).map(i => s"tok$i").toSet
+    for (overlap <- Seq(10, 30, 50, 58)) {
+      val other = base.take(overlap) ++ (1 to (60 - overlap)).map(i => s"other$i")
+      val (sa, sb) = (minhashSig(base, agg), minhashSig(other, agg))
+      val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+      val exact = exactJaccard(base, other)
+      val sigma = math.sqrt(exact * (1 - exact) / 128.0)
+      math.abs(est - exact) should be <= math.max(4 * sigma, 0.02)
+    }
+  }
+
+  test("minhash merge == reduce over union (partial aggregation correctness)") {
+    val agg = new MinHashAgg(128)
+    val a = Set("x", "y", "z"); val b = Set("z", "w")
+    val merged = agg.merge(minhashSig(a, agg), minhashSig(b, agg))
+    merged should equal(minhashSig(a ++ b, agg))
+  }
+
+  test("llm_minhash LSH finds every exact-jaccard>=0.9 pair at sf0.001") {
+    val exact = Llm.llmJaccardPairs(spark, sfDir)
+      .where(col("jac") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Sketches.llmMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.nonEmpty shouldBe true
+    val recall = (exact & found).size.toDouble / exact.size
+    recall should be >= 0.95
+  }
+
+  test("simhash: identical sets collide, disjoint sets are far") {
+    val agg = new SimHashAgg
+    def sig(tokens: Set[String]): Long =
+      agg.finish(tokens.foldLeft(agg.zero)((b, t) => agg.reduce(b, t)))
+    val a = (1 to 40).map(i => s"tok$i").toSet
+    val b = (1 to 40).map(i => s"zzz$i").toSet
+    sig(a) shouldBe sig(a)
+    java.lang.Long.bitCount(sig(a) ^ sig(b)) should be > 10
+    val aNear = a.take(38) ++ Set("n1", "n2")
+    java.lang.Long.bitCount(sig(a) ^ sig(aNear)) should be < 12
+  }
+
+  test("llm_simhash returns near-dup pairs at sf0.001 and they have high exact jaccard") {
+    val pairs = Sketches.llmSimhash(spark, sfDir)
+    val exact = Llm.llmJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    found.length should be > 0
+    // precision against jac>=0.8 ground truth: most hamming<=8 pairs are real near-dups
+    val precision = found.count(exact.contains).toDouble / found.length
+    precision should be >= 0.8
+  }
+}

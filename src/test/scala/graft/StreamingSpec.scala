@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.streaming.{Ev, EventStreams}
+
+/** Structured Streaming twins: batch/stream parity + watermark late-drop +
+  * stateful running state (SURVEY.md §5.1 layer 5). */
+class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def runToMemory(name: String)(build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = build.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: stream (complete mode) matches batch on same input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+      Ev(3, ts(65), 2, "view", 3.0), Ev(4, ts(70), 2, "click", 4.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(rows: _*)
+    val q = EventStreams.tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Complete).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb").orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventStreams.tumblingCounts(rows.toDF())
+      .orderBy("win_start", "event_type").collect().toSeq
+    streamed should equal(batch)
+  }
+
+  test("watermark drops events arriving later than 10 minutes behind max event-time") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(stream.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode(OutputMode.Append).start()
+    // batch 1: event time advances to 2:00 → watermark 1:50 after commit
+    stream.addData(Ev(1, ts(120), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: a row at 0:30 is far behind the watermark → its hour-0
+    //          window is already closed; a row at 2:05 is fine
+    stream.addData(Ev(2, ts(30), 1, "click", 1.0), Ev(3, ts(125), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: advance event time to 3:30 to close the hour-2 window
+    stream.addData(Ev(4, ts(210), 1, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late").select("win_start").collect()
+      .map(_.getTimestamp(0).toString).toSet
+    // hour-0 window must never be emitted: its only row arrived too late
+    emitted should not contain "2024-01-01 00:00:00.0"
+    emitted should contain("2024-01-01 02:00:00.0")
+  }
+
+  test("dedupByEventId drops duplicate ids within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(1, ts(10), 1, "click", 1.0), Ev(1, ts(10), 1, "click", 1.0),
+      Ev(2, ts(11), 1, "view", 2.0))
+    val out = runToMemory("dedup")(EventStreams.dedupByEventId(stream.toDF()))
+    out.count() shouldBe 2
+  }
+
+  test("runningUserState matches batch ev_stateful on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, ts(1), 1, "purchase", 10.0), Ev(2, ts(2), 1, "click", 1.0),
+      Ev(3, ts(3), 1, "purchase", 5.0), Ev(4, ts(1), 2, "view", 2.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(rows.take(2): _*)   // two microbatches exercise state carry-over
+    val q = EventStreams.runningUserState(stream.toDS())
+      .writeStream.format("memory").queryName("state").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData(rows.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("state").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    got should equal(Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 16.0), (4L, 0L, 2.0)))
+  }
+}
