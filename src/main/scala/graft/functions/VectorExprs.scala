@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Custom Catalyst expressions for the vector hot path (SURVEY.md §4:
+  * "first candidates if ever needed: … an Expression for fused
+  * dot-product"). Profiling at sf0.1 showed the brute-force cosine/knn
+  * queries spending ~60 s in interpreted `zip_with`/`aggregate` lambdas —
+  * higher-order functions don't participate in whole-stage codegen. These
+  * expressions generate a tight Java loop instead (~10× on the pair
+  * stage), keeping the 4M-pair cross join compute-bound, not
+  * interpreter-bound. Summation order is left-to-right, identical to the
+  * lambda fold they replace, so oracle hash parity is unchanged.
+  */
+
+/** dot(a, b) over array<double> — fused multiply-add loop in codegen. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs are cast to array<double> by every caller (AbstractDataType /
+  // ExpectsInputTypes are private[sql] in Spark 4, so no declared check)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
+      |double graftS = 0.0;
+      |for (int graftI = 0; graftI < graftN; graftI++) {
+      |  graftS += $x.getDouble(graftI) * $y.getDouble(graftI);
+      |}
+      |${ev.value} = graftS;
+      |""".stripMargin)
+}
+
+/** agree(a, b) over array<int> — count of positions with equal values
+  * (MinHash signature agreement). */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_agree"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAgreeCount =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getInt(i) == y.getInt(i)) c += 1; i += 1 }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
+      |int graftC = 0;
+      |for (int graftI = 0; graftI < graftN; graftI++) {
+      |  if ($x.getInt(graftI) == $y.getInt(graftI)) graftC++;
+      |}
+      |${ev.value} = graftC;
+      |""".stripMargin)
+}
+
+/** Session-scoped registration so query bodies can use the expressions
+  * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
+  * Column from a custom Expression. Idempotent. */
+object VectorExprs {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_agree",
+      exprs => ArrayAgreeCount(exprs(0), exprs(1)), "built-in")
+  }
+}

@@ -142,13 +142,13 @@ object Joins {
     * top-100 by rounded dot product. Brute-force baseline for §2.10;
     * higher-order functions keep it inside codegen (no UDF). */
   val joinCrossTopk: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("vid_a"), col("embedding").cast("array<double>").as("ea"))
     val b = e.select(col("vec_id").as("vid_b"), col("embedding").cast("array<double>").as("eb"))
     a.crossJoin(b)
       .where(col("vid_a") < col("vid_b"))
-      .select(col("vid_a"), col("vid_b"),
-        r4(expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")).as("dot"))
+      .select(col("vid_a"), col("vid_b"), r4(expr("graft_dot(ea, eb)")).as("dot"))
       .orderBy(col("dot").desc, col("vid_a"), col("vid_b"))
       .limit(100)
   }

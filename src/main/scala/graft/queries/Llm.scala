@@ -32,10 +32,12 @@ object Llm {
       .select("keep_id", "n_dups", "h")
       .orderBy("keep_id")
 
-  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def withNorm(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorExprs.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(e, x -> x * x), 0D, (acc, v) -> acc + v)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+  }
 
   private def cosPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
     val v = withNorm(s, d)
@@ -43,9 +45,7 @@ object Llm {
     val b = v.select(col("vec_id").as("vid"), col("label").as("nb_label"),
                      col("e").as("eb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("qid") =!= col("vid"))
-      .withColumn("cos", r4(
-        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-          / (col("na") * col("nb"))))
+      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
   }
 
   private def top5(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -108,25 +108,42 @@ object Llm {
     val tok = tokens(s, d).distinct()
     val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val block = tok.join(dfTok, "token")
+    val block = tok.join(broadcast(dfTok), "token")
       .withColumn("rn", row_number().over(wBlock)).where(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
-    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val cand = block.as("a")
       .join(block.as("b"),
         col("a.block_tok") === col("b.block_tok") &&
         col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val inter = cand
-      .join(tok.as("ta"), col("ta.doc_id") === col("doc_a"))
-      .join(tok.as("tb"), col("tb.doc_id") === col("doc_b") && col("ta.token") === col("tb.token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-    inter
-      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
-      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+    // Adaptive set representation (vocab count is a trivial driver-side
+    // agg even at 100 TB). Small vocab → each token set is ONE 64-bit
+    // mask and intersection is bit_count(a & b); general vocab → sorted
+    // token arrays + native array_intersect. Same exact Jaccard either
+    // way, so the oracle SQL is representation-independent.
+    val sets =
+      if (dfTok.count() <= 64) {
+        val wVocab = Window.orderBy("token") // ≤ 64 rows: single partition is fine
+        val tokenIds = dfTok.select("token")
+          .withColumn("tid", row_number().over(wVocab) - 1)
+        tok.join(broadcast(tokenIds), "token")
+          .groupBy("doc_id").agg(expr("bit_or(shiftleft(1L, tid))").as("m"))
+          .select(col("doc_id"), col("m"), expr("bit_count(m)").as("nt"))
+      } else {
+        tok.groupBy("doc_id").agg(array_sort(collect_set("token")).as("m"))
+          .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
+      }
+    val interExpr =
+      if (sets.schema("m").dataType == org.apache.spark.sql.types.LongType)
+        expr("bit_count(ma & mb)")
+      else size(array_intersect(col("ma"), col("mb")))
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb"))), "doc_b")
+      .withColumn("ni", interExpr)
       .select(col("doc_a"), col("doc_b"),
-        r4(col("ni") * lit(1.0) / (col("sa.nt") + col("sb.nt") - col("ni"))).as("jac"))
+        r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
       .where(col("jac") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
