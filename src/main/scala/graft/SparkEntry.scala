@@ -25,6 +25,7 @@ object SparkEntry {
     (Events.queries, Events.oracle),
     (Llm.queries, Llm.oracle),
     (Sketches.queries, Sketches.oracle),
+    (Extras.queries, Extras.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Training-data-pipeline extras beyond SURVEY §2.10's original list
+  * (declared in SURVEY §2.12): language-ID, quality scoring, document
+  * fingerprinting, IVF-style ANN, embedding near-dup. All oracle-checked.
+  *
+  * Scale notes: every operator is explode → bounded-cardinality agg →
+  * (window | broadcast join); nothing is quadratic except the
+  * bucket-restricted ANN candidates (that restriction IS the point of
+  * IVF), and language model tables (vocab × langs) are broadcast-sized
+  * by construction.
+  */
+object Extras {
+
+  private def tokensWithLang(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+
+  /** llm_lang_id — self-trained naive-Bayes unigram language ID:
+    * score(doc, L) = ln P(L) + Σ_tokens ln P(token|L) with add-1
+    * smoothing; prediction = argmax (rounded score, then lang asc — the
+    * rounding makes the argmax engine-independent). */
+  val llmLangId: Q = (s, d) => {
+    val tok = tokensWithLang(s, d)
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val langs = docs.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("docs_l"))
+    val vocab = tok.select("token").distinct()
+    val vn = vocab.agg(count(lit(1)).as("v"))
+    val clt = tok.groupBy(col("lang").as("cl"), col("token")).agg(count(lit(1)).as("c_lt"))
+    val cLang = tok.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("c_l"))
+    val grid = vocab.crossJoin(langs.select("cl"))
+      .join(clt, Seq("token", "cl"), "left")
+      .na.fill(0L, Seq("c_lt"))
+    val logp = grid.join(broadcast(cLang), "cl").crossJoin(broadcast(vn))
+      .select(col("token"), col("cl"),
+        log((col("c_lt") + lit(1.0)) / (col("c_l") + col("v"))).as("lp"))
+    val prior = langs.crossJoin(broadcast(nDocs))
+      .select(col("cl"), log(col("docs_l") * lit(1.0) / col("n_docs")).as("lprior"))
+    val scores = tok.join(broadcast(logp), "token")
+      .join(broadcast(prior), "cl")
+      .groupBy(col("doc_id"), col("cl"), col("lprior"))
+      .agg(r4(col("lprior") + sum("lp")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cl"))
+    scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("cl").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** llm_quality_score — per-doc quality features: token count, avg token
+    * length, type-token ratio, stopword ratio (stopwords = corpus top-5
+    * tokens), and a fixed-weight composite. */
+  val llmQualityScore: Q = (s, d) => {
+    val tok = tokensWithLang(s, d)
+    val wStop = Window.orderBy(col("cnt").desc, col("token"))
+    val stop = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wStop)).where(col("rn") <= 5)
+      .select(col("token"), lit(1).as("is_stop"))
+    val perDoc = tok.join(broadcast(stop), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        r4(sum(length(col("token"))) * lit(1.0) / count(lit(1))).as("avg_len"),
+        r4(countDistinct("token") * lit(1.0) / count(lit(1))).as("ttr"),
+        r4(sum(coalesce(col("is_stop"), lit(0))) * lit(1.0) / count(lit(1))).as("swr"))
+    perDoc
+      .withColumn("quality", r4(lit(0.4) * col("ttr") + lit(0.4) * (lit(1.0) - col("swr"))
+        + lit(0.2) * least(col("avg_len") / 10.0, lit(1.0))))
+      .orderBy("doc_id")
+  }
+
+  /** llm_fingerprint — rolling 3-gram shingle fingerprint: md5 every token
+    * trigram, keep the lexicographic minimum (min-hash of shingles; md5 is
+    * engine-independent so this one IS oracle-checkable). */
+  val llmFingerprint: Q = (s, d) => {
+    val tp = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "t")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tp.withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("t"), col("t1"), col("t2")).cast("binary")).as("sh"))
+      .groupBy("doc_id")
+      .agg(min("sh").as("fp"), count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorExprs.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+      .withColumn("bkt",
+        (element_at(col("e"), 1) > 0).cast("int") * 4 +
+        (element_at(col("e"), 9) > 0).cast("int") * 2 +
+        (element_at(col("e"), 17) > 0).cast("int"))
+  }
+
+  /** llm_ann_ivf — IVF/LSH-style ANN: a 3-hyperplane sign bucket as the
+    * coarse quantizer (8 cells), probe only the query's own cell, top-3 by
+    * rounded cosine. The scale path for similarity search: candidates per
+    * query drop from N to ~N/8 per extra bit, and the bucket join is an
+    * equi-join — contrast with the brute-force llm_cosine_topk baseline. */
+  val llmAnnIvf: Q = (s, d) => {
+    val v = bucketed(s, d)
+    val a = v.select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"), col("bkt"))
+    val b = v.select(col("vec_id").as("vid"), col("e").as("eb"), col("nrm").as("nb"), col("bkt"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    a.join(b, Seq("bkt")).where(col("qid") =!= col("vid"))
+      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 3)
+      .select("qid", "vid", "cos", "rn")
+      .orderBy("qid", "rn")
+  }
+
+  /** llm_embed_neardup — embedding-cosine near-dup pairs (θ calibrated to
+    * the fixture's random-vector cosine distribution: p999 ≈ 0.38). */
+  val llmEmbedNeardup: Q = (s, d) => {
+    val v = bucketed(s, d)
+    val a = v.select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"))
+    a.crossJoin(b).where(col("vid_a") < col("vid_b"))
+      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .where(col("cos") >= 0.35)
+      .select("vid_a", "vid_b", "cos")
+      .orderBy("vid_a", "vid_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_lang_id"       -> llmLangId,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_fingerprint"   -> llmFingerprint,
+    "llm_ann_ivf"       -> llmAnnIvf,
+    "llm_embed_neardup" -> llmEmbedNeardup,
+  )
+
+  private val cosSql = r4Sql("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")
+  private val bktSql = (t: String) =>
+    s"CAST($t.embedding[1] > 0 AS INT) * 4 + CAST($t.embedding[9] > 0 AS INT) * 2 + CAST($t.embedding[17] > 0 AS INT)"
+
+  val oracle: Map[String, String] = Map(
+    "llm_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |langs AS (SELECT lang AS cl, count(*) AS docs_l FROM documents GROUP BY lang),
+        |total AS (SELECT count(*) AS n_docs FROM documents),
+        |vocab AS (SELECT DISTINCT token FROM tok),
+        |vn AS (SELECT count(*) AS v FROM vocab),
+        |clt AS (SELECT lang AS cl, token, count(*) AS c_lt FROM tok GROUP BY lang, token),
+        |cl AS (SELECT lang AS cl, count(*) AS c_l FROM tok GROUP BY lang),
+        |grid AS (SELECT vo.token, l.cl, coalesce(c.c_lt, 0) AS c_lt
+        |  FROM vocab vo CROSS JOIN (SELECT cl FROM langs) l
+        |  LEFT JOIN clt c ON c.token = vo.token AND c.cl = l.cl),
+        |logp AS (SELECT g.token, g.cl, ln((g.c_lt + 1.0) / (cl.c_l + vn.v)) AS lp
+        |  FROM grid g JOIN cl ON cl.cl = g.cl, vn),
+        |prior AS (SELECT cl, ln(docs_l * 1.0 / n_docs) AS lprior FROM langs, total),
+        |scores AS (SELECT t.doc_id, lp.cl,
+        |  ${r4Sql("p.lprior + sum(lp.lp)")} AS score
+        |  FROM tok t JOIN logp lp ON lp.token = t.token JOIN prior p ON p.cl = lp.cl
+        |  GROUP BY t.doc_id, lp.cl, p.lprior)
+        |SELECT doc_id, lang, pred_lang FROM (
+        |  SELECT s.doc_id, dd.lang, s.cl AS pred_lang,
+        |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.score DESC, s.cl) AS rn
+        |  FROM scores s JOIN documents dd ON dd.doc_id = s.doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |stop AS (SELECT token, 1 AS is_stop FROM (
+        |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        |  FROM tok GROUP BY token) WHERE rn <= 5),
+        |per_doc AS (
+        |  SELECT t.doc_id, count(*) AS n_tok,
+        |   ${r4Sql("sum(length(t.token)) * 1.0 / count(*)")} AS avg_len,
+        |   ${r4Sql("count(DISTINCT t.token) * 1.0 / count(*)")} AS ttr,
+        |   ${r4Sql("sum(coalesce(s.is_stop, 0)) * 1.0 / count(*)")} AS swr
+        |  FROM tok t LEFT JOIN stop s ON s.token = t.token GROUP BY t.doc_id)
+        |SELECT doc_id, n_tok, avg_len, ttr, swr,
+        | ${r4Sql("0.4 * ttr + 0.4 * (1.0 - swr) + 0.2 * least(avg_len / 10.0, 1.0)")} AS quality
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, list_min(shs) AS fp, CAST(len(shs) AS BIGINT) AS n_shingles FROM (
+        |  SELECT doc_id,
+        |   [md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) for i in generate_series(1, len(l) - 2)] AS shs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |  WHERE len(l) >= 3)
+        |ORDER BY doc_id""".stripMargin,
+    "llm_ann_ivf" ->
+      s"""SELECT qid, vid, cos, rn FROM (
+        | SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        | FROM (SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos
+        |       FROM embeddings a JOIN embeddings b
+        |        ON (${bktSql("a")}) = (${bktSql("b")}) AND a.vec_id <> b.vec_id))
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "llm_embed_neardup" ->
+      s"""SELECT vid_a, vid_b, cos FROM (
+        | SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, $cosSql AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cos >= 0.35 ORDER BY vid_a, vid_b""".stripMargin,
+  )
+}
