@@ -116,8 +116,8 @@ object Extras {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     a.join(b, Seq("bkt")).where(col("qid") =!= col("vid"))
       .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .select("qid", "vid", "cos") // drop vector payload before the window shuffle
       .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 3)
-      .select("qid", "vid", "cos", "rn")
       .orderBy("qid", "rn")
   }
 

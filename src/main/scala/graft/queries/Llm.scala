@@ -50,7 +50,12 @@ object Llm {
 
   private def top5(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    cosPairs(s, d).withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 5)
+    // project the embedding arrays away BEFORE the ranking window: the
+    // window shuffle then moves ~24 bytes/row instead of ~1 KB/row of
+    // vector payload (4M rows at sf0.1 — this is the difference between a
+    // ~100 MB and a ~4 GB shuffle, and the same rule at 100 TB)
+    cosPairs(s, d).select("qid", "vid", "nb_label", "cos")
+      .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 5)
   }
 
   /** llm_cosine_topk — top-5 nearest neighbours per vector by rounded
