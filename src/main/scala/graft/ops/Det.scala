@@ -39,4 +39,20 @@ object Det {
 
   /** Oracle-SQL twin of `r4` — splice into DuckDB strings. */
   def r4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
+  /** Exact engine-independent SUM for money-scale aggregates. Rounding the
+    * final double sum is NOT enough once |sum| reaches ~1e10: the two
+    * engines accumulate in different orders and drift by more than the
+    * 1e-4 rounding step (seen at sf0.1: 12478115489.07 vs …489.0701).
+    * Recipe: pre-round each value with `r4` (bit-identical in both
+    * engines), convert to DECIMAL(18,4) (the double is within an ulp of
+    * k/10⁴, so both engines recover the same integer k regardless of
+    * rounding mode), sum exactly in integer arithmetic (order-independent),
+    * and emit the decimal — ≤ 4 fractional digits, exact — as a double. */
+  def sumR4(c: Column): Column =
+    sum(r4(c).cast("decimal(18,4)")).cast("double")
+
+  /** Oracle-SQL twin of `sumR4`. */
+  def sumR4Sql(e: String): String =
+    s"CAST(sum(CAST(${r4Sql(e)} AS DECIMAL(18,4))) AS DOUBLE)"
 }

@@ -22,9 +22,9 @@ object Aggs {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         r4(sum("l_quantity")).as("sum_qty"),
-        r4(sum("l_extendedprice")).as("sum_base_price"),
-        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        sumR4(col("l_extendedprice")).as("sum_base_price"),
+        sumR4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sumR4(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
         avgR4(col("l_quantity")).as("avg_qty"),
         avgR4(col("l_extendedprice")).as("avg_price"),
         avgR4(col("l_discount")).as("avg_disc"),
@@ -74,7 +74,7 @@ object Aggs {
   val aggRollup: Q = (s, d) =>
     custNationOrders(s, d)
       .rollup(col("n_name"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("tot"))
+      .agg(count(lit(1)).as("n"), sumR4(col("o_totalprice")).as("tot"))
       .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
               coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
               col("n"), col("tot"))
@@ -84,7 +84,7 @@ object Aggs {
   val aggCube: Q = (s, d) =>
     custNationOrders(s, d)
       .cube(col("n_name"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("tot"))
+      .agg(count(lit(1)).as("n"), sumR4(col("o_totalprice")).as("tot"))
       .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
               coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
               col("n"), col("tot"))
@@ -137,9 +137,9 @@ object Aggs {
     "agg_hash" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
-        | floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
-        | floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 10000 + 0.5) / 10000 AS sum_charge,
+        | CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
         | floor((sum(l_quantity) / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
         | floor((sum(l_extendedprice) / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
         | floor((sum(l_discount) / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
@@ -164,7 +164,7 @@ object Aggs {
     "agg_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS nat,
         | coalesce(o_orderpriority, 'ALL') AS prio,
-        | count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS tot
+        | count(*) AS n, CAST(sum(CAST(floor((o_totalprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS tot
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
@@ -173,7 +173,7 @@ object Aggs {
     "agg_cube" ->
       """SELECT coalesce(n_name, 'ALL') AS nat,
         | coalesce(o_orderpriority, 'ALL') AS prio,
-        | count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS tot
+        | count(*) AS n, CAST(sum(CAST(floor((o_totalprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS tot
         |FROM orders
         | JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey

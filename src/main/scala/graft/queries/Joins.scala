@@ -30,7 +30,7 @@ object Joins {
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
-      .agg(count(lit(1)).as("n_items"), r4(sum(revenue)).as("revenue"))
+      .agg(count(lit(1)).as("n_items"), sumR4(revenue).as("revenue"))
       .orderBy("p_brand")
 
   /** join_shuffle — large ⋈ large on o_orderkey → SortMergeJoin. */
@@ -38,7 +38,7 @@ object Joins {
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), r4(sum(revenue)).as("revenue"))
+      .agg(count(lit(1)).as("n"), sumR4(revenue).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** join_multiway — TPC-H Q5-shape star: region ⋈ nation ⋈ customer ⋈
@@ -50,7 +50,7 @@ object Joins {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_lines"), r4(sum(revenue)).as("revenue"))
+      .agg(count(lit(1)).as("n_lines"), sumR4(revenue).as("revenue"))
       .orderBy("r_name", "n_name")
 
   /** join_left — null-side aggregation: orders with zero recent lineitems
@@ -111,7 +111,7 @@ object Joins {
         col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"))
       .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"), r4(sum(revenue)).as("revenue"))
+      .agg(count(lit(1)).as("n"), sumR4(revenue).as("revenue"))
       .orderBy("o_orderpriority")
 
   /** join_asof — latest order at-or-before each event's ts, per
@@ -169,17 +169,17 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "join_broadcast" ->
       """SELECT p_brand, count(*) AS n_items,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_multiway" ->
       """SELECT r_name, n_name, count(*) AS n_lines,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM customer
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
@@ -215,7 +215,7 @@ object Joins {
         |ORDER BY o_orderkey""".stripMargin,
     "join_theta_range" ->
       """SELECT o_orderpriority, count(*) AS n,
-        | floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS revenue
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY

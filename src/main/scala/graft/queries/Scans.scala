@@ -39,7 +39,7 @@ object Scans {
     Tables.lineitem(s, d).write.mode("overwrite").parquet(s"$tmp/lineitem")
     s.read.parquet(s"$tmp/lineitem")
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), r4(sum("l_extendedprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"), sumR4(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
   }
 
@@ -55,7 +55,7 @@ object Scans {
     val schema = "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
     s.read.schema(schema).option("header", "true").csv(s"$tmp/orders")
       .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("sum_total"))
+      .agg(count(lit(1)).as("n"), sumR4(col("o_totalprice")).as("sum_total"))
       .orderBy("o_orderstatus")
   }
 
@@ -68,7 +68,7 @@ object Scans {
     val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
     s.read.schema(schema).json(s"$tmp/events")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumR4(col("value")).as("sum_value"))
       .orderBy("event_type")
   }
 
@@ -105,13 +105,13 @@ object Scans {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "sink_parquet" ->
-      """SELECT l_returnflag, count(*) AS n, floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_price
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(floor((l_extendedprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "source_csv" ->
-      """SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS sum_total
+      """SELECT o_orderstatus, count(*) AS n, CAST(sum(CAST(floor((o_totalprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "source_json" ->
-      """SELECT event_type, count(*) AS n, floor((sum(value)) * 10000 + 0.5) / 10000 AS sum_value
+      """SELECT event_type, count(*) AS n, CAST(sum(CAST(floor((value) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "copy_partitioned" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
