@@ -134,12 +134,37 @@ object Extras {
       .orderBy("vid_a", "vid_b")
   }
 
+  /** agg_pivot — long→wide reshaping: per-user event counts, one column
+    * per event type (domain pinned: FIXTURES.md). Fixed pivot values keep
+    * the plan a single pass (no distinct-values pre-query). */
+  val aggPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** agg_unpivot — wide→long reshaping (melt) of three measures, then
+    * re-aggregated per metric. */
+  val aggUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_tax")
+      .unpivot(Array(col("l_orderkey")),
+               Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+               "metric", "val")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), sumR4(col("val")).as("sum_val"))
+      .orderBy("metric")
+
   val queries: Map[String, Q] = Map(
     "llm_lang_id"       -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_fingerprint"   -> llmFingerprint,
     "llm_ann_ivf"       -> llmAnnIvf,
     "llm_embed_neardup" -> llmEmbedNeardup,
+    "agg_pivot"         -> aggPivot,
+    "agg_unpivot"       -> aggUnpivot,
   )
 
   private val cosSql = r4Sql("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")
@@ -203,5 +228,19 @@ object Extras {
         | SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, $cosSql AS cos
         | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY vid_a, vid_b""".stripMargin,
+    "agg_pivot" ->
+      """SELECT user_id,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_unpivot" ->
+      s"""SELECT metric, count(*) AS n, ${sumR4Sql("val")} AS sum_val FROM (
+        | SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
   )
 }

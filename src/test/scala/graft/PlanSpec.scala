@@ -37,6 +37,41 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     planOf(Sorts.limitTopk(spark, sfDir)) should include("TakeOrderedAndProject")
   }
 
+  test("partitioned copy enables partition pruning on read-back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.lineitem(spark, sfDir)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$tmp/li")
+    val plan = planOf(spark.read.parquet(s"$tmp/li")
+      .where(org.apache.spark.sql.functions.col("l_returnflag") === "A")
+      .select("l_orderkey"))
+    // the returnflag predicate must prune directories, not filter rows
+    plan should include("PartitionFilters: [isnotnull(l_returnflag")
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // the 100 TB lever for repeated fact-fact joins: bucket both sides on
+    // the join key at write time, the join then needs NO Exchange
+    val s = spark // warehouse dir is a static conf, set in SparkFixture
+    Tables.lineitem(s, sfDir).write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    Tables.orders(s, sfDir).write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    val thresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("li_b").join(s.table("o_b"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = planOf(joined)
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode
