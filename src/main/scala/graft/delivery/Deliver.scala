@@ -1,0 +1,99 @@
+package graft.delivery
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Integrity manifest for a delivered dataset: row count plus an
+  * order-insensitive content fingerprint (XOR of per-row hashes over
+  * name-sorted columns — stable under repartitioning, file splits and
+  * column reordering). */
+case class DeliveryReport(rows: Long, files: Long, bytes: Long, fingerprint: Long)
+
+/** The data-delivery surface (SURVEY.md §0: the reference's category is
+  * Hadoop batch movement + transformation of files): read any supported
+  * format, re-layout, write, and verify — all through the Hadoop
+  * FileSystem API, so `file:/`, `hdfs://` and `s3a://` behave
+  * identically. This is the Spark-native distcp+transform.
+  *
+  * Scale notes: the copy itself is a distributed scan→write with no
+  * collect; layout controls (partitionBy / repartitionTo / maxRecords
+  * PerFile) are how a 100 TB delivery shapes downstream read
+  * parallelism and partition pruning; the fingerprint is a single
+  * XOR-aggregate (associative + commutative → map-side partials, no
+  * global sort needed to compare datasets).
+  */
+object Deliver {
+
+  /** Order-insensitive content fingerprint of a DataFrame. */
+  def fingerprint(df: DataFrame): Long = {
+    val cols = df.columns.sorted.map(col)
+    val hashed = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
+    hashed.agg(expr("bit_xor(h)")).head() match {
+      case r if r.isNullAt(0) => 0L // empty dataset
+      case r                  => r.getLong(0)
+    }
+  }
+
+  /** Read `src` with an explicit schema when the format needs one (CSV/
+    * JSON at scale must never pay the inference scan). */
+  def read(spark: SparkSession, src: String, format: String = "parquet",
+           schema: Option[String] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    schema.fold(r)(s => r.schema(s)).load(src)
+  }
+
+  /** Copy src → dst with layout controls; returns the manifest of what
+    * was written (re-read from dst, so it attests the delivered bytes,
+    * not the intent). */
+  def copy(spark: SparkSession, src: String, dst: String,
+           srcFormat: String = "parquet", dstFormat: String = "parquet",
+           schema: Option[String] = None,
+           readOptions: Map[String, String] = Map.empty,
+           writeOptions: Map[String, String] = Map.empty,
+           partitionBy: Seq[String] = Nil,
+           repartitionTo: Option[Int] = None): DeliveryReport = {
+    val in = read(spark, src, srcFormat, schema, readOptions)
+    val shaped = repartitionTo.fold(in)(n => in.repartition(n))
+    val w = shaped.write.format(dstFormat).options(writeOptions).mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(dst)
+    manifest(spark, dst, dstFormat,
+      schema.filter(_ => dstFormat == "csv" || dstFormat == "json"), writeOptions)
+  }
+
+  /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */
+  def manifest(spark: SparkSession, path: String, format: String = "parquet",
+               schema: Option[String] = None,
+               options: Map[String, String] = Map.empty): DeliveryReport = {
+    val df = read(spark, path, format, schema, options)
+    val fp = fingerprint(df)
+    val rows = df.count()
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        files += 1; bytes += f.getLen
+      }
+    }
+    DeliveryReport(rows, files, bytes, fp)
+  }
+
+  /** End-to-end delivery check: same rows and same content fingerprint on
+    * both sides (bytes/files legitimately differ across formats and
+    * layouts). */
+  def verifyDelivery(spark: SparkSession,
+                     src: String, srcFormat: String,
+                     dst: String, dstFormat: String,
+                     schema: Option[String] = None,
+                     srcOptions: Map[String, String] = Map.empty,
+                     dstOptions: Map[String, String] = Map.empty): Boolean = {
+    val a = read(spark, src, srcFormat, schema, srcOptions)
+    val b = read(spark, dst, dstFormat, schema, dstOptions)
+    a.count() == b.count() && fingerprint(a) == fingerprint(b)
+  }
+}

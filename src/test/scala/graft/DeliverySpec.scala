@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.delivery.Deliver
+
+/** Delivery surface: copy/manifest/verify across formats and layouts
+  * (the Spark-native distcp+transform, SURVEY.md §0/§1.3). */
+class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private val ordersSchema =
+    "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
+
+  test("parquet → partitioned parquet copy is lossless and verifiable") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    val report = Deliver.copy(spark, s"$sfDir/lineitem.parquet", s"$tmp/li",
+      partitionBy = Seq("l_returnflag"))
+    report.rows shouldBe Tables.lineitem(spark, sfDir).count()
+    report.files should be > 0L
+    Deliver.verifyDelivery(spark, s"$sfDir/lineitem.parquet", "parquet",
+      s"$tmp/li", "parquet") shouldBe true
+  }
+
+  test("fingerprint is layout- and order-insensitive but content-sensitive") {
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val base = Deliver.fingerprint(df)
+    Deliver.fingerprint(df.repartition(13)) shouldBe base
+    Deliver.fingerprint(df.orderBy(desc("o_totalprice"))) shouldBe base
+    // column order must not matter (manifest sorts by name)
+    Deliver.fingerprint(df.select("o_totalprice", "o_orderkey", "o_custkey",
+      "o_orderpriority", "o_orderstatus")) shouldBe base
+    // but content must
+    Deliver.fingerprint(df.limit(100)) should not be base
+  }
+
+  test("parquet → csv → parquet multi-hop delivery round-trips") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    val src = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    src.write.parquet(s"$tmp/p0")
+    Deliver.copy(spark, s"$tmp/p0", s"$tmp/c1", dstFormat = "csv",
+      writeOptions = Map("header" -> "true"))
+    Deliver.copy(spark, s"$tmp/c1", s"$tmp/p2", srcFormat = "csv", dstFormat = "parquet",
+      schema = Some(ordersSchema), readOptions = Map("header" -> "true"))
+    Deliver.verifyDelivery(spark, s"$tmp/p0", "parquet", s"$tmp/p2", "parquet") shouldBe true
+  }
+
+  test("permissive JSON ingest quarantines corrupt records instead of failing") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    val lines = Seq(
+      """{"event_id": 1, "event_type": "click", "value": 1.5}""",
+      """{"event_id": 2, "event_type": "view", "value": }""", // malformed
+      """not json at all""",
+      """{"event_id": 3, "event_type": "purchase", "value": 2.0}""")
+    Files.write(java.nio.file.Paths.get(tmp, "in.json"), lines.mkString("\n").getBytes)
+    val schema = "event_id LONG, event_type STRING, value DOUBLE, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(tmp).cache()
+    df.where(col("_corrupt_record").isNull).count() shouldBe 2
+    df.where(col("_corrupt_record").isNotNull).count() shouldBe 2
+    df.unpersist()
+  }
+}

@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     emitted should contain("2024-01-01 02:00:00.0")
   }
 
+  test("file-source stream (availableNow) matches batch on the fixture events") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_in").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$tmp/in")
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filetumb")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("filetumb")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventStreams.tumblingCounts(spark.read.parquet(s"$tmp/in"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    streamed should equal(batch)
+    streamed.size should be > 100
+  }
+
   test("dedupByEventId drops duplicate ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
