@@ -17,7 +17,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd executes the physical plan exactly as the query defines it;
+      // a plain .count() would let Catalyst prune unreferenced window /
+      // projection work and under-report those queries (SURVEY §3.2).
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

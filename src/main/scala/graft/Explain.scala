@@ -26,7 +26,7 @@ object Explain {
         df.explain("formatted")
       }
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = df.queryExecution.toRdd.count() // execute as written, no count-pruning
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%8d rows")
     }
     spark.stop()
