@@ -37,8 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // TESTDATA.md lists only the eight star-schema/events tables, so a
+    // DuckDB harness may not register views for documents/embeddings.
+    // Substitute direct parquet paths for those two (valid DuckDB FROM
+    // targets, alias-compatible) so the oracle SQL is self-contained.
+    def inline(sql: String): String = sql
+      .replaceAll("\\bdocuments\\b", s"'$sfDir/documents.parquet'")
+      .replaceAll("\\bembeddings\\b", s"'$sfDir/embeddings.parquet'")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(inline(v))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
