@@ -55,6 +55,22 @@ object Multimodal {
     decoded.toDF("doc_id", "features")
   }
 
+  /** Resize stage (image path): STUB for a real scaler — deterministically
+    * subsamples the payload to the target pixel budget and rewrites the
+    * metadata dims, preserving the media struct shape so downstream
+    * stages are oblivious. The Spark-side contract (struct in, same
+    * struct out, row-for-row) is the real part. */
+  def resizeStub(media: DataFrame, maxW: Int = 64, maxH: Int = 64): DataFrame =
+    media.select(col("doc_id"),
+      struct(
+        expr(s"substring(media.payload, 1, greatest(least(length(media.payload), $maxW * $maxH), 1))")
+          .as("payload"),
+        col("media.mime").as("mime"),
+        struct(
+          least(col("media.meta.width"), lit(maxW)).as("width"),
+          least(col("media.meta.height"), lit(maxH)).as("height"),
+          col("media.meta.duration_ms").as("duration_ms")).as("meta")).as("media"))
+
   /** Frame-sampling stage (video path): slice the payload into n equal
     * chunks — the Spark shape of frame extraction (explode to one row per
     * frame, frame index carried alongside). */

@@ -34,6 +34,15 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SparkFixture {
     again.getSeq[Float](1) should equal(v)
   }
 
+  test("resizeStub caps dims and payload while preserving the media struct shape") {
+    val resized = Multimodal.resizeStub(media, maxW = 8, maxH = 8)
+    resized.schema.catalogString shouldBe media.schema.catalogString
+    resized.count() shouldBe media.count()
+    resized.select(max("media.meta.width")).head().getInt(0) should be <= 8
+    resized.select(max(org.apache.spark.sql.functions.length(col("media.payload"))))
+      .head().getInt(0) should be <= 64
+  }
+
   test("sampleFrames explodes each video into n indexed frames") {
     val frames = Multimodal.sampleFrames(media, nFrames = 4)
     val videos = media.where(col("media.mime") === "video/mp4").count()

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Skew-mitigation patterns for 100 TB (README scale notes): salting a
+  * skewed aggregation preserves results, and the extensions class
+  * registers the custom expressions at session level. */
+class SkewSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("salted two-phase aggregation equals direct aggregation") {
+    // l_returnflag has only 3 values — maximal skew for a groupBy. The
+    // salted form: (key, salt) partial agg → key final agg. At 100 TB
+    // this caps any single reducer at 1/SALTS of the hot key's rows.
+    val SALTS = 16
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val salted = li
+      .withColumn("salt", pmod(col("l_orderkey"), lit(SALTS)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"))
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n"), sum("pq").as("q"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    salted.map(t => (t._1, t._2)) should equal(direct.map(t => (t._1, t._2)))
+    salted.zip(direct).foreach { case (s, d) => s._3 shouldBe d._3 +- 1e-6 }
+  }
+
+  test("GraftExtensions injects without error; graft_dot evaluates via SQL") {
+    // applying the extensions to a fresh SparkSessionExtensions must
+    // register both builders without throwing
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    // and the expressions are usable from plain SQL on a session
+    val s2 = spark.newSession()
+    graft.functions.VectorExprs.register(s2)
+    s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) shouldBe 11.0
+    s2.sql("SELECT graft_agree(array(1, 2, 3), array(1, 9, 3)) AS a")
+      .head().getInt(0) shouldBe 2
+  }
+}
