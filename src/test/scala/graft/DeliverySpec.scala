@@ -48,6 +48,16 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     Deliver.verifyDelivery(spark, s"$tmp/p0", "parquet", s"$tmp/p2", "parquet") shouldBe true
   }
 
+  test("compressed deliveries round-trip (zstd and gzip parquet)") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    for (codec <- Seq("zstd", "gzip")) {
+      Deliver.copy(spark, s"$sfDir/orders.parquet", s"$tmp/$codec",
+        writeOptions = Map("compression" -> codec))
+      Deliver.verifyDelivery(spark, s"$sfDir/orders.parquet", "parquet",
+        s"$tmp/$codec", "parquet") shouldBe true
+    }
+  }
+
   test("permissive JSON ingest quarantines corrupt records instead of failing") {
     val tmp = Files.createTempDirectory("dlv").toString
     val lines = Seq(
