@@ -157,7 +157,32 @@ object Extras {
       .agg(count(lit(1)).as("n"), sumR4(col("val")).as("sum_val"))
       .orderBy("metric")
 
+  /** win_percent — relative-position window functions: percent_rank and
+    * cume_dist over account balance within nation (rank arithmetic on
+    * identical doubles → engine-identical before rounding). */
+  val winPercent: Q = (s, d) => {
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy("n_name", "c_custkey")
+  }
+
+  /** agg_bool — boolean/conditional aggregates per returnflag. */
+  val aggBool: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_quantity") > 25).as("n_bulk"),
+        bool_and(col("l_extendedprice") > 0).cast("int").as("all_priced"),
+        bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_disc"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "win_percent"       -> winPercent,
+    "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
     "llm_fingerprint"   -> llmFingerprint,
@@ -172,6 +197,19 @@ object Extras {
     s"CAST($t.embedding[1] > 0 AS INT) * 4 + CAST($t.embedding[9] > 0 AS INT) * 2 + CAST($t.embedding[17] > 0 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "win_percent" ->
+      s"""SELECT n_name, c_custkey,
+        | ${r4Sql("percent_rank() OVER w")} AS pct_rank,
+        | ${r4Sql("cume_dist() OVER w")} AS cume
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+        |ORDER BY n_name, c_custkey""".stripMargin,
+    "agg_bool" ->
+      """SELECT l_returnflag,
+        | CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+        | CAST(bool_and(l_extendedprice > 0) AS INT) AS all_priced,
+        | CAST(bool_or(l_discount > 0.09) AS INT) AS any_deep_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "llm_lang_id" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |langs AS (SELECT lang AS cl, count(*) AS docs_l FROM documents GROUP BY lang),
