@@ -180,7 +180,26 @@ object Extras {
         bool_or(col("l_discount") > 0.09).cast("int").as("any_deep_disc"))
       .orderBy("l_returnflag")
 
+  /** dq_checks — delivery-validation report over lineitem: null keys,
+    * domain ranges, and FK orphan checks, one row per rule. */
+  val dqChecks: Q = (s, d) => {
+    import graft.delivery.Validate
+    val li = Tables.lineitem(s, d)
+    val predRules = Validate.counts(li, Seq(
+      "null_orderkey" -> col("l_orderkey").isNull,
+      "qty_out_of_range" -> !col("l_quantity").between(1, 50),
+      "disc_out_of_range" -> !col("l_discount").between(0, 0.1),
+      "negative_price" -> (col("l_extendedprice") < 0)))
+    predRules
+      .union(Validate.fkOrphanRow("orphan_partkey", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"))
+      .union(Validate.fkOrphanRow("orphan_orderkey", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_checks"         -> dqChecks,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
@@ -197,6 +216,23 @@ object Extras {
     s"CAST($t.embedding[1] > 0 AS INT) * 4 + CAST($t.embedding[9] > 0 AS INT) * 2 + CAST($t.embedding[17] > 0 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT rule, n_viol FROM (
+        | SELECT 'null_orderkey' AS rule,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viol FROM lineitem
+        | UNION ALL SELECT 'qty_out_of_range',
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        | UNION ALL SELECT 'disc_out_of_range',
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        | UNION ALL SELECT 'negative_price',
+        |  CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        | UNION ALL SELECT 'orphan_partkey',
+        |  (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+        |    (SELECT 1 FROM part WHERE p_partkey = li.l_partkey))
+        | UNION ALL SELECT 'orphan_orderkey',
+        |  (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)))
+        |ORDER BY rule""".stripMargin,
     "win_percent" ->
       s"""SELECT n_name, c_custkey,
         | ${r4Sql("percent_rank() OVER w")} AS pct_rank,
