@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A raw event row as both batch and stream sides see it. */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -54,6 +55,39 @@ object EventStreams {
   def dedupByEventId(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Same running state on the Spark 4 `transformWithState` API — the
+    * successor to mapGroupsWithState: explicit named state with TTL
+    * support, timers, and state-store-backed ValueState. Preferred for
+    * new 100 TB pipelines (state evolution + RocksDB-friendly). */
+  class RunningUserStateProcessor extends StatefulProcessor[Long, Ev, UserUpdate] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "userAgg", Encoders.product[(Long, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      var (nPurch, cum) = if (state.exists()) state.get() else (0L, 0.0)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        if (e.event_type == "purchase") nPurch += 1
+        cum += e.value
+        UserUpdate(e.event_id, key, nPurch, cum)
+      }
+      state.update((nPurch, cum))
+      out.iterator
+    }
+  }
+
+  /** ev_stateful twin on transformWithState (see processor above). */
+  def runningUserStateTws(events: Dataset[Ev]): Dataset[UserUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserStateProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 
   /** ev_stateful twin: running per-user purchase count + cumulative value
     * via mapGroupsWithState. Events inside a microbatch are folded in

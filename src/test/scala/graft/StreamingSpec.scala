@@ -92,6 +92,31 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.count() shouldBe 2
   }
 
+  test("transformWithState twin matches mapGroupsWithState across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, ts(1), 1, "purchase", 10.0), Ev(2, ts(2), 1, "click", 1.0),
+      Ev(3, ts(3), 1, "purchase", 5.0), Ev(4, ts(1), 2, "view", 2.0))
+    // transformWithState needs column families -> RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      stream.addData(rows.take(2): _*)
+      val q = EventStreams.runningUserStateTws(stream.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(rows.drop(2): _*)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+      got should equal(Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 16.0), (4L, 0L, 2.0)))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("runningUserState matches batch ev_stateful on the same input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
