@@ -48,6 +48,14 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     Deliver.verifyDelivery(spark, s"$tmp/p0", "parquet", s"$tmp/p2", "parquet") shouldBe true
   }
 
+  test("parquet → orc → parquet cross-format delivery round-trips") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    Deliver.copy(spark, s"$sfDir/orders.parquet", s"$tmp/o1", dstFormat = "orc")
+    Deliver.copy(spark, s"$tmp/o1", s"$tmp/p2", srcFormat = "orc", dstFormat = "parquet")
+    Deliver.verifyDelivery(spark, s"$sfDir/orders.parquet", "parquet",
+      s"$tmp/p2", "parquet") shouldBe true
+  }
+
   test("compressed deliveries round-trip (zstd and gzip parquet)") {
     val tmp = Files.createTempDirectory("dlv").toString
     for (codec <- Seq("zstd", "gzip")) {
