@@ -198,7 +198,34 @@ object Extras {
       .orderBy("rule")
   }
 
+  /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
+    * (o_orderkey) is unique so the selection is engine-deterministic. */
+  val aggArgmax: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"),
+        max("o_orderkey").as("max_key"),
+        r4(max_by(col("o_totalprice"), col("o_orderkey"))).as("last_price"))
+      .orderBy("o_orderpriority")
+
+  /** fn_bits — bitwise transforms over keys (masks, shifts, popcount). */
+  val fnBits: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        expr("o_orderkey & 255").as("masked"),
+        expr("o_orderkey | 15").as("ored"),
+        expr("o_orderkey ^ 255").as("xored"),
+        expr("shiftleft(o_orderkey, 2)").as("shl"),
+        expr("shiftright(o_orderkey, 3)").as("shr"),
+        expr("bit_count(o_orderkey)").cast("long").as("pop"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "agg_argmax"        -> aggArgmax,
+    "fn_bits"           -> fnBits,
     "dq_checks"         -> dqChecks,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
@@ -216,6 +243,22 @@ object Extras {
     s"CAST($t.embedding[1] > 0 AS INT) * 4 + CAST($t.embedding[9] > 0 AS INT) * 2 + CAST($t.embedding[17] > 0 AS INT)"
 
   val oracle: Map[String, String] = Map(
+    "agg_argmax" ->
+      s"""SELECT o_orderpriority,
+        | arg_max(o_orderstatus, o_orderkey) AS last_status,
+        | arg_min(o_orderstatus, o_orderkey) AS first_status,
+        | max(o_orderkey) AS max_key,
+        | ${r4Sql("arg_max(o_totalprice, o_orderkey)")} AS last_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "fn_bits" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS masked,
+        | o_orderkey | 15 AS ored,
+        | xor(o_orderkey, 255) AS xored,
+        | o_orderkey << 2 AS shl,
+        | o_orderkey >> 3 AS shr,
+        | CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "dq_checks" ->
       """SELECT rule, n_viol FROM (
         | SELECT 'null_orderkey' AS rule,
