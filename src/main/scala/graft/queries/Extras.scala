@@ -223,7 +223,59 @@ object Extras {
         expr("bit_count(o_orderkey)").cast("long").as("pop"))
       .orderBy("o_orderkey")
 
+  /** llm_chunk — fixed-size token chunking with overlap (size 16, stride
+    * 8): the canonical training-data windowing op. Chunk i exists iff
+    * i·stride < n_tok; text and md5 fingerprint per chunk. */
+  val llmChunk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("i", explode(sequence(lit(0),
+        floor((size(col("toks")) - 1) / 8).cast("int"))))
+      .withColumn("chunk", expr("slice(toks, i * 8 + 1, 16)"))
+      .select(
+        col("doc_id"), col("i").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_ntok"),
+        array_join(col("chunk"), " ").as("chunk_text"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** llm_dedup_cluster — near-dup cluster assignment: symmetrized
+    * jac≥0.8 pairs as edges (plus self-loops), then EXACTLY 8 rounds of
+    * min-label propagation — the declared semantics on both engines, so
+    * the result is well-defined whether or not the fixpoint is reached.
+    * This is the final step of a dedup pipeline (pick min-doc_id
+    * representative per cluster); rounds are bounded because 100 TB
+    * connected-components runs as a fixed number of joins, not an
+    * unbounded driver loop. */
+  val llmDedupCluster: Q = (s, d) => {
+    val pairs = Llm.llmJaccardPairs(s, d).select("doc_a", "doc_b")
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    // iterative algorithm hygiene: materialize the edge list once (else
+    // every round's plan re-embeds the whole jaccard pipeline — observed
+    // 8× recompute, 12.7 s → ~2 s at sf0.1) and cut label lineage each
+    // round so the final plan stays 1 join deep. Same pattern a 100 TB
+    // connected-components job uses (persist edges, checkpoint labels).
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 8) {
+      labels = edges.join(labels, col("dd") === col("src"))
+        .groupBy(col("dst")).agg(min("lbl").as("lbl"))
+        .select(col("dst").as("dd"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("dd").as("doc_id"), col("lbl").as("cluster"), col("csize"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_chunk"         -> llmChunk,
+    "llm_dedup_cluster" -> llmDedupCluster,
     "agg_argmax"        -> aggArgmax,
     "fn_bits"           -> fnBits,
     "dq_checks"         -> dqChecks,
@@ -242,7 +294,61 @@ object Extras {
   private val bktSql = (t: String) =>
     s"CAST($t.embedding[1] > 0 AS INT) * 4 + CAST($t.embedding[9] > 0 AS INT) * 2 + CAST($t.embedding[17] > 0 AS INT)"
 
+  /** Shared jaccard-pairs CTE body (mirrors Llm.llmJaccardPairs oracle).
+    * MATERIALIZED hints stop DuckDB inlining the chain into each of the 8
+    * label rounds (8× recompute spilled >79 GB at sf0.1 without them —
+    * the oracle-side mirror of the Spark lineage fix). */
+  private val jaccardCtes =
+    s"""tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+      |block AS (
+      | SELECT doc_id, lang, token AS block_tok FROM (
+      |  SELECT t.doc_id, t.lang, t.token,
+      |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
+      |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn = 1),
+      |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+      |cand AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
+      |  AND a.doc_id < b.doc_id),
+      |pairs AS MATERIALIZED (
+      | SELECT doc_a, doc_b FROM (
+      |  SELECT i.doc_a, i.doc_b,
+      |   ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
+      |  FROM (SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |        FROM cand c
+      |         JOIN tok ta ON ta.doc_id = c.doc_a
+      |         JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+      |        GROUP BY c.doc_a, c.doc_b) i
+      |   JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+      | WHERE jac >= 0.8)""".stripMargin
+
+  private val labelRounds = (1 to 8).map { i =>
+    s"l$i AS (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM edges e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
+  }.mkString(",\n")
+
   val oracle: Map[String, String] = Map(
+    "llm_chunk" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        | CAST(len(l[i * 8 + 1 : i * 8 + 16]) AS BIGINT) AS chunk_ntok,
+        | array_to_string(l[i * 8 + 1 : i * 8 + 16], ' ') AS chunk_text,
+        | md5(array_to_string(l[i * 8 + 1 : i * 8 + 16], ' ')) AS chunk_md5
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |     generate_series(0, 63) t(i)
+        |WHERE i * 8 < len(l)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_dedup_cluster" ->
+      s"""WITH $jaccardCtes,
+        |edges AS MATERIALIZED (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs
+        | UNION ALL SELECT doc_id, doc_id FROM documents),
+        |l0 AS (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
+        |$labelRounds
+        |SELECT l8.dd AS doc_id, l8.lbl AS cluster, s.csize
+        |FROM l8 JOIN (SELECT lbl, count(*) AS csize FROM l8 GROUP BY lbl) s
+        | ON s.lbl = l8.lbl
+        |ORDER BY doc_id""".stripMargin,
     "agg_argmax" ->
       s"""SELECT o_orderpriority,
         | arg_max(o_orderstatus, o_orderkey) AS last_status,
