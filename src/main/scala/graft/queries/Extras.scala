@@ -273,7 +273,22 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** llm_split — reproducible train/val/test assignment (80/10/10) by
+    * md5 bucket of doc_id: stable across engines, runs, and cluster
+    * topologies (never `rand()` — the only way a 100 TB split is
+    * re-derivable). Reported per (lang, split). */
+  val llmSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang", "split")
+
   val queries: Map[String, Q] = Map(
+    "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
     "llm_dedup_cluster" -> llmDedupCluster,
     "agg_argmax"        -> aggArgmax,
@@ -328,6 +343,15 @@ object Extras {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "llm_split" ->
+      """SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        | SELECT lang, doc_id,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        | FROM (SELECT lang, doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+        |  FROM documents))
+        |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "llm_chunk" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         | CAST(len(l[i * 8 + 1 : i * 8 + 16]) AS BIGINT) AS chunk_ntok,
