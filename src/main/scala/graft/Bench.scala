@@ -27,6 +27,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // minimal line FIRST: the driver's capture truncates the head of long
+    // lines (round-1 BENCH had parsed:null because the ~2.2 KB per-query
+    // line lost its opening brace); the short line always parses. The
+    // full per-query detail follows on its own line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -5,9 +5,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Integrity manifest for a delivered dataset: row count plus an
-  * order-insensitive content fingerprint (XOR of per-row hashes over
+  * order-insensitive content fingerprint over per-row hashes of
   * name-sorted columns — stable under repartitioning, file splits and
-  * column reordering). */
+  * column reordering. The combiner pairs XOR with a wrapping SUM: XOR
+  * alone cancels any multiset difference of even multiplicity (e.g.
+  * {A,A,B} vs {B,C,C}), while sum-mod-2^64 is multiplicity-sensitive;
+  * both are associative+commutative, so map-side partials still work. */
 case class DeliveryReport(rows: Long, files: Long, bytes: Long, fingerprint: Long)
 
 /** The data-delivery surface (SURVEY.md §0: the reference's category is
@@ -25,13 +28,21 @@ case class DeliveryReport(rows: Long, files: Long, bytes: Long, fingerprint: Lon
   */
 object Deliver {
 
-  /** Order-insensitive content fingerprint of a DataFrame. */
+  /** Order-insensitive, count-sensitive content fingerprint of a
+    * DataFrame: xor ⊕ rot32(sum mod 2^64) of per-row xxhash64. The sum
+    * runs in decimal(38,0) (exact, no ANSI long-overflow) and is reduced
+    * mod 2^64 driver-side. */
   def fingerprint(df: DataFrame): Long = {
     val cols = df.columns.sorted.map(col)
     val hashed = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
-    hashed.agg(expr("bit_xor(h)")).head() match {
-      case r if r.isNullAt(0) => 0L // empty dataset
-      case r                  => r.getLong(0)
+    val r = hashed.agg(
+      expr("bit_xor(h)").as("x"),
+      sum(col("h").cast("decimal(38,0)")).as("s")).head()
+    if (r.isNullAt(0)) 0L // empty dataset
+    else {
+      val sumMod = r.getDecimal(1).toBigInteger
+        .mod(java.math.BigInteger.ONE.shiftLeft(64)).longValue()
+      r.getLong(0) ^ java.lang.Long.rotateLeft(sumMod, 32)
     }
   }
 

@@ -40,14 +40,20 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => s"""
-      |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
-      |double graftS = 0.0;
-      |for (int graftI = 0; graftI < graftN; graftI++) {
-      |  graftS += $x.getDouble(graftI) * $y.getDouble(graftI);
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      // freshName: two instances can share a codegen scope (nullSafeCodeGen
+      // emits no enclosing block when children are non-nullable) — fixed
+      // names would collide and knock the stage back to interpreted eval
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $s += $x.getDouble($i) * $y.getDouble($i);
       |}
-      |${ev.value} = graftS;
-      |""".stripMargin)
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
 }
 
 /** agree(a, b) over array<int> — count of positions with equal values
@@ -72,14 +78,17 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => s"""
-      |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
-      |int graftC = 0;
-      |for (int graftI = 0; graftI < graftN; graftI++) {
-      |  if ($x.getInt(graftI) == $y.getInt(graftI)) graftC++;
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+      |int $c = 0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  if ($x.getInt($i) == $y.getInt($i)) $c++;
       |}
-      |${ev.value} = graftC;
-      |""".stripMargin)
+      |${ev.value} = $c;
+      |""".stripMargin
+    })
 }
 
 /** Session-scoped registration so query bodies can use the expressions

@@ -30,7 +30,18 @@ object Extras {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val langs = docs.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("docs_l"))
-    val vocab = tok.select("token").distinct()
+    // cap the model vocabulary at the top-K tokens by corpus frequency
+    // (TakeOrderedAndProject, deterministic tie-break on token): the
+    // broadcast model table below is then bounded at K × n_langs rows
+    // regardless of corpus size — a web-scale corpus has an unbounded
+    // unigram vocabulary, and an uncapped model table would blow past
+    // broadcast limits. OOV tokens simply don't contribute to scores
+    // (standard capped-vocab naive Bayes). Fixture vocab (31) << K, so
+    // the cap is semantics-neutral for the oracle.
+    val vocabK = s.conf.get("spark.graft.langid.vocabK", "65536").toInt
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("vcnt"))
+      .orderBy(col("vcnt").desc, col("token")).limit(vocabK)
+      .select("token")
     val vn = vocab.agg(count(lit(1)).as("v"))
     val clt = tok.groupBy(col("lang").as("cl"), col("token")).agg(count(lit(1)).as("c_lt"))
     val cLang = tok.groupBy(col("lang").as("cl")).agg(count(lit(1)).as("c_l"))
@@ -58,9 +69,12 @@ object Extras {
     * tokens), and a fixed-weight composite. */
   val llmQualityScore: Q = (s, d) => {
     val tok = tokensWithLang(s, d)
-    val wStop = Window.orderBy(col("cnt").desc, col("token"))
+    // top-5 by orderBy+limit → TakeOrderedAndProject: per-partition top-5
+    // then a 5-row merge on the driver. (A Window.orderBy with no
+    // partitionBy would funnel the whole distinct vocabulary through one
+    // task — the canonical web-scale single-partition trap.)
     val stop = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wStop)).where(col("rn") <= 5)
+      .orderBy(col("cnt").desc, col("token")).limit(5)
       .select(col("token"), lit(1).as("is_stop"))
     val perDoc = tok.join(broadcast(stop), Seq("token"), "left")
       .groupBy("doc_id")
@@ -104,17 +118,28 @@ object Extras {
         (element_at(col("e"), 17) > 0).cast("int"))
   }
 
+  /** Hamming≤1 multi-probe: the query's own cell plus its 3 one-bit
+    * neighbours. Each (query, candidate) cell pair matches at most one
+    * probe, so no dedup is needed; the probe join stays an EQUI-join.
+    * Recall on near-orthogonal fixture vectors ≈ q³+3q²(1-q) for
+    * q = 1-θ/π (AnnRecallSpec pins the measured floor); candidates stay
+    * ~nprobe/cells of N² — at real scale raise the bit count with the
+    * corpus and keep nprobe fixed (9 probes of a 256-cell code ≈ 3.5%). */
+  private def withProbes(v: org.apache.spark.sql.DataFrame) =
+    v.withColumn("probe", explode(expr("array(bkt, bkt ^ 1, bkt ^ 2, bkt ^ 4)")))
+
   /** llm_ann_ivf — IVF/LSH-style ANN: a 3-hyperplane sign bucket as the
-    * coarse quantizer (8 cells), probe only the query's own cell, top-3 by
-    * rounded cosine. The scale path for similarity search: candidates per
-    * query drop from N to ~N/8 per extra bit, and the bucket join is an
+    * coarse quantizer (8 cells), Hamming≤1 multi-probe, top-3 by rounded
+    * cosine. The scale path for similarity search: the probe join is an
     * equi-join — contrast with the brute-force llm_cosine_topk baseline. */
   val llmAnnIvf: Q = (s, d) => {
     val v = bucketed(s, d)
-    val a = v.select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"), col("bkt"))
-    val b = v.select(col("vec_id").as("vid"), col("e").as("eb"), col("nrm").as("nb"), col("bkt"))
+    val a = withProbes(v)
+      .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"), col("probe"))
+    val b = v.select(col("vec_id").as("vid"), col("e").as("eb"), col("nrm").as("nb"),
+                     col("bkt").as("probe"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    a.join(b, Seq("bkt")).where(col("qid") =!= col("vid"))
+    a.join(b, Seq("probe")).where(col("qid") =!= col("vid"))
       .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
       .select("qid", "vid", "cos") // drop vector payload before the window shuffle
       .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 3)
@@ -122,12 +147,20 @@ object Extras {
   }
 
   /** llm_embed_neardup — embedding-cosine near-dup pairs (θ calibrated to
-    * the fixture's random-vector cosine distribution: p999 ≈ 0.38). */
+    * the fixture's random-vector cosine distribution: p999 ≈ 0.38).
+    * Candidates are restricted to IVF sign-bucket cells within Hamming
+    * distance 1 — the same coarse quantizer + multi-probe as llm_ann_ivf
+    * — so pair generation is a probe equi-join, never the O(N²) cross
+    * join. Near-dup vectors are near-parallel, so at most one hyperplane
+    * usually splits them; AnnRecallSpec quantifies the recall against
+    * the bounded brute-force twin. */
   val llmEmbedNeardup: Q = (s, d) => {
     val v = bucketed(s, d)
-    val a = v.select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"))
-    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"))
-    a.crossJoin(b).where(col("vid_a") < col("vid_b"))
+    val a = withProbes(v)
+      .select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"), col("probe"))
+    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"),
+                     col("bkt").as("probe"))
+    a.join(b, Seq("probe")).where(col("vid_a") < col("vid_b"))
       .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
       .where(col("cos") >= 0.35)
       .select("vid_a", "vid_b", "cos")
@@ -259,12 +292,19 @@ object Extras {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persist()
+    // lineage cut per round: localCheckpoint (default) is executor-local
+    // and dies with executors — fine on local[n], unacceptable on a real
+    // cluster. Set spark.graft.cluster.checkpoint=reliable (plus
+    // sparkContext.setCheckpointDir to HDFS/S3) for a fault-tolerant
+    // 100 TB run; same result either way, only durability differs.
+    val reliableCkpt =
+      s.conf.get("spark.graft.cluster.checkpoint", "local") == "reliable"
     var labels = docs.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
     for (_ <- 1 to 8) {
-      labels = edges.join(labels, col("dd") === col("src"))
+      val next = edges.join(labels, col("dd") === col("src"))
         .groupBy(col("dst")).agg(min("lbl").as("lbl"))
         .select(col("dst").as("dd"), col("lbl"))
-        .localCheckpoint(true)
+      labels = if (reliableCkpt) next.checkpoint(true) else next.localCheckpoint(true)
     }
     edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
@@ -357,9 +397,9 @@ object Extras {
         | CAST(len(l[i * 8 + 1 : i * 8 + 16]) AS BIGINT) AS chunk_ntok,
         | array_to_string(l[i * 8 + 1 : i * 8 + 16], ' ') AS chunk_text,
         | md5(array_to_string(l[i * 8 + 1 : i * 8 + 16], ' ')) AS chunk_md5
-        |FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |     generate_series(0, 63) t(i)
-        |WHERE i * 8 < len(l)
+        |FROM (SELECT doc_id, string_split(text, ' ') AS l,
+        |       unnest(generate_series(0, (len(string_split(text, ' ')) - 1) // 8)) AS i
+        |      FROM documents)
         |ORDER BY doc_id, chunk_id""".stripMargin,
     "llm_dedup_cluster" ->
       s"""WITH $jaccardCtes,
@@ -468,12 +508,15 @@ object Extras {
         | SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
         | FROM (SELECT a.vec_id AS qid, b.vec_id AS vid, $cosSql AS cos
         |       FROM embeddings a JOIN embeddings b
-        |        ON (${bktSql("a")}) = (${bktSql("b")}) AND a.vec_id <> b.vec_id))
+        |        ON bit_count(xor((${bktSql("a")}), (${bktSql("b")}))) <= 1
+        |         AND a.vec_id <> b.vec_id))
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "llm_embed_neardup" ->
       s"""SELECT vid_a, vid_b, cos FROM (
         | SELECT a.vec_id AS vid_a, b.vec_id AS vid_b, $cosSql AS cos
-        | FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        | FROM embeddings a JOIN embeddings b
+        |  ON bit_count(xor((${bktSql("a")}), (${bktSql("b")}))) <= 1
+        |   AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY vid_a, vid_b""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,

@@ -113,7 +113,9 @@ object Llm {
     val tok = tokens(s, d).distinct()
     val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val block = tok.join(broadcast(dfTok), "token")
+    // no broadcast hint on dfTok: it is vocabulary-sized (unbounded at
+    // web scale) — let Catalyst/AQE broadcast it only while it is small
+    val block = tok.join(dfTok, "token")
       .withColumn("rn", row_number().over(wBlock)).where(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
     val cand = block.as("a")
@@ -122,13 +124,22 @@ object Llm {
         col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Adaptive set representation (vocab count is a trivial driver-side
-    // agg even at 100 TB). Small vocab → each token set is ONE 64-bit
-    // mask and intersection is bit_count(a & b); general vocab → sorted
-    // token arrays + native array_intersect. Same exact Jaccard either
-    // way, so the oracle SQL is representation-independent.
+    // Adaptive set representation. Small vocab → each token set is ONE
+    // 64-bit mask and intersection is bit_count(a & b); general vocab →
+    // sorted token arrays + native array_intersect. Same exact Jaccard
+    // either way, so the oracle SQL is representation-independent.
+    // spark.graft.jaccard.setRepr ∈ {auto, bitmask, array}: "auto"
+    // probes the vocab size with an eager count at plan-build time —
+    // fine locally, but a 100 TB job should pin "array" (or "bitmask"
+    // for known-small vocabs) to avoid the extra scan.
+    val useBitmask =
+      s.conf.get("spark.graft.jaccard.setRepr", "auto") match {
+        case "bitmask" => true
+        case "array"   => false
+        case _         => dfTok.count() <= 64
+      }
     val sets =
-      if (dfTok.count() <= 64) {
+      if (useBitmask) {
         val wVocab = Window.orderBy("token") // ≤ 64 rows: single partition is fine
         val tokenIds = dfTok.select("token")
           .withColumn("tid", row_number().over(wVocab) - 1)
@@ -143,9 +154,12 @@ object Llm {
       if (sets.schema("m").dataType == org.apache.spark.sql.types.LongType)
         expr("bit_count(ma & mb)")
       else size(array_intersect(col("ma"), col("mb")))
+    // rejoin per-document sets via shuffle equi-joins on doc id — `sets`
+    // is per-document state (one mask/array per doc), so broadcasting it
+    // is O(corpus); the merge hint pins the SMJ plan at every scale
     cand
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb"))), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na")).hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb")).hint("merge"), "doc_b")
       .withColumn("ni", interExpr)
       .select(col("doc_a"), col("doc_b"),
         r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))

@@ -30,7 +30,10 @@ object Sketches {
     // bands carry only (doc_id, lang, band, bkey): candidate generation
     // shuffles 4 narrow columns, never the 128-int signatures (carrying
     // sigs through the self-join + distinct was the sf0.1 bottleneck —
-    // 170 s → ~5 s). Signatures rejoin afterwards via broadcast.
+    // 170 s → ~5 s). Signatures rejoin afterwards via a shuffle
+    // equi-join on doc id: sigs is one 128-int array PER DOCUMENT, so
+    // broadcasting it is O(corpus) and cannot work at 100 TB. The merge
+    // hint pins the large-large-safe plan (SMJ) at every scale.
     val banded = sigs
       .withColumn("band", explode(expr("sequence(0, 15)")))
       .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
@@ -42,8 +45,8 @@ object Sketches {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))), "doc_a")
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("merge"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("merge"), "doc_b")
       .withColumn("est_jac", r4(expr("graft_agree(sig_a, sig_b)") / lit(128.0)))
       .where(col("est_jac") >= 0.7)
       .select("doc_a", "doc_b", "est_jac")

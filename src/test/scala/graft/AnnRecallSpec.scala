@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.queries.{Extras, Llm}
+
+/** Recall of the bucket-restricted ANN paths against their brute-force
+  * exact twins (SURVEY.md §5.1 layer 4 — same discipline as SketchSpec
+  * for MinHash). The IVF sign-bucket trades recall for turning the
+  * O(N²) cross join into a bucket equi-join; these tests pin the
+  * measured floor on the fixture so a regression in the quantizer or
+  * the probe logic fails loudly.
+  */
+class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  test("llm_ann_ivf recall@3 vs brute-force llm_cosine_topk truth is >= 0.55 (measured floor)") {
+    // truth: top-3 per query from the exact brute-force top-5
+    val truth = Llm.llmCosineTopk(spark, sfDir)
+      .where(col("rn") <= 3).select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = Extras.llmAnnIvf(spark, sfDir)
+      .select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.nonEmpty shouldBe true
+    val recall = (truth & found).size.toDouble / truth.size
+    info(f"llm_ann_ivf recall@3 = $recall%.3f over ${truth.size} truth pairs")
+    // Hamming≤1 multi-probe over the 3-bit quantizer: per-pair survival
+    // ≈ q³+3q²(1-q), q = 1-θ/π; near-orthogonal random fixture vectors
+    // are the worst case and still measure ≥ 0.6. Bits ↔ candidates ↔
+    // recall is the tunable triangle at real scale.
+    recall should be >= 0.55
+  }
+
+  test("llm_embed_neardup multi-probe recall vs brute-force cos>=0.35 pairs is >= 0.50 (measured floor)") {
+    graft.functions.VectorExprs.register(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val a = v.select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val brute = a.crossJoin(b).where(col("vid_a") < col("vid_b"))
+      .withColumn("cos",
+        graft.ops.Det.r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .where(col("cos") >= 0.35)
+      .select("vid_a", "vid_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Extras.llmEmbedNeardup(spark, sfDir)
+      .select("vid_a", "vid_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    brute.nonEmpty shouldBe true
+    // every bucket-restricted pair must be a true brute-force pair
+    // (the bucket only prunes candidates, never invents them)
+    (bucketed -- brute) shouldBe empty
+    val recall = bucketed.size.toDouble / brute.size
+    info(f"llm_embed_neardup multi-probe recall = $recall%.3f over ${brute.size} brute pairs")
+    recall should be >= 0.50
+  }
+}

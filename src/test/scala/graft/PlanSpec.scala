@@ -72,6 +72,32 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("near-dup signature rejoins are shuffle joins, never per-document broadcasts") {
+    // sigs/sets are one row PER DOCUMENT — broadcasting them is O(corpus)
+    // and OOMs at 100 TB. The merge hints must pin SMJ on both rejoins.
+    val mh = planOf(queries.Sketches.llmMinhash(spark, sfDir))
+    mh should include regex "SortMergeJoin \\[doc_a"
+    mh should include regex "SortMergeJoin \\[doc_b"
+    val jp = planOf(queries.Llm.llmJaccardPairs(spark, sfDir))
+    jp should include regex "SortMergeJoin \\[doc_a"
+    jp should include regex "SortMergeJoin \\[doc_b"
+  }
+
+  test("llm_quality_score / llm_lang_id derive top-K vocab via TakeOrderedAndProject") {
+    // global Window.orderBy (no partitionBy) would funnel the whole
+    // vocabulary through one task; orderBy+limit is per-partition top-K
+    planOf(queries.Extras.llmQualityScore(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+    planOf(queries.Extras.llmLangId(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
+  test("llm_embed_neardup joins on the IVF bucket — no cartesian product") {
+    val plan = planOf(queries.Extras.llmEmbedNeardup(spark, sfDir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

@@ -81,6 +81,33 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     streamed.size should be > 100
   }
 
+  test("file-source stream discovers a staged second file and matches the two-file batch") {
+    // the 100 TB ingest shape: a directory that keeps growing; the source
+    // must pick up late-arriving files in later microbatches, and the
+    // windowed aggregate over the union must equal the batch answer
+    val tmp = java.nio.file.Files.createTempDirectory("stream_in2").toString
+    val ev = Tables.events(spark, sfDir)
+    val half1 = ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+    val half2 = ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+    half1.write.parquet(s"$tmp/in/batch1")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("recursiveFileLookup", "true").parquet(s"$tmp/in")
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filetumb2")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    val afterFirst = spark.table("filetumb2").count()
+    half2.write.parquet(s"$tmp/in/batch2") // stage the second file mid-stream
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("filetumb2")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = EventStreams.tumblingCounts(
+        spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/in"))
+      .orderBy("win_start", "event_type").collect().toSeq
+    streamed should equal(batch)
+    streamed.size.toLong should be >= afterFirst // second file added/updated windows
+  }
+
   test("dedupByEventId drops duplicate ids within watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
