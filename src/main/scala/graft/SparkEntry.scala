@@ -26,6 +26,7 @@ object SparkEntry {
     (Llm.queries, Llm.oracle),
     (Sketches.queries, Sketches.oracle),
     (Extras.queries, Extras.oracle),
+    (Textops.queries, Textops.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

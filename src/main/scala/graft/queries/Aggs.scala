@@ -121,6 +121,20 @@ object Aggs {
       .where(col("sum_qty") > 800)
       .orderBy("l_partkey")
 
+  /** agg_approx_percentile — GK-sketch quantiles (the 100 TB path: exact
+    * percentile needs a per-group sort/full pass; the sketch is one pass,
+    * mergeable map-side, bounded memory). Like agg_approx_distinct it is
+    * engine-specific by design → no SQL oracle; QuerySemanticsSpec bounds
+    * it against the exact percentile (accuracy 10000 ⇒ ≤0.01 rank error). */
+  val aggApproxPercentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50_approx"),
+        r4(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
     "agg_hash"            -> aggHash,
     "agg_distinct"        -> aggDistinct,
@@ -131,6 +145,7 @@ object Aggs {
     "agg_stats"           -> aggStats,
     "agg_percentile"      -> aggPercentile,
     "agg_having"          -> aggHaving,
+    "agg_approx_percentile" -> aggApproxPercentile,
   )
 
   val oracle: Map[String, String] = Map(

@@ -94,6 +94,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** ev_funnel — ordered conversion funnel per user: first view, first
+    * click strictly after that view, first purchase strictly after that
+    * click. Timestamps compared at µs precision on both engines (Spark
+    * reads the ns fixture as µs; the oracle casts TIMESTAMP_NS →
+    * TIMESTAMP), output as epoch seconds. Scale shape: three shuffles on
+    * user_id, each stage pruned by the previous one's survivors — the
+    * standard product-analytics funnel as relational algebra, no
+    * per-user event-log replay. */
+  val evFunnel: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val c = e.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val p = e.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        epochS(col("tv")).as("view_s"),
+        epochS(col("tc")).as("click_s"),
+        epochS(col("tp")).as("purchase_s"),
+        col("tp").isNotNull.cast("int").as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
@@ -101,6 +128,7 @@ object Events {
     "ev_dedup"          -> evDedup,
     "ev_late_watermark" -> evLateWatermark,
     "ev_stateful"       -> evStateful,
+    "ev_funnel"         -> evFunnel,
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,5 +177,18 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.t) AS tc FROM e JOIN v ON e.user_id = v.user_id
+        |       AND e.t > v.tv WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.t) AS tp FROM e JOIN c ON e.user_id = c.user_id
+        |       AND e.t > c.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id, CAST(floor(epoch(v.tv)) AS BIGINT) AS view_s,
+        | CAST(floor(epoch(c.tc)) AS BIGINT) AS click_s,
+        | CAST(floor(epoch(p.tp)) AS BIGINT) AS purchase_s,
+        | CAST(p.tp IS NOT NULL AS INT) AS converted
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
   )
 }

@@ -153,6 +153,30 @@ object Joins {
       .limit(100)
   }
 
+  /** join_salted — skew-safe fact-dim equi-join: the fact side carries a
+    * deterministic salt (l_linenumber % 8 — never rand(), so the plan is
+    * reproducible), the dim side is exploded ×8, and the key becomes
+    * (orderkey, salt). Result is IDENTICAL to the plain join (the oracle
+    * runs the unsalted SQL), but a hot orderkey now spreads over 8
+    * reducers instead of melting one — the manual fallback when AQE
+    * skew-join can't kick in (e.g. skew only visible post-filter).
+    * SkewSpec measures the partition-balance effect directly. */
+  val joinSalted: Q = (s, d) => {
+    val S = 8
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        (col("l_linenumber") % S).cast("int").as("salt"))
+    val dim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        explode(expr(s"sequence(0, ${S - 1})")).as("salt"))
+    fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
+        fact("salt") === dim("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sumR4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast"   -> joinBroadcast,
     "join_shuffle"     -> joinShuffle,
@@ -164,6 +188,7 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_asof"        -> joinAsof,
     "join_cross_topk"  -> joinCrossTopk,
+    "join_salted"      -> joinSalted,
   )
 
   val oracle: Map[String, String] = Map(
@@ -238,5 +263,10 @@ object Joins {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |ORDER BY dot DESC, vid_a, vid_b LIMIT 100""".stripMargin,
+    "join_salted" -> // the UNSALTED join: salting must not change the result
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        | ${sumR4Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

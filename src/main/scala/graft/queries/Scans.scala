@@ -86,12 +86,26 @@ object Scans {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** source_orc — ORC ingest through the same delivery surface:
+    * parquet → orc → read → aggregate (DuckDB has no ORC reader, so the
+    * oracle aggregates the original parquet — the roundtrip must be
+    * lossless to match, same upgrade as source_csv/source_json). */
+  val sourceOrc: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Tables.part(s, d).write.mode("overwrite").orc(s"$tmp/part")
+    s.read.orc(s"$tmp/part")
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), sumR4(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet"     -> scanParquet,
     "scan_pruned"      -> scanPruned,
     "sink_parquet"     -> sinkParquet,
     "source_csv"       -> sourceCsv,
     "source_json"      -> sourceJson,
+    "source_orc"       -> sourceOrc,
     "copy_partitioned" -> copyPartitioned,
   )
 
@@ -117,5 +131,8 @@ object Scans {
       """SELECT l_returnflag, l_linestatus, count(*) AS n, floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "source_orc" ->
+      """SELECT p_type, count(*) AS n, CAST(sum(CAST(floor((p_retailprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
   )
 }

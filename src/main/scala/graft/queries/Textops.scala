@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Text-analysis operators added round 2 (SURVEY.md §2.12): n-gram
+  * Jaccard near-dup (the shingle-based dedup family from the builder
+  * brief — complements the token-set llm_jaccard_pairs) and corpus
+  * stopword scrubbing (the cleaning step of a training-data pipeline).
+  *
+  * Scale notes: shingling is explode → distinct → bounded agg; candidate
+  * generation is rarity blocking (equi-join on each doc's globally
+  * rarest shingle), the same non-quadratic shape as llm_jaccard_pairs;
+  * per-document shingle sets rejoin candidates via merge-hinted shuffle
+  * joins (per-doc state never broadcasts). Stopword scrub derives the
+  * stop list with orderBy+limit (TakeOrderedAndProject) and broadcasts
+  * only the 5-row result.
+  */
+object Textops {
+
+  /** Distinct md5 trigram shingles per (doc, lang): md5 is
+    * engine-independent so shingle identity is oracle-checkable. */
+  private def shingles(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tp = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "lang", "pos", "t")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tp.withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ", col("t"), col("t1"), col("t2")).cast("binary")).as("shg"))
+      .distinct()
+  }
+
+  /** llm_ngram_jaccard — near-dup pairs by exact Jaccard ≥ 0.6 over
+    * word-trigram shingle sets within the same language. Stricter than
+    * token-set Jaccard (order matters through the shingles): reordering
+    * tokens breaks trigrams but not the token set, so this catches
+    * copy-edits that llm_jaccard_pairs over-matches. */
+  val llmNgramJaccard: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val dfSh = sh.groupBy("shg").agg(count(lit(1)).as("df"))
+    val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("shg"))
+    // rarity blocking on the globally rarest shingle per doc; shingle
+    // df table is corpus-sized → no broadcast hint, Catalyst/AQE decides
+    val block = sh.join(dfSh, "shg")
+      .withColumn("rn", row_number().over(wBlock)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("shg").as("block_shg"))
+    val cand = block.as("a")
+      .join(block.as("b"),
+        col("a.block_shg") === col("b.block_shg") &&
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sets = sh.groupBy("doc_id").agg(array_sort(collect_set("shg")).as("m"))
+      .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na")).hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb")).hint("merge"), "doc_b")
+      .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
+      .where(col("jac") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** llm_stopword_scrub — remove the corpus top-5 tokens from every
+    * document: stop list via per-partition top-K (TakeOrderedAndProject)
+    * + 5-row broadcast; the per-row filter is a higher-order function on
+    * the token array (no explode/re-group shuffle for the rewrite). */
+  val llmStopwordScrub: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val stopArr = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(5)
+      .agg(array_sort(collect_list("token")).as("stops"))
+    Tables.documents(s, d)
+      .crossJoin(broadcast(stopArr))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("clean", filter(col("toks"),
+        t => !array_contains(col("stops"), t)))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(col("clean")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("clean"))).cast("long").as("n_removed"),
+        array_join(col("clean"), " ").as("clean_text"),
+        md5(array_join(col("clean"), " ").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_ngram_jaccard"  -> llmNgramJaccard,
+    "llm_stopword_scrub" -> llmStopwordScrub,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_ngram_jaccard" ->
+      s"""WITH sh AS (
+        | SELECT DISTINCT doc_id, lang,
+        |  unnest([md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) for i in generate_series(1, len(l) - 2)]) AS shg
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
+        | WHERE len(l) >= 3),
+        |dfr AS (SELECT shg, count(*) AS df FROM sh GROUP BY shg),
+        |block AS (
+        | SELECT doc_id, lang, shg AS block_shg FROM (
+        |  SELECT s.doc_id, s.lang, s.shg,
+        |   row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shg) AS rn
+        |  FROM sh s JOIN dfr d ON s.shg = d.shg) WHERE rn = 1),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
+        |cand AS (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | FROM block a JOIN block b ON a.block_shg = b.block_shg AND a.lang = b.lang
+        |  AND a.doc_id < b.doc_id),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, count(*) AS ni
+        | FROM cand c
+        |  JOIN sh ta ON ta.doc_id = c.doc_a
+        |  JOIN sh tb ON tb.doc_id = c.doc_b AND ta.shg = tb.shg
+        | GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, jac FROM (
+        | SELECT i.doc_a, i.doc_b,
+        |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
+        | FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
+        |WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_stopword_scrub" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |stops AS (
+        | SELECT list(token ORDER BY token) AS sl FROM (
+        |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        |  FROM tok GROUP BY token) WHERE rn <= 5)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tok,
+        | CAST(len(clean) AS BIGINT) AS n_kept,
+        | CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+        | array_to_string(clean, ' ') AS clean_text,
+        | md5(array_to_string(clean, ' ')) AS clean_md5
+        |FROM (
+        | SELECT doc_id, toks, list_filter(toks, t -> NOT list_contains(s.sl, t)) AS clean
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), stops s)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -67,4 +67,22 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     val once = graft.queries.Llm.llmExactDedup(spark, sfDir)
     once.select(countDistinct("h")).head().getLong(0) shouldBe once.count()
   }
+
+  test("agg_approx_percentile is within 2% of the exact percentile per group") {
+    // the sketch is engine-specific (no SQL oracle, like approx_distinct);
+    // its semantics are pinned against the exact percentile instead
+    val approx = Aggs.aggApproxPercentile(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    approx.keySet shouldBe exact.keySet
+    for ((k, (a50, a90)) <- approx) {
+      val (e50, e90) = exact(k)
+      math.abs(a50 - e50) / e50 should be <= 0.02
+      math.abs(a90 - e90) / e90 should be <= 0.02
+    }
+  }
 }
