@@ -15,7 +15,11 @@ object Bench {
     // observed); sorted names keep per-query timings comparable across
     // runs (Map iteration order is not deterministic).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd executes the physical plan exactly as the query defines it;
       // a plain .count() would let Catalyst prune unreferenced window /
