@@ -110,7 +110,10 @@ object Llm {
   /** llm_jaccard_pairs — near-dup candidates via rarity blocking, exact
     * token-set Jaccard ≥ 0.8 within the same language. */
   val llmJaccardPairs: Q = (s, d) => {
-    val tok = tokens(s, d).distinct()
+    // materialize the distinct token stream once — it feeds the df table,
+    // the blocking join and the per-doc set aggregation (3 references =
+    // 3 recomputes of explode+distinct without the cut)
+    val tok = tokens(s, d).distinct().localCheckpoint(true)
     val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
     // no broadcast hint on dfTok: it is vocabulary-sized (unbounded at

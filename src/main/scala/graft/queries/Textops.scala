@@ -41,7 +41,9 @@ object Textops {
     * tokens breaks trigrams but not the token set, so this catches
     * copy-edits that llm_jaccard_pairs over-matches. */
   val llmNgramJaccard: Q = (s, d) => {
-    val sh = shingles(s, d)
+    // materialize the shingle set once (df table + blocking + set agg all
+    // reference it; the lead-window shingling is the expensive subtree)
+    val sh = shingles(s, d).localCheckpoint(true)
     val dfSh = sh.groupBy("shg").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("shg"))
     // rarity blocking on the globally rarest shingle per doc; shingle
