@@ -13,6 +13,13 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   * twin of queries.Events.evStateful. */
 case class UserUpdate(event_id: Long, user_id: Long, n_purch: Long, cum_value: Double)
 
+/** Funnel snapshot emitted by `funnelState` whenever a user's stage state
+  * advances — the streaming twin of queries.Events.evFunnel (take the
+  * LAST snapshot per user for the batch-equivalent answer). */
+case class FunnelUpdate(user_id: Long, view_s: Long,
+                        click_s: Option[Long], purchase_s: Option[Long],
+                        converted: Int)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -87,6 +94,43 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningUserStateProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ev_funnel twin: per-user ordered funnel (first view → first later
+    * click → first later purchase) as incremental keyed state. Emits a
+    * snapshot whenever a stage advances; the last snapshot per user
+    * equals the batch answer when events arrive in event-time order
+    * (late data is the stream/batch divergence watermarks bound —
+    * FunnelSpec feeds in-order microbatches). State is three epoch
+    * values per user: bounded, RocksDB-friendly, evictable via TTL in a
+    * real deployment. Timestamps fold at ms precision (java.sql
+    * .Timestamp) — second-granularity outputs, same as the batch twin. */
+  def funnelState(events: Dataset[Ev]): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long), FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+          var (tv, tc, tp) = state.getOption.getOrElse((-1L, -1L, -1L))
+          var changed = false
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view"     if tv < 0                       => tv = t; changed = true
+              case "click"    if tv >= 0 && tc < 0 && t > tv  => tc = t; changed = true
+              case "purchase" if tc >= 0 && tp < 0 && t > tc  => tp = t; changed = true
+              case _ =>
+            }
+          }
+          state.update((tv, tc, tp))
+          if (changed && tv >= 0)
+            Iterator(FunnelUpdate(uid, tv / 1000,
+              if (tc < 0) None else Some(tc / 1000),
+              if (tp < 0) None else Some(tp / 1000),
+              if (tp < 0) 0 else 1))
+          else Iterator.empty
+      }
   }
 
   /** ev_stateful twin: running per-user purchase count + cumulative value

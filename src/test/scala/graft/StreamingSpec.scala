@@ -144,6 +144,39 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("funnelState last-snapshot matches the ordered funnel across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: full funnel; user 2: click BEFORE any view (must not count),
+    //         then view, then click → view+click but no purchase;
+    // user 3: purchase before click → view only
+    val batch1 = Seq(
+      Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(20), 1, "click", 1.0),
+      Ev(3, ts(5), 2, "click", 1.0), Ev(4, ts(15), 2, "view", 1.0),
+      Ev(5, ts(8), 3, "view", 1.0), Ev(6, ts(12), 3, "purchase", 1.0))
+    val batch2 = Seq(
+      Ev(7, ts(30), 1, "purchase", 1.0), Ev(8, ts(25), 2, "click", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(batch1: _*)
+    val q = EventStreams.funnelState(stream.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    // last snapshot per user = the batch-equivalent funnel answer
+    val last = spark.table("funnel").collect()
+      .map(r => (r.getLong(0), (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getInt(4))))
+      .groupBy(_._1).map { case (u, snaps) => u -> snaps.last._2 }
+    def s(minute: Int) = ts(minute).getTime / 1000
+    last(1L) shouldBe ((s(10), Some(s(20)), Some(s(30)), 1))
+    last(2L) shouldBe ((s(15), Some(s(25)), None, 0))
+    last(3L) shouldBe ((s(8), None, None, 0))
+  }
+
   test("runningUserState matches batch ev_stateful on the same input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
