@@ -107,13 +107,13 @@ object Events {
     // materialize each stage once: v is referenced by c AND the final
     // join, c by p AND the final join — without the cut each reference
     // re-runs its filtered scan of events (6 scans instead of 3 at scale)
-    val v = e.where(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts").as("tv"))
-      .localCheckpoint(true)
-    val c = e.where(col("event_type") === "click").join(v, "user_id")
-      .where(col("ts") > col("tv"))
-      .groupBy("user_id").agg(min("ts").as("tc"))
-      .localCheckpoint(true)
+    val v = graft.ops.Lineage.cut(
+      e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv")))
+    val c = graft.ops.Lineage.cut(
+      e.where(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc")))
     val p = e.where(col("event_type") === "purchase").join(c, "user_id")
       .where(col("ts") > col("tc"))
       .groupBy("user_id").agg(min("ts").as("tp"))

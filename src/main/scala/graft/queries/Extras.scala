@@ -292,19 +292,15 @@ object Extras {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persist()
-    // lineage cut per round: localCheckpoint (default) is executor-local
-    // and dies with executors — fine on local[n], unacceptable on a real
-    // cluster. Set spark.graft.cluster.checkpoint=reliable (plus
-    // sparkContext.setCheckpointDir to HDFS/S3) for a fault-tolerant
-    // 100 TB run; same result either way, only durability differs.
-    val reliableCkpt =
-      s.conf.get("spark.graft.cluster.checkpoint", "local") == "reliable"
+    // lineage cut per round — Lineage.cut honors spark.graft.checkpoint
+    // (reliable checkpoints + setCheckpointDir for fault-tolerant 100 TB
+    // runs; same result either way, only durability differs)
     var labels = docs.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
     for (_ <- 1 to 8) {
-      val next = edges.join(labels, col("dd") === col("src"))
-        .groupBy(col("dst")).agg(min("lbl").as("lbl"))
-        .select(col("dst").as("dd"), col("lbl"))
-      labels = if (reliableCkpt) next.checkpoint(true) else next.localCheckpoint(true)
+      labels = graft.ops.Lineage.cut(
+        edges.join(labels, col("dd") === col("src"))
+          .groupBy(col("dst")).agg(min("lbl").as("lbl"))
+          .select(col("dst").as("dd"), col("lbl")))
     }
     edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))

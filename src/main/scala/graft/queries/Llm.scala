@@ -113,7 +113,7 @@ object Llm {
     // materialize the distinct token stream once — it feeds the df table,
     // the blocking join and the per-doc set aggregation (3 references =
     // 3 recomputes of explode+distinct without the cut)
-    val tok = tokens(s, d).distinct().localCheckpoint(true)
+    val tok = graft.ops.Lineage.cut(tokens(s, d).distinct())
     val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
     // no broadcast hint on dfTok: it is vocabulary-sized (unbounded at

@@ -32,8 +32,8 @@ object Sketches {
     // stream — the dominant cost. Same hygiene as llm_dedup_cluster's
     // edge materialization; on a cluster this is a persisted/checkpointed
     // signature table, the standard shape of a dedup pipeline.
-    val sigs = tok.groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig"))
-      .localCheckpoint(true)
+    val sigs = graft.ops.Lineage.cut(
+      tok.groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig")))
     // bands carry only (doc_id, lang, band, bkey): candidate generation
     // shuffles 4 narrow columns, never the 128-int signatures (carrying
     // sigs through the self-join + distinct was the sf0.1 bottleneck —
@@ -68,8 +68,8 @@ object Sketches {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
       .distinct()
-    val sigs = tok.groupBy("doc_id", "lang").agg(simhash(col("token")).as("sh"))
-      .localCheckpoint(true) // referenced twice by the band self-join
+    val sigs = graft.ops.Lineage.cut( // referenced twice by the band self-join
+      tok.groupBy("doc_id", "lang").agg(simhash(col("token")).as("sh")))
     val banded = sigs
       .withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("bkey", expr("(sh >> (band * 16)) & 65535"))

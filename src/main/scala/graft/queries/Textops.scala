@@ -43,7 +43,7 @@ object Textops {
   val llmNgramJaccard: Q = (s, d) => {
     // materialize the shingle set once (df table + blocking + set agg all
     // reference it; the lead-window shingling is the expensive subtree)
-    val sh = shingles(s, d).localCheckpoint(true)
+    val sh = graft.ops.Lineage.cut(shingles(s, d))
     val dfSh = sh.groupBy("shg").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("shg"))
     // rarity blocking on the globally rarest shingle per doc; shingle

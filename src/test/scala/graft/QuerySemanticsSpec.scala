@@ -87,7 +87,7 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
   test("llm_dedup_cluster reliable-checkpoint path matches the localCheckpoint path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val key = "spark.graft.cluster.checkpoint"
+    val key = "spark.graft.checkpoint"
     val default = graft.queries.Extras.llmDedupCluster(spark, sfDir).collect().toSeq
     spark.conf.set(key, "reliable")
     try {
