@@ -1,0 +1,81 @@
+package graft.delivery
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI for the delivery surface — the runnable tool shape of the
+  * reference category ("Hadoop batch movement + transformation of
+  * files", SURVEY.md §0): copy a dataset between paths/formats with
+  * layout controls, then print the delivered manifest as one JSON line
+  * and exit non-zero if source/destination fingerprints diverge.
+  *
+  * Usage:
+  *   graft.delivery.DeliverMain SRC DST [--src-format F] [--dst-format F]
+  *     [--schema DDL] [--partition-by c1,c2] [--repartition N]
+  *     [--read-option k=v]... [--write-option k=v]... [--no-verify]
+  *
+  * Paths go through the Hadoop FileSystem API: file:/, hdfs://, s3a://
+  * all behave identically.
+  */
+object DeliverMain {
+  private case class Args(
+      src: String, dst: String,
+      srcFormat: String = "parquet", dstFormat: String = "parquet",
+      schema: Option[String] = None,
+      partitionBy: Seq[String] = Nil, repartition: Option[Int] = None,
+      readOptions: Map[String, String] = Map.empty,
+      writeOptions: Map[String, String] = Map.empty,
+      verify: Boolean = true)
+
+  private def parse(argv: List[String]): Args = {
+    def kv(s: String): (String, String) = s.split("=", 2) match {
+      case Array(k, v) => k -> v
+      case _ => throw new IllegalArgumentException(s"expected k=v, got: $s")
+    }
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--src-format" :: v :: t   => loop(t, acc.copy(srcFormat = v))
+      case "--dst-format" :: v :: t   => loop(t, acc.copy(dstFormat = v))
+      case "--schema" :: v :: t       => loop(t, acc.copy(schema = Some(v)))
+      case "--partition-by" :: v :: t => loop(t, acc.copy(partitionBy = v.split(",").toSeq))
+      case "--repartition" :: v :: t  => loop(t, acc.copy(repartition = Some(v.toInt)))
+      case "--read-option" :: v :: t  => loop(t, acc.copy(readOptions = acc.readOptions + kv(v)))
+      case "--write-option" :: v :: t => loop(t, acc.copy(writeOptions = acc.writeOptions + kv(v)))
+      case "--no-verify" :: t         => loop(t, acc.copy(verify = false))
+      case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
+    }
+    argv match {
+      case src :: dst :: rest if !src.startsWith("--") && !dst.startsWith("--") =>
+        loop(rest, Args(src, dst))
+      case _ => throw new IllegalArgumentException(
+        "usage: DeliverMain SRC DST [--src-format F] [--dst-format F] " +
+        "[--schema DDL] [--partition-by c1,c2] [--repartition N] " +
+        "[--read-option k=v] [--write-option k=v] [--no-verify]")
+    }
+  }
+
+  /** Exposed for tests: run a delivery, return (report, verified). */
+  def run(spark: SparkSession, argv: Array[String]): (DeliveryReport, Boolean) = {
+    val a = parse(argv.toList)
+    val report = Deliver.copy(spark, a.src, a.dst, a.srcFormat, a.dstFormat,
+      a.schema, a.readOptions, a.writeOptions, a.partitionBy, a.repartition)
+    val ok = !a.verify || Deliver.verifyDelivery(spark, a.src, a.srcFormat,
+      a.dst, a.dstFormat, a.schema, a.readOptions, a.writeOptions)
+    (report, ok)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (r, ok) = run(spark, argv)
+      println(s"""{"rows":${r.rows},"files":${r.files},"bytes":${r.bytes},""" +
+        s""""fingerprint":${r.fingerprint},"verified":$ok}""")
+      if (!ok) sys.exit(2)
+    } finally spark.stop()
+  }
+}

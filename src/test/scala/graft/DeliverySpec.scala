@@ -83,4 +83,30 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     df.where(col("_corrupt_record").isNotNull).count() shouldBe 2
     df.unpersist()
   }
+
+  test("DeliverMain CLI: partitioned parquet→parquet delivery verifies end-to-end") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    val (report, ok) = graft.delivery.DeliverMain.run(spark, Array(
+      s"$sfDir/orders.parquet", s"$tmp/orders",
+      "--partition-by", "o_orderpriority", "--repartition", "4"))
+    ok shouldBe true
+    report.rows shouldBe Tables.orders(spark, sfDir).count()
+    report.files should be > 0L
+  }
+
+  test("DeliverMain CLI: parquet→csv with schema read-back verifies; bad flag rejected") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$tmp/src")
+    val (report, ok) = graft.delivery.DeliverMain.run(spark, Array(
+      s"$tmp/src", s"$tmp/csv",
+      "--dst-format", "csv",
+      "--schema", ordersSchema,
+      "--write-option", "header=true", "--read-option", "header=true"))
+    ok shouldBe true
+    report.rows shouldBe 1500L
+    an[IllegalArgumentException] should be thrownBy
+      graft.delivery.DeliverMain.run(spark, Array("a", "b", "--bogus"))
+  }
 }
