@@ -288,9 +288,13 @@ object Extras {
     // 8× recompute, 12.7 s → ~2 s at sf0.1) and cut label lineage each
     // round so the final plan stays 1 join deep. Same pattern a 100 TB
     // connected-components job uses (persist edges, checkpoint labels).
+    // pre-hash-partition the cached edges on the join key: every round
+    // joins on src, so the rounds reuse the cached partitioning and only
+    // the (much smaller) label frame shuffles per round
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .repartition(col("src"))
       .persist()
     // lineage cut per round — Lineage.cut honors spark.graft.checkpoint
     // (reliable checkpoints + setCheckpointDir for fault-tolerant 100 TB
