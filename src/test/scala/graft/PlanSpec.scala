@@ -81,6 +81,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     val jp = planOf(queries.Llm.llmJaccardPairs(spark, sfDir))
     jp should include regex "SortMergeJoin \\[doc_a"
     jp should include regex "SortMergeJoin \\[doc_b"
+    val ng = planOf(queries.Textops.llmNgramJaccard(spark, sfDir))
+    ng should include regex "SortMergeJoin \\[doc_a"
+    ng should include regex "SortMergeJoin \\[doc_b"
   }
 
   test("llm_quality_score / llm_lang_id derive top-K vocab via TakeOrderedAndProject") {
