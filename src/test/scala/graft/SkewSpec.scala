@@ -31,6 +31,43 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkFixture {
     salted.zip(direct).foreach { case (s, d) => s._3 shouldBe d._3 +- 1e-6 }
   }
 
+  test("salted join spreads a hot key across reducers (measured partition balance)") {
+    import spark.implicits._
+    val S = 16 // fine-grained: a couple of same-partition collisions still balance
+    // 90%-hot fact: 9000 rows on key 1, 1000 spread over keys 2..1000
+    val fact = (1 to 10000).map(i => (if (i <= 9000) 1L else (i % 999) + 2L, i.toLong))
+      .toDF("k", "payload")
+    val dim = (1L to 1000L).map(k => (k, s"dim_$k")).toDF("k2", "attr")
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      // force shuffle joins and disable AQE's own skew handling so the
+      // measurement isolates the salting pattern itself; 32 partitions so
+      // the 8 salt buckets don't collide coarsely in the partitioner
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+      val plain = fact.join(dim, col("k") === col("k2"))
+      val f = fact.withColumn("fsalt", pmod(col("payload"), lit(S)).cast("int"))
+      val d2 = dim.withColumn("dsalt", explode(expr(s"sequence(0, ${S - 1})")))
+      val saltedJ = f.join(d2, col("k") === col("k2") && col("fsalt") === col("dsalt"))
+      saltedJ.count() shouldBe plain.count() // salting must not change the result
+      val mPlain = maxPartRows(plain)
+      val mSalted = maxPartRows(saltedJ)
+      // hot key 1 puts ~9000 rows in one reducer unsalted; salted caps a
+      // reducer at ~1/S of that
+      mPlain should be >= 9000L
+      mSalted.toDouble should be <= mPlain.toDouble / 4
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
   test("GraftExtensions injects without error; graft_dot evaluates via SQL") {
     // applying the extensions to a fresh SparkSessionExtensions must
     // register both builders without throwing
