@@ -11,8 +11,11 @@ import graft.ops.Det._
   * stopword scrubbing (the cleaning step of a training-data pipeline).
   *
   * Scale notes: shingling is explode → distinct → bounded agg; candidate
-  * generation is rarity blocking (equi-join on each doc's globally
-  * rarest shingle), the same non-quadratic shape as llm_jaccard_pairs;
+  * generation is min-shingle blocking (equi-join on each doc's 4
+  * smallest md5 shingles — a 4-band minhash over the shingle set, ≈0.97
+  * recall at the 0.6 threshold; rarity blocking degenerates here because
+  * trigram shingles are nearly all df=1), a non-quadratic shape like
+  * llm_jaccard_pairs' rarity blocking;
   * per-document shingle sets rejoin candidates via merge-hinted shuffle
   * joins (per-doc state never broadcasts). Stopword scrub derives the
   * stop list with orderBy+limit (TakeOrderedAndProject) and broadcasts
@@ -41,15 +44,18 @@ object Textops {
     * tokens breaks trigrams but not the token set, so this catches
     * copy-edits that llm_jaccard_pairs over-matches. */
   val llmNgramJaccard: Q = (s, d) => {
-    // materialize the shingle set once (df table + blocking + set agg all
+    // materialize the shingle set once (blocking + set agg both
     // reference it; the lead-window shingling is the expensive subtree)
     val sh = graft.ops.Lineage.cut(shingles(s, d))
-    val dfSh = sh.groupBy("shg").agg(count(lit(1)).as("df"))
-    val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("shg"))
-    // rarity blocking on the globally rarest shingle per doc; shingle
-    // df table is corpus-sized → no broadcast hint, Catalyst/AQE decides
-    val block = sh.join(dfSh, "shg")
-      .withColumn("rn", row_number().over(wBlock)).where(col("rn") === 1)
+    // min-shingle blocking, NOT rarity blocking: trigram shingles are
+    // nearly all unique (df = 1), so "globally rarest shingle" would give
+    // every doc its own block and zero candidates. The 4 smallest md5
+    // shingles per doc are a 4-band minhash over the shingle set: docs
+    // with Jaccard j share a band w.p. ≈ 1-(1-j)^4 (0.97 at the 0.6
+    // threshold), and block sizes stay bounded by true dup-cluster size.
+    val wBlock = Window.partitionBy("doc_id").orderBy("shg")
+    val block = sh
+      .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
       .select(col("doc_id"), col("lang"), col("shg").as("block_shg"))
     val cand = block.as("a")
       .join(block.as("b"),
@@ -57,6 +63,7 @@ object Textops {
         col("a.lang") === col("b.lang") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct() // a pair can share several of its 4 band shingles
     val sets = sh.groupBy("doc_id").agg(array_sort(collect_set("shg")).as("m"))
       .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
     cand
@@ -106,15 +113,14 @@ object Textops {
         |  unnest([md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) for i in generate_series(1, len(l) - 2)]) AS shg
         | FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         | WHERE len(l) >= 3),
-        |dfr AS (SELECT shg, count(*) AS df FROM sh GROUP BY shg),
         |block AS (
         | SELECT doc_id, lang, shg AS block_shg FROM (
-        |  SELECT s.doc_id, s.lang, s.shg,
-        |   row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shg) AS rn
-        |  FROM sh s JOIN dfr d ON s.shg = d.shg) WHERE rn = 1),
+        |  SELECT doc_id, lang, shg,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY shg) AS rn
+        |  FROM sh) WHERE rn <= 4),
         |sz AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
         |cand AS (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM block a JOIN block b ON a.block_shg = b.block_shg AND a.lang = b.lang
         |  AND a.doc_id < b.doc_id),
         |inter AS (
