@@ -360,10 +360,10 @@ object Extras {
       | SELECT doc_id, lang, token AS block_tok FROM (
       |  SELECT t.doc_id, t.lang, t.token,
       |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
-      |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn = 1),
+      |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn <= 4),
       |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
       |cand AS (
-      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
       |  AND a.doc_id < b.doc_id),
       |pairs AS MATERIALIZED (

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.queries.{Llm, Sketches, Textops}
+
+/** Recall of every BLOCKED near-dup operator against its unblocked
+  * all-pairs ground truth. The oracle compare cannot catch recall bugs
+  * in these operators — the oracle SQL shares the candidate-generation
+  * strategy, so a degenerate blocking that returns zero pairs still
+  * "hash-matches" (this bit llm_ngram_jaccard in round 2, and one-token
+  * rarity blocking measured only 0.79 recall). These tests are the
+  * ground-truth gate the oracle can't be.
+  */
+class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  /** Unblocked all-pairs exact token Jaccard ≥ θ within lang (125k pairs
+    * at sf0.001 — fine in a test, never in production). */
+  private def allPairsTruth(theta: Double): Set[(Long, Long)] = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sets = tok.groupBy("doc_id", "lang").agg(collect_set("token").as("s"))
+    val a = sets.select(col("doc_id").as("da"), col("lang").as("la"), col("s").as("sa"))
+    val b = sets.select(col("doc_id").as("db"), col("lang").as("lb"), col("s").as("sb"))
+    a.join(b, col("la") === col("lb") && col("da") < col("db"))
+      .withColumn("ni", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jac", graft.ops.Det.r4(
+        expr("ni * 1.0 / (size(sa) + size(sb) - ni)")))
+      .where(col("jac") >= theta)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("llm_jaccard_pairs 4-rarest-token blocking has FULL recall vs all-pairs truth") {
+    val truth = allPairsTruth(0.8)
+    val blocked = Llm.llmJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.nonEmpty shouldBe true
+    blocked should equal(truth) // full recall AND exact precision on the fixture
+  }
+
+  test("llm_ngram_jaccard min-shingle blocking finds every all-pairs shingle near-dup") {
+    // ground truth over shingle sets, unblocked
+    val tp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "lang", "pos", "t")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val sh = tp.withColumn("t1", lead("t", 1).over(w)).withColumn("t2", lead("t", 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        md5(concat_ws(" ", col("t"), col("t1"), col("t2")).cast("binary")).as("shg"))
+      .distinct()
+    val sets = sh.groupBy("doc_id", "lang").agg(collect_set("shg").as("s"))
+    val a = sets.select(col("doc_id").as("da"), col("lang").as("la"), col("s").as("sa"))
+    val b = sets.select(col("doc_id").as("db"), col("lang").as("lb"), col("s").as("sb"))
+    val truth = a.join(b, col("la") === col("lb") && col("da") < col("db"))
+      .withColumn("ni", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jac", graft.ops.Det.r4(
+        expr("ni * 1.0 / (size(sa) + size(sb) - ni)")))
+      .where(col("jac") >= 0.6)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Textops.llmNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.nonEmpty shouldBe true
+    val recall = (truth & blocked).size.toDouble / truth.size
+    info(f"ngram min-shingle recall = $recall%.3f over ${truth.size} truth pairs")
+    (blocked -- truth) shouldBe empty // blocking only prunes, never invents
+    recall should be >= 0.95 // 4-band minhash: 1-(1-j)^4 ≥ 0.97 at j=0.6
+  }
+
+  test("llm_simhash hamming<=4 recall vs jac>=0.9 truth is >= 0.35 (measured; precision-oriented by design)") {
+    // simhash at hamming<=4 deliberately trades recall for precision
+    // (SketchSpec pins precision >= 0.8; hamming<=8 was measured in
+    // round 1 to admit jac~0.6 false pairs). 64-bit simhash over ~25-
+    // token sets is noisy, so recall vs jac>=0.9 measures ~0.39 — the
+    // RECALL path of the sketch family is llm_minhash (>= 0.95, pinned
+    // in SketchSpec). This floor just pins today's behavior.
+    val truth = allPairsTruth(0.9)
+    val found = Sketches.llmSimhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.nonEmpty shouldBe true
+    val recall = (truth & found).size.toDouble / truth.size
+    info(f"simhash recall vs jac>=0.9 = $recall%.3f over ${truth.size} truth pairs")
+    recall should be >= 0.35
+  }
+}
