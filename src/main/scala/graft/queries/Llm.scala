@@ -190,7 +190,27 @@ object Llm {
       .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
       .orderBy("lang")
 
+  /** llm_multimodal_stats — per-mime corpus stats over the binary media
+    * column model (payload bytes, average frame width, max duration):
+    * the manifest a multimodal ingest job reports. Checks the
+    * attachFakePayload packing against an independent SQL formulation —
+    * the payload length and metadata must survive the struct hop. */
+  val llmMultimodalStats: Q = (s, d) => {
+    val media = graft.multimodal.Multimodal.attachFakePayload(Tables.documents(s, d))
+    media.select(
+        col("media.mime").as("mime"),
+        length(col("media.payload")).cast("long").as("nbytes"),
+        col("media.meta.width").as("w"),
+        col("media.meta.duration_ms").as("dur"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n"), sum("nbytes").as("sum_bytes"),
+        r4(sum("w") * lit(1.0) / count(lit(1))).as("avg_w"),
+        max("dur").as("max_dur_ms"))
+      .orderBy("mime")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_multimodal_stats"  -> llmMultimodalStats,
     "llm_exact_dedup"       -> llmExactDedup,
     "llm_cosine_topk"       -> llmCosineTopk,
     "llm_knn_label"         -> llmKnnLabel,
@@ -203,6 +223,16 @@ object Llm {
   private val cosSql = r4Sql("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")
 
   val oracle: Map[String, String] = Map(
+    "llm_multimodal_stats" ->
+      s"""SELECT mime, count(*) AS n,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_bytes,
+        | ${r4Sql("sum(n_chars % 640) * 1.0 / count(*)")} AS avg_w,
+        | CAST(max(n_chars * 33) AS BIGINT) AS max_dur_ms
+        |FROM (SELECT CASE CAST(doc_id % 3 AS INT)
+        |        WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |        ELSE 'video/mp4' END AS mime, text, n_chars
+        |      FROM documents)
+        |GROUP BY mime ORDER BY mime""".stripMargin,
     "llm_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, sha256(text) AS h
         |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
