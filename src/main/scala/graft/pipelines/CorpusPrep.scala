@@ -1,0 +1,86 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Det._
+
+/** End-to-end training-corpus preparation — the composed form of the
+  * individual operators in graft.queries, so a pipeline user can run the
+  * whole prep as one call instead of wiring stages by hand:
+  *
+  *   1. clean      — strip the corpus top-K stopwords (Textops shape);
+  *   2. exact dedup — keep the min-doc_id representative per sha256;
+  *   3. near dedup  — jaccard ≥ θ pairs → bounded min-label clustering,
+  *                    keep the min-doc_id representative per cluster;
+  *   4. split      — reproducible md5-bucket train/val/test assignment.
+  *
+  * Returns the surviving documents with (clean_text, cluster, split)
+  * columns. Every stage is the scale-shaped variant (blocked candidates,
+  * lineage-cut iterations, rand()-free split); CorpusPrepSpec checks the
+  * composition invariants end-to-end.
+  */
+object CorpusPrep {
+
+  def run(spark: SparkSession, sfDir: String,
+          stopK: Int = 5, jaccardTheta: Double = 0.8,
+          labelRounds: Int = 8): DataFrame = {
+    val docs = graft.Tables.documents(spark, sfDir)
+
+    // 1. clean: remove corpus top-K tokens (per-partition top-K + 1-row
+    //    broadcast, same shape as llm_stopword_scrub)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val stopArr = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(stopK)
+      .agg(array_sort(collect_list("token")).as("stops"))
+    val cleaned = docs.crossJoin(broadcast(stopArr))
+      .withColumn("clean_text",
+        array_join(filter(split(col("text"), " "),
+          t => !array_contains(col("stops"), t)), " "))
+      .drop("stops")
+
+    // 2. exact dedup on the CLEANED text: keeper = min doc_id per digest
+    val keepers = cleaned
+      .groupBy(sha2(col("clean_text").cast("binary"), 256).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exact = cleaned.join(keepers, "doc_id")
+
+    // 3. near dedup on the original operator's pair semantics (blocked
+    //    jaccard over the raw text — cleaning must not change identity),
+    //    bounded min-label propagation, keep cluster representative
+    val pairs = graft.queries.Llm.llmJaccardPairs(spark, sfDir)
+      .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b")
+    val ids = exact.select(col("doc_id"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .join(ids.select(col("doc_id").as("src")), Seq("src"))
+      .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+      .repartition(col("src"))
+      .persist()
+    var labels = ids.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
+    for (_ <- 1 to labelRounds) {
+      labels = graft.ops.Lineage.cut(
+        edges.join(labels, col("dd") === col("src"))
+          .groupBy(col("dst")).agg(min("lbl").as("lbl"))
+          .select(col("dst").as("dd"), col("lbl")))
+    }
+    edges.unpersist()
+    val reps = labels.groupBy("lbl").agg(min("dd").as("doc_id"))
+      .select(col("doc_id"), col("lbl").as("cluster"))
+    val nearDeduped = exact
+      .join(labels.select(col("dd").as("doc_id"), col("lbl").as("cluster")), "doc_id")
+      .join(reps.select(col("doc_id"), lit(1).as("is_rep")), Seq("doc_id"), "left")
+      .where(col("is_rep") === 1).drop("is_rep")
+
+    // 4. reproducible split (md5 bucket of doc_id — llm_split shape)
+    nearDeduped
+      .withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .drop("bucket")
+      .select("doc_id", "lang", "source", "n_chars", "clean_text", "cluster", "split")
+      .orderBy("doc_id")
+  }
+}

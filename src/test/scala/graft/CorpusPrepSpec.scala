@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.pipelines.CorpusPrep
+
+/** End-to-end invariants of the composed corpus-prep pipeline
+  * (clean → exact dedup → near-dup clustering → split). */
+class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val out = CorpusPrep.run(spark, sfDir).cache()
+
+  test("pipeline keeps a nonempty strict subset and dedups exactly") {
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val n = out.count()
+    n should be > 0L
+    n should be < nDocs // fixture contains near-dups, so some must go
+    // exact dedup on cleaned text: all surviving texts distinct
+    out.select(countDistinct(sha2(col("clean_text").cast("binary"), 256)))
+      .head().getLong(0) shouldBe n
+  }
+
+  test("every surviving row is its near-dup cluster's min-doc_id representative") {
+    out.groupBy("cluster").agg(count(lit(1)).as("k"), min("doc_id").as("m"))
+      .where(col("k") =!= 1 || col("m") =!= col("cluster"))
+      .count() shouldBe 0L
+  }
+
+  test("no stopword survives cleaning") {
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val stops = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(5)
+      .collect().map(_.getString(0)).toSet
+    val survivorTokens = out
+      .select(explode(split(col("clean_text"), " ")).as("t"))
+      .where(col("t") =!= "")
+      .collect().map(_.getString(0)).toSet
+    (survivorTokens & stops) shouldBe empty
+  }
+
+  test("split assignment is the reproducible md5-bucket rule") {
+    val bad = out.withColumn("bucket",
+        expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
+      .withColumn("expected",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .where(col("split") =!= col("expected"))
+    bad.count() shouldBe 0L
+  }
+}
