@@ -21,9 +21,13 @@ import graft.ops.Det._
   */
 object CorpusPrep {
 
+  /** `jaccardTheta` can only TIGHTEN the near-dup criterion: the pair
+    * source (llm_jaccard_pairs) already floors at 0.8, so values below
+    * 0.8 behave as 0.8. */
   def run(spark: SparkSession, sfDir: String,
           stopK: Int = 5, jaccardTheta: Double = 0.8,
           labelRounds: Int = 8): DataFrame = {
+    require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs = graft.Tables.documents(spark, sfDir)
 
     // 1. clean: remove corpus top-K tokens (per-partition top-K + 1-row

@@ -152,8 +152,13 @@ object Llm {
         val wVocab = Window.orderBy("token") // ≤ 64 rows: single partition is fine
         val tokenIds = dfTok.select("token")
           .withColumn("tid", row_number().over(wVocab) - 1)
+        // fail loudly if the bitmask repr was forced on a too-big vocab
+        // (tid >= 64 would silently wrap shiftleft into garbage)
         tok.join(broadcast(tokenIds), "token")
-          .groupBy("doc_id").agg(expr("bit_or(shiftleft(1L, tid))").as("m"))
+          .groupBy("doc_id").agg(expr(
+            "bit_or(shiftleft(1L, if(tid < 64, tid, " +
+            "cast(raise_error('vocab > 64 tokens: set spark.graft.jaccard.setRepr=array') as int))))")
+            .as("m"))
           .select(col("doc_id"), col("m"), expr("bit_count(m)").as("nt"))
       } else {
         tok.groupBy("doc_id").agg(array_sort(collect_set("token")).as("m"))
