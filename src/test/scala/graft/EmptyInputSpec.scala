@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Empty-input robustness: a 100 TB job routinely sees empty partitions,
+  * empty date slices, and freshly-created empty tables. Every operator
+  * family must return an empty (or well-defined) result — not throw —
+  * when its input tables have zero rows. Schema-preserving empty parquet
+  * fixtures are written once per suite. */
+class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings").foreach { t =>
+      Tables.table(spark, sfDir, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events: read the raw ns file as long (the same nanosAsLong mode
+    // Tables.events uses) and write the zero-row long-ts shape back
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // one representative per family, including every operator with
+  // driver-side state (counts, checkpoint loops, broadcast stop lists)
+  private val representative = Seq(
+    "scan_parquet", "filter_pred", "join_shuffle", "join_asof", "join_salted",
+    "agg_hash", "agg_approx_percentile", "win_rank", "sort_multikey",
+    "set_union", "fn_explode", "ev_tumbling", "ev_funnel", "ev_stateful",
+    "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
+    "llm_minhash", "llm_simhash", "llm_cosine_topk", "llm_ann_ivf",
+    "llm_embed_neardup", "llm_tfidf", "llm_lang_id", "llm_quality_score",
+    "llm_stopword_scrub", "llm_chunk", "llm_dedup_cluster", "llm_split",
+    "llm_multimodal_stats")
+
+  representative.foreach { name =>
+    test(s"$name returns an empty result on zero-row inputs without throwing") {
+      SparkEntry.queries(name)(spark, emptyDir).count() shouldBe 0L
+    }
+  }
+}
