@@ -101,9 +101,26 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_regex_tokens — BPE-style pre-tokenization counting: tokens are
+    * letter runs / digit runs / punctuation runs (the class structure of
+    * the GPT-2 pre-tokenizer, without lookaheads so the pattern means
+    * the same thing to Java regex and RE2). The whitespace-split
+    * llm_token_stats counts words; this counts pre-tokenizer units —
+    * the number a training-cost estimate actually needs. */
+  val llmRegexTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+', 0)").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("n_units"),
+        expr("size(filter(toks, t -> t rlike '^[a-zA-Z]+$'))").cast("long").as("n_alpha"),
+        expr("size(filter(toks, t -> t rlike '^[0-9]+$'))").cast("long").as("n_num"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
+    "llm_regex_tokens"   -> llmRegexTokens,
   )
 
   val oracle: Map[String, String] = Map(
@@ -134,6 +151,15 @@ object Textops {
         |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
         | FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
         |WHERE jac >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_regex_tokens" ->
+      """SELECT doc_id, lang,
+        | CAST(len(toks) AS BIGINT) AS n_units,
+        | CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-zA-Z]+$'))) AS BIGINT) AS n_alpha,
+        | CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS n_num
+        |FROM (SELECT doc_id, lang,
+        |       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "llm_stopword_scrub" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |stops AS (
