@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Det._
 
-/** Text-analysis operators added round 2 (SURVEY.md §2.12): n-gram
+/** Text-analysis operators added round 2 (SURVEY.md §2.13): n-gram
   * Jaccard near-dup (the shingle-based dedup family from the builder
   * brief — complements the token-set llm_jaccard_pairs) and corpus
   * stopword scrubbing (the cleaning step of a training-data pipeline).

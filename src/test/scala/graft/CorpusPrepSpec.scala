@@ -40,6 +40,15 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     (survivorTokens & stops) shouldBe empty
   }
 
+  test("8 label rounds reach the clustering fixpoint on the fixture (12 rounds agree)") {
+    // validates the bounded-round declaration: if 8 rounds truncated the
+    // propagation, extra rounds would reassign labels
+    val at8 = out.select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at12 = CorpusPrep.run(spark, sfDir, labelRounds = 12)
+      .select("doc_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    at12 should equal(at8)
+  }
+
   test("split assignment is the reproducible md5-bucket rule") {
     val bad = out.withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
