@@ -52,7 +52,7 @@ object CorpusPrep {
     // 3. near dedup on the original operator's pair semantics (blocked
     //    jaccard over the raw text — cleaning must not change identity),
     //    bounded min-label propagation, keep cluster representative
-    val pairs = graft.queries.Llm.llmJaccardPairs(spark, sfDir)
+    val pairs = graft.queries.Llm.jaccardPairsUnsorted(spark, sfDir)
       .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b")
     val ids = exact.select(col("doc_id"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -62,12 +62,19 @@ object CorpusPrep {
       .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
       .repartition(col("src"))
       .persist()
+    // monotone-sum convergence early-exit (see Extras.llmDedupCluster):
+    // exiting at the fixpoint yields labels identical to all K rounds
     var labels = ids.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
-    for (_ <- 1 to labelRounds) {
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    for (_ <- 1 to labelRounds if !converged) {
       labels = graft.ops.Lineage.cut(
         edges.join(labels, col("dd") === col("src"))
           .groupBy(col("dst")).agg(min("lbl").as("lbl"))
           .select(col("dst").as("dd"), col("lbl")))
+      val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
     }
     edges.unpersist()
     val reps = labels.groupBy("lbl").agg(min("dd").as("doc_id"))

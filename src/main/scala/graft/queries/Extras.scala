@@ -281,7 +281,7 @@ object Extras {
     * connected-components runs as a fixed number of joins, not an
     * unbounded driver loop. */
   val llmDedupCluster: Q = (s, d) => {
-    val pairs = Llm.llmJaccardPairs(s, d).select("doc_a", "doc_b")
+    val pairs = Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b")
     val docs = Tables.documents(s, d).select(col("doc_id"))
     // iterative algorithm hygiene: materialize the edge list once (else
     // every round's plan re-embeds the whole jaccard pipeline — observed
@@ -298,13 +298,25 @@ object Extras {
       .persist()
     // lineage cut per round — Lineage.cut honors spark.graft.checkpoint
     // (reliable checkpoints + setCheckpointDir for fault-tolerant 100 TB
-    // runs; same result either way, only durability differs)
+    // runs; same result either way, only durability differs).
+    // Convergence early-exit: min-label propagation is monotone
+    // non-increasing per element, so the label sum strictly decreases
+    // until the fixpoint — an unchanged sum proves NO label changed, and
+    // stopping then yields labels IDENTICAL to running all 8 declared
+    // rounds (the fixpoint is idempotent). The sum is a trivial agg on
+    // the just-checkpointed 1-row-per-doc frame; decimal keeps it exact
+    // at any corpus size.
     var labels = docs.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
-    for (_ <- 1 to 8) {
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    for (_ <- 1 to 8 if !converged) {
       labels = graft.ops.Lineage.cut(
         edges.join(labels, col("dd") === col("src"))
           .groupBy(col("dst")).agg(min("lbl").as("lbl"))
           .select(col("dst").as("dd"), col("lbl")))
+      val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
     }
     edges.unpersist()
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))

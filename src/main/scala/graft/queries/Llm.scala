@@ -109,7 +109,14 @@ object Llm {
 
   /** llm_jaccard_pairs — near-dup candidates via rarity blocking, exact
     * token-set Jaccard ≥ 0.8 within the same language. */
-  val llmJaccardPairs: Q = (s, d) => {
+  val llmJaccardPairs: Q = (s, d) =>
+    jaccardPairsUnsorted(s, d).orderBy("doc_a", "doc_b")
+
+  /** Pair source without the final total order — consumers that only
+    * need the pair SET (llm_dedup_cluster, CorpusPrep) skip the global
+    * range-shuffle+sort of the full pair list (759k rows at sf0.1). */
+  def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     // materialize the distinct token stream once — it feeds the df table,
     // the blocking join and the per-doc set aggregation (3 references =
     // 3 recomputes of explode+distinct without the cut)
@@ -178,7 +185,6 @@ object Llm {
       .select(col("doc_a"), col("doc_b"),
         r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
       .where(col("jac") >= 0.8)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** llm_multimodal_schema — the multimodal column model: pack rows into
