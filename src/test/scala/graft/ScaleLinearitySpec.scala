@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Automated form of the ScaleProbe invariant: on an N× corpus of
+  * mutually-dissimilar copies (per-copy token translation — no
+  * cross-copy duplicates, intra-copy structure preserved), every
+  * blocked near-dup operator's pair count must scale LINEARLY with N.
+  * Super-linear growth means candidate generation went quadratic; zero
+  * or sub-linear means blocking lost recall (both happened in round 2
+  * and were invisible to the oracle compare). */
+class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val dirs: (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    def write(mult: Int, out: String): Unit = {
+      val docs = Tables.documents(spark, sfDir)
+      val n = docs.count()
+      (0 until mult).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * n)).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), t -> concat('c$i', t)), ' ')")
+            .as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+    val (x1, x4) = (s"$base/x1", s"$base/x4")
+    write(1, x1); write(4, x4)
+    (x1, x4)
+  }
+
+  test("llm_jaccard_pairs pair count scales exactly linearly on dissimilar copies") {
+    val n1 = queries.Llm.llmJaccardPairs(spark, dirs._1).count()
+    val n4 = queries.Llm.llmJaccardPairs(spark, dirs._2).count()
+    n1 should be > 0L
+    n4 shouldBe 4 * n1
+  }
+
+  test("llm_ngram_jaccard pair count scales exactly linearly on dissimilar copies") {
+    val n1 = queries.Textops.llmNgramJaccard(spark, dirs._1).count()
+    val n4 = queries.Textops.llmNgramJaccard(spark, dirs._2).count()
+    n1 should be > 0L
+    n4 shouldBe 4 * n1
+  }
+
+  test("llm_minhash pair count scales linearly within 5% on dissimilar copies") {
+    // the signature-agreement estimate is thresholded, so borderline
+    // pairs flip per translated copy — linear within a small tolerance
+    val n1 = queries.Sketches.llmMinhash(spark, dirs._1).count()
+    val n4 = queries.Sketches.llmMinhash(spark, dirs._2).count()
+    n1 should be > 0L
+    n4.toDouble shouldBe (4.0 * n1 +- 0.05 * 4 * n1)
+  }
+}
