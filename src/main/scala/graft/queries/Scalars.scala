@@ -123,7 +123,27 @@ object Scalars {
         expr("n_chars div 100").as("len_bucket"))
       .orderBy("doc_id")
 
+  /** fn_map — MapType surface: build a per-order linenumber→quantity-sum
+    * map (keys made unique by pre-aggregation — the fixture repeats
+    * linenumbers within an order — so construction order is irrelevant),
+    * then extract only ORDER-INDEPENDENT scalars (size, lookup by key,
+    * max key) — map internals never reach the output, so the oracle can
+    * recompute the same scalars relationally. */
+  val fnMap: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(sumR4(col("l_quantity")).as("sq"))
+      .groupBy("l_orderkey")
+      .agg(map_from_entries(collect_list(struct(col("l_linenumber"), col("sq")))).as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).cast("long").as("n_items"),
+        expr("try_element_at(m, 1)").as("qty_at_1"), // null-safe under ANSI
+        array_max(map_keys(col("m"))).cast("long").as("max_ln"))
+      .orderBy("l_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "fn_map"     -> fnMap,
     "fn_string"  -> fnString,
     "fn_regex"   -> fnRegex,
     "fn_date"    -> fnDate,
@@ -136,6 +156,14 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_map" ->
+      s"""SELECT l_orderkey,
+        | count(*) AS n_items,
+        | max(CASE WHEN l_linenumber = 1 THEN sq END) AS qty_at_1,
+        | CAST(max(l_linenumber) AS BIGINT) AS max_ln
+        |FROM (SELECT l_orderkey, l_linenumber, ${sumR4Sql("l_quantity")} AS sq
+        |      FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         | upper(p_name) AS up_name,
