@@ -126,7 +126,41 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev_retention — day-grain cohort retention: users grouped by the day
+    * of their first event; distinct active users per (cohort, day
+    * offset ≤ 7). Two shuffles (first-day per user, then cohort×offset
+    * agg) — the standard warehouse retention query, fully relational. */
+  val evRetention: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.join(first, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort")).cast("long"))
+      .where(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+
+  /** ev_user_path — top-20 event-type trigrams across per-user ordered
+    * event sequences (ties broken by event_id; counts desc, then path).
+    * The sequence-mining shape: lead windows per user, then a global
+    * top-k via TakeOrderedAndProject — no per-user collect. */
+  val evUserPath: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead("event_type", 1).over(w))
+      .withColumn("t2", lead("event_type", 2).over(w))
+      .where(col("t2").isNotNull)
+      .groupBy(col("event_type").as("e0"), col("t1").as("e1"), col("t2").as("e2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e0"), col("e1"), col("e2"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_retention"      -> evRetention,
+    "ev_user_path"      -> evUserPath,
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
     "ev_session"        -> evSession,
@@ -182,6 +216,24 @@ object Events {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT f.cohort, CAST(date_diff('day', f.cohort, e.day) AS BIGINT) AS "offset",
+        | count(DISTINCT e.user_id) AS n_active
+        |FROM e JOIN first f ON e.user_id = f.user_id
+        |WHERE date_diff('day', f.cohort, e.day) <= 7
+        |GROUP BY f.cohort, "offset" ORDER BY f.cohort, "offset" """.stripMargin,
+    "ev_user_path" ->
+      """SELECT e0, e1, e2, n FROM (
+        | SELECT event_type AS e0, t1 AS e1, t2 AS e2, count(*) AS n FROM (
+        |  SELECT event_type,
+        |   lead(event_type, 1) OVER w AS t1,
+        |   lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        | WHERE t2 IS NOT NULL GROUP BY e0, e1, e2)
+        |ORDER BY n DESC, e0, e1, e2 LIMIT 20""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
         |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),
