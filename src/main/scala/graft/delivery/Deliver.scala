@@ -73,6 +73,31 @@ object Deliver {
       schema.filter(_ => dstFormat == "csv" || dstFormat == "json"), writeOptions)
   }
 
+  /** Incremental delivery (distcp -update semantics, keyed): append to
+    * `dst` only the `src` rows whose key is not yet present — an anti
+    * join on the key column, so re-running after a partial/failed
+    * delivery is idempotent and a daily top-up ships only the delta.
+    * Returns (rows appended, manifest of dst AFTER the append). The
+    * anti join shuffles on the key; at 100 TB partition both sides by
+    * ingest date first so the delta join touches only fresh partitions. */
+  def copyIncremental(spark: SparkSession, src: String, dst: String,
+                      keyCol: String,
+                      srcFormat: String = "parquet", dstFormat: String = "parquet",
+                      schema: Option[String] = None): (Long, DeliveryReport) = {
+    val s = read(spark, src, srcFormat, schema)
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta =
+      if (!fs.exists(new Path(dst))) s
+      else {
+        val existing = read(spark, dst, dstFormat, schema)
+          .select(org.apache.spark.sql.functions.col(keyCol))
+        s.join(existing, Seq(keyCol), "left_anti")
+      }
+    val n = delta.count()
+    if (n > 0) delta.write.format(dstFormat).mode("append").save(dst)
+    (n, manifest(spark, dst, dstFormat, schema))
+  }
+
   /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */
   def manifest(spark: SparkSession, path: String, format: String = "parquet",
                schema: Option[String] = None,

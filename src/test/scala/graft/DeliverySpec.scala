@@ -84,6 +84,29 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     df.unpersist()
   }
 
+  test("incremental delivery ships only the delta and is idempotent") {
+    val tmp = Files.createTempDirectory("dlv").toString
+    val orders = Tables.orders(spark, sfDir)
+    val n = orders.count()
+    // seed the destination with the even keys only
+    orders.where(col("o_orderkey") % 2 === 0).write.parquet(s"$tmp/dst")
+    val (appended, report) = Deliver.copyIncremental(
+      spark, s"$sfDir/orders.parquet", s"$tmp/dst", "o_orderkey")
+    appended shouldBe orders.where(col("o_orderkey") % 2 === 1).count()
+    report.rows shouldBe n
+    // second run: nothing new to ship, content unchanged
+    val (again, report2) = Deliver.copyIncremental(
+      spark, s"$sfDir/orders.parquet", s"$tmp/dst", "o_orderkey")
+    again shouldBe 0L
+    report2.rows shouldBe n
+    report2.fingerprint shouldBe report.fingerprint
+    // and a fresh destination bootstraps with the full dataset
+    val (boot, bootReport) = Deliver.copyIncremental(
+      spark, s"$sfDir/orders.parquet", s"$tmp/fresh", "o_orderkey")
+    boot shouldBe n
+    bootReport.fingerprint shouldBe report.fingerprint
+  }
+
   test("DeliverMain CLI: partitioned parquet→parquet delivery verifies end-to-end") {
     val tmp = Files.createTempDirectory("dlv").toString
     val (report, ok) = graft.delivery.DeliverMain.run(spark, Array(
