@@ -95,6 +95,11 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
       include("TakeOrderedAndProject")
   }
 
+  test("ev_user_path global top-20 compiles to TakeOrderedAndProject") {
+    planOf(queries.Events.evUserPath(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
   test("llm_embed_neardup joins on the IVF bucket — no cartesian product") {
     val plan = planOf(queries.Extras.llmEmbedNeardup(spark, sfDir))
     plan should not include "CartesianProduct"
