@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * that scales to 100 TB of mixed text/image/audio because Spark never
   * interprets the bytes until an explicit decode stage, and the decode
   * stage is a `mapPartitions` pipeline (one JVM-side batch iterator per
-  * partition, no per-row task overhead, partitioning preserved).
+  * partition, no per-row task overhead, partitioning preserved) — the
+  * Scala-native equivalent of PySpark's `mapInPandas` batch-UDF shape:
+  * same per-partition batch iteration contract, without the Arrow
+  * serialization hop a Python worker would add.
   *
   * The byte-level decoders (JPEG/WAV/MP4) are STUBBED deterministically —
   * this container ships no codec libraries. Everything Spark-owned is
