@@ -10,11 +10,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the tiny flagship input so the first timed
-    // query doesn't absorb JIT + codegen-compiler cold start (~8 s skew
-    // observed); sorted names keep per-query timings comparable across
-    // runs (Map iteration order is not deterministic).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // JVM/codegen warmup on the tiny sf0.001 input so the first timed
+    // queries don't absorb JIT + codegen-compiler cold start (~8 s skew
+    // observed with no warmup). One representative per plan shape —
+    // agg, window, shuffle join, vector expression — so each codegen
+    // template is compiled before timing starts; sorted names keep
+    // per-query timings comparable across runs.
+    val warm = "/root/testdata/sf0.001"
+    Seq(
+      () => SparkEntry.entry(spark),
+      () => SparkEntry.queries("win_rank")(spark, warm),
+      () => SparkEntry.queries("join_shuffle")(spark, warm),
+      () => SparkEntry.queries("llm_ann_ivf")(spark, warm),
+    ).foreach { q => try q().queryExecution.toRdd.count() catch { case _: Throwable => } }
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
