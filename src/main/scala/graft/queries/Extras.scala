@@ -325,6 +325,28 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** llm_sample_balanced — language-balanced deterministic downsampling:
+    * per-lang keep-rate = min-lang count / lang count, membership by md5
+    * bucket of doc_id (never rand() — the same doc survives on every
+    * engine, run, and cluster topology). The training-mix rebalancing
+    * step: a corpus skewed 10:1 across languages comes out ≈uniform.
+    * Rates table is n_langs rows → broadcast; one scan, one shuffle. */
+  val llmSampleBalanced: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val minN = counts.agg(min("n_l").as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("lang"), (col("min_n") * lit(1.0) / col("n_l")).as("rate"))
+    docs.join(broadcast(rates), "lang")
+      .withColumn("u",
+        (expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 10000)
+          * lit(1.0) / 10000)
+      .where(col("u") < col("rate"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
   /** llm_split — reproducible train/val/test assignment (80/10/10) by
     * md5 bucket of doc_id: stable across engines, runs, and cluster
     * topologies (never `rand()` — the only way a 100 TB split is
@@ -340,6 +362,7 @@ object Extras {
       .orderBy("lang", "split")
 
   val queries: Map[String, Q] = Map(
+    "llm_sample_balanced" -> llmSampleBalanced,
     "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
     "llm_dedup_cluster" -> llmDedupCluster,
@@ -395,6 +418,14 @@ object Extras {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "llm_sample_balanced" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |rates AS (SELECT lang, (SELECT min(n_l) FROM counts) * 1.0 / n_l AS rate FROM counts)
+        |SELECT d.lang, count(*) AS n_kept, min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+        |FROM documents d JOIN rates r ON r.lang = d.lang
+        |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000)
+        |       * 1.0 / 10000 < r.rate
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "llm_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM (
