@@ -117,10 +117,40 @@ object Textops {
         expr("size(filter(toks, t -> t rlike '^[0-9]+$'))").cast("long").as("n_num"))
       .orderBy("doc_id")
 
+  /** llm_contamination — benchmark-contamination report: for every doc
+    * in the held-out test split (md5-bucket rule, as llm_split), count
+    * the train-split documents sharing any word-trigram shingle and the
+    * distinct shared shingles, plus the contaminated fraction of the
+    * test doc's shingles. The decontamination step of a training
+    * pipeline as one shuffle join on the shingle key — block sizes are
+    * bounded by true shingle-overlap density, never all-pairs. */
+  val llmContamination: Q = (s, d) => {
+    val split = expr(
+      "conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) % 100")
+    val sh = shingles(s, d)
+      .withColumn("bucket", split.cast("long"))
+      .withColumn("part",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+    val train = sh.where(col("part") === "train")
+      .select(col("doc_id").as("train_doc"), col("shg"))
+    val test = sh.where(col("part") === "test")
+      .select(col("doc_id").as("test_doc"), col("shg"))
+    val testSize = test.groupBy("test_doc").agg(count(lit(1)).as("n_shingles"))
+    test.join(train, "shg")
+      .groupBy("test_doc")
+      .agg(countDistinct("train_doc").as("n_train_docs"),
+           countDistinct("shg").as("n_shared"))
+      .join(testSize, "test_doc")
+      .select(col("test_doc"), col("n_train_docs"), col("n_shared"),
+        r4(col("n_shared") * lit(1.0) / col("n_shingles")).as("contaminated_frac"))
+      .orderBy("test_doc")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
     "llm_regex_tokens"   -> llmRegexTokens,
+    "llm_contamination"  -> llmContamination,
   )
 
   val oracle: Map[String, String] = Map(
@@ -160,6 +190,29 @@ object Textops {
         |       regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "llm_contamination" ->
+      s"""WITH sh AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest([md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) for i in generate_series(1, len(l) - 2)]) AS shg
+        | FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        | WHERE len(l) >= 3),
+        |sp AS (SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS part
+        | FROM (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        |  FROM documents)),
+        |train AS (SELECT s.doc_id AS train_doc, s.shg FROM sh s
+        |          JOIN sp ON sp.doc_id = s.doc_id AND sp.part = 'train'),
+        |test AS (SELECT s.doc_id AS test_doc, s.shg FROM sh s
+        |         JOIN sp ON sp.doc_id = s.doc_id AND sp.part = 'test'),
+        |tsz AS (SELECT test_doc, count(*) AS n_shingles FROM test GROUP BY test_doc),
+        |j AS (SELECT t.test_doc, count(DISTINCT tr.train_doc) AS n_train_docs,
+        |       count(DISTINCT t.shg) AS n_shared
+        |      FROM test t JOIN train tr ON tr.shg = t.shg GROUP BY t.test_doc)
+        |SELECT j.test_doc, j.n_train_docs, j.n_shared,
+        | ${r4Sql("j.n_shared * 1.0 / z.n_shingles")} AS contaminated_frac
+        |FROM j JOIN tsz z ON z.test_doc = j.test_doc
+        |ORDER BY j.test_doc""".stripMargin,
     "llm_stopword_scrub" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |stops AS (
