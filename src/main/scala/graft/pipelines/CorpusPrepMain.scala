@@ -10,6 +10,20 @@ import org.apache.spark.sql.SparkSession
   * Usage: graft.pipelines.CorpusPrepMain SRCDIR OUTDIR [stopK]
   */
 object CorpusPrepMain {
+  /** Exposed for tests: run a prep delivery, return the manifest line. */
+  def run(spark: SparkSession, src: String, dst: String, stopK: Int = 5): String = {
+    val in = graft.Tables.documents(spark, src).count()
+    val out = CorpusPrep.run(spark, src, stopK = stopK)
+    // partition the delivered corpus by split so downstream training
+    // readers prune train/val/test at the directory level
+    out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
+    val bySplit = spark.read.parquet(s"$dst/documents")
+      .groupBy("split").count().collect()
+      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+    val kept = spark.read.parquet(s"$dst/documents").count()
+    s"""{"rows_in":$in,"rows_out":$kept,"splits":{$bySplit}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CorpusPrepMain SRCDIR OUTDIR [stopK]")
     val Array(src, dst) = args.take(2)
@@ -21,17 +35,7 @@ object CorpusPrepMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      val in = graft.Tables.documents(spark, src).count()
-      val out = CorpusPrep.run(spark, src, stopK = stopK)
-      // partition the delivered corpus by split so downstream training
-      // readers prune train/val/test at the directory level
-      out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
-      val bySplit = spark.read.parquet(s"$dst/documents")
-        .groupBy("split").count().collect()
-        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
-      val kept = spark.read.parquet(s"$dst/documents").count()
-      println(s"""{"rows_in":$in,"rows_out":$kept,"splits":{$bySplit}}""")
-    } finally spark.stop()
+    try println(run(spark, src, dst, stopK))
+    finally spark.stop()
   }
 }

@@ -49,6 +49,20 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     at12 should equal(at8)
   }
 
+  test("CorpusPrepMain CLI writes a split-partitioned corpus with a consistent manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("prep_cli").toString
+    val manifest = graft.pipelines.CorpusPrepMain.run(spark, sfDir, tmp)
+    manifest should include(""""rows_in":500""")
+    // partition pruning must work on the delivered layout
+    val train = spark.read.parquet(s"$tmp/documents")
+      .where(org.apache.spark.sql.functions.col("split") === "train")
+    train.queryExecution.executedPlan.toString should
+      include("PartitionFilters: [isnotnull(split")
+    val total = spark.read.parquet(s"$tmp/documents").count()
+    manifest should include(s""""rows_out":$total""")
+    total shouldBe out.count()
+  }
+
   test("split assignment is the reproducible md5-bucket rule") {
     val bad = out.withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)

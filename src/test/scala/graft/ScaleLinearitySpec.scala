@@ -46,6 +46,19 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     n4 shouldBe 4 * n1
   }
 
+  test("forcing the bitmask set representation on a >64-token vocab fails loudly") {
+    // the x4 corpus has 124 distinct tokens; silent shiftleft wraparound
+    // would corrupt every intersection, so the guard must raise instead
+    val key = "spark.graft.jaccard.setRepr"
+    spark.conf.set(key, "bitmask")
+    try {
+      val ex = intercept[Exception] {
+        queries.Llm.llmJaccardPairs(spark, dirs._2).count()
+      }
+      ex.getMessage should include("setRepr=array")
+    } finally spark.conf.unset(key)
+  }
+
   test("llm_minhash pair count scales linearly within 5% on dissimilar copies") {
     // the signature-agreement estimate is thresholded, so borderline
     // pairs flip per translated copy — linear within a small tolerance
