@@ -83,19 +83,35 @@ object Deliver {
   def copyIncremental(spark: SparkSession, src: String, dst: String,
                       keyCol: String,
                       srcFormat: String = "parquet", dstFormat: String = "parquet",
-                      schema: Option[String] = None): (Long, DeliveryReport) = {
-    val s = read(spark, src, srcFormat, schema)
+                      schema: Option[String] = None,
+                      readOptions: Map[String, String] = Map.empty,
+                      writeOptions: Map[String, String] = Map.empty): (Long, DeliveryReport) = {
+    val s = read(spark, src, srcFormat, schema, readOptions)
+    // Self-describing dst formats must not be forced to the src text
+    // schema (same rule as copy()'s manifest read).
+    val dstSchema = schema.filter(_ => dstFormat == "csv" || dstFormat == "json")
     val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delta =
       if (!fs.exists(new Path(dst))) s
       else {
-        val existing = read(spark, dst, dstFormat, schema)
+        val existing = read(spark, dst, dstFormat, dstSchema, writeOptions)
           .select(org.apache.spark.sql.functions.col(keyCol))
         s.join(existing, Seq(keyCol), "left_anti")
       }
-    val n = delta.count()
-    if (n > 0) delta.write.format(dstFormat).mode("append").save(dst)
-    (n, manifest(spark, dst, dstFormat, schema))
+    // Materialize the anti join ONCE: count() and the append write are two
+    // actions, and a source that changes between them would make the
+    // reported delta diverge from the rows actually shipped. persist()
+    // pins the computed delta so both actions observe the same rows
+    // (at cluster scale prefer MEMORY_AND_DISK — the delta of a daily
+    // top-up is small relative to the corpus, this is not a full-corpus
+    // cache).
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = delta.count()
+      if (n > 0)
+        delta.write.format(dstFormat).options(writeOptions).mode("append").save(dst)
+      (n, manifest(spark, dst, dstFormat, dstSchema, writeOptions))
+    } finally delta.unpersist()
   }
 
   /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */

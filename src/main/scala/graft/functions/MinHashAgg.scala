@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.Encoder
-import scala.util.hashing.MurmurHash3
+import org.apache.spark.unsafe.Platform
 
 /** MinHash signature over a document's token stream (SURVEY.md §2.10
   * `llm_minhash`).
@@ -43,10 +44,16 @@ class MinHashAgg(val k: Int = 128) extends Aggregator[String, Array[Int], Array[
     (Array.fill(k)(next() | 1L), Array.fill(k)(next()))
   }
 
+  // True 64-bit token digest (Spark's own XXH64, same function behind the
+  // SQL xxhash64). A concat-of-two-32-bit-Murmur construction was used
+  // before: its collision probability is governed by the weaker 32-bit
+  // halves' correlation, and any digest collision identifies two tokens
+  // in EVERY lane at once — at 10^10-distinct-token corpora that's a
+  // handful of expected full-signature identifications. xxHash64's
+  // 2^-64 collision model keeps that at ~0 (ADVICE r2).
   private def hash64(token: String): Long = {
-    val hi = MurmurHash3.stringHash(token, 0x9e3779b9)
-    val lo = MurmurHash3.stringHash(token, 0x85ebca6b)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    val b = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x9e3779b97f4a7c15L)
   }
 
   def zero: Array[Int] = Array.fill(k)(Int.MaxValue)
@@ -79,16 +86,17 @@ class MinHashAgg(val k: Int = 128) extends Aggregator[String, Array[Int], Array[
   * each tally. Near-identical token sets differ in few bits, so Hamming
   * distance on the fixed-width signature is the dedup metric — and the
   * signature is a single BIGINT column, the cheapest possible shuffle key
-  * at 100 TB. Same determinism story as MinHash (seeded MurmurHash3, no
+  * at 100 TB. Same determinism story as MinHash (seeded xxHash64, no
   * runtime RNG).
   */
 class SimHashAgg extends Aggregator[String, Array[Int], Long] {
   def zero: Array[Int] = new Array[Int](64)
 
+  // Same true-64-bit digest as MinHashAgg (distinct seed so the two
+  // sketches' bit streams are independent).
   private def hash64(token: String): Long = {
-    val hi = MurmurHash3.stringHash(token, 0x51ed270b)
-    val lo = MurmurHash3.stringHash(token, 0x2545f491)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+    val b = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 0x51ed270b2545f491L)
   }
 
   def reduce(buf: Array[Int], token: String): Array[Int] = {

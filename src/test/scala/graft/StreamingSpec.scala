@@ -164,13 +164,20 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     q.processAllAvailable()
     stream.addData(batch2: _*)
     q.processAllAvailable(); q.stop()
-    // last snapshot per user = the batch-equivalent funnel answer
+    // Furthest-stage snapshot per user = the batch-equivalent funnel
+    // answer. Stage count (view + click? + purchase?) strictly increases
+    // across a user's emissions (stages only ever get set, and an
+    // emission requires an advance), so maxBy is unique and does NOT
+    // depend on memory-sink row order — collect order across microbatches
+    // is not a contract (ADVICE r2).
     val last = spark.table("funnel").collect()
       .map(r => (r.getLong(0), (r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getLong(2)),
         if (r.isNullAt(3)) None else Some(r.getLong(3)),
         r.getInt(4))))
-      .groupBy(_._1).map { case (u, snaps) => u -> snaps.last._2 }
+      .groupBy(_._1).map { case (u, snaps) =>
+        u -> snaps.maxBy { case (_, (_, c, p, _)) =>
+          1 + c.size + p.size }._2 }
     def s(minute: Int) = ts(minute).getTime / 1000
     last(1L) shouldBe ((s(10), Some(s(20)), Some(s(30)), 1))
     last(2L) shouldBe ((s(15), Some(s(25)), None, 0))
