@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain stdout passes through UNWRAPPED (no `[info]`
+// prefix): the bench driver parses Bench's JSON line from captured
+// stdout, and sbt's log decoration broke that for three rounds
+// (BENCH_r01–r03 parsed:null). scripts/bench.sh (exec java -cp) is the
+// preferred entry point; this makes `sbt "runMain graft.Bench"` safe too.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,16 +85,24 @@ object Deliver {
                       srcFormat: String = "parquet", dstFormat: String = "parquet",
                       schema: Option[String] = None,
                       readOptions: Map[String, String] = Map.empty,
-                      writeOptions: Map[String, String] = Map.empty): (Long, DeliveryReport) = {
+                      writeOptions: Map[String, String] = Map.empty,
+                      dstReadOptions: Option[Map[String, String]] = None): (Long, DeliveryReport) = {
     val s = read(spark, src, srcFormat, schema, readOptions)
     // Self-describing dst formats must not be forced to the src text
     // schema (same rule as copy()'s manifest read).
     val dstSchema = schema.filter(_ => dstFormat == "csv" || dstFormat == "json")
+    // Reader and writer option namespaces are distinct: a write-only
+    // option that also steers a reader (or a needed dst-read option the
+    // caller couldn't supply) would silently mis-read the existing keys
+    // and corrupt the anti-join delta (ADVICE r3). Defaults to
+    // writeOptions, which is right for symmetric options like csv
+    // header/sep.
+    val dstRead = dstReadOptions.getOrElse(writeOptions)
     val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delta =
       if (!fs.exists(new Path(dst))) s
       else {
-        val existing = read(spark, dst, dstFormat, dstSchema, writeOptions)
+        val existing = read(spark, dst, dstFormat, dstSchema, dstRead)
           .select(org.apache.spark.sql.functions.col(keyCol))
         s.join(existing, Seq(keyCol), "left_anti")
       }
@@ -110,7 +118,7 @@ object Deliver {
       val n = delta.count()
       if (n > 0)
         delta.write.format(dstFormat).options(writeOptions).mode("append").save(dst)
-      (n, manifest(spark, dst, dstFormat, dstSchema, writeOptions))
+      (n, manifest(spark, dst, dstFormat, dstSchema, dstRead))
     } finally delta.unpersist()
   }
 

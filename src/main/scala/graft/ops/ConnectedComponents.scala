@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via large-star/small-star
+  * alternation (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14 — public algorithm). This is the high-diameter scale
+  * path for near-dup cluster assignment (SURVEY §8): plain min-label
+  * propagation needs diameter-many rounds (a 64-long dup chain → 63
+  * joins), large-star/small-star contracts the graph toward stars and
+  * converges in O(log d) rounds — ScaleLinearitySpec pins ≤7 rounds on
+  * that same 64-chain.
+  *
+  * Per round, both steps are one groupBy(min) + one equi-join on the
+  * node id — no broadcast of per-node state, no driver-side graph, so
+  * the shape survives 10^10-edge graphs. Lineage is cut per round
+  * (Lineage.cut honors spark.graft.checkpoint for reliable checkpoints
+  * on long cluster runs) and convergence is detected from a 1-row
+  * edge-set signature (count + exact decimal sums), the same
+  * cheap-fixpoint-proof pattern as llm_dedup_cluster's label-sum exit.
+  */
+object ConnectedComponents {
+
+  /** Large-star: for every node u, hang each LARGER neighbor v off the
+    * minimum m of u's closed neighborhood — edges (v, m), v > u ≥ m.
+    * Keeps all components connected, strictly shrinks long tails. */
+  private[ops] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: input oriented src > dst (largeStar output is); for
+    * every node u, point u and all its SMALLER neighbors at their
+    * minimum m — edges (v, m). */
+  private[ops] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("m"))
+    e.join(mins, "src")
+      .select(col("dst").as("v"), col("m"))
+      .union(mins.select(col("src").as("v"), col("m")))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Run to the fixpoint (all components star-shaped). Input: undirected
+    * edge list (src, dst), any orientation, self-loops allowed (dropped).
+    * Returns (labels, roundsUsed): labels has one row per NON-ISOLATED
+    * node — (node, label) with label = min node id of its component,
+    * roots included. Isolated nodes never appear in an edge list; union
+    * them in caller-side (see llm_dedup_cluster). */
+  def largeStarSmallStar(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var e = Lineage.cut(
+      edges.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+                least(col("src"), col("dst")).as("dst"))
+        .distinct())
+    var rounds = 0
+    var stable = false
+    var prev: (Long, java.math.BigDecimal) = null
+    while (!stable && rounds < maxRounds) {
+      e = Lineage.cut(smallStar(largeStar(e)))
+      rounds += 1
+      // edge-set signature: count + exact sum of per-edge hashes. The
+      // alternation is monotone toward the star fixpoint, and an
+      // identical (count, hash-sum) on the DISTINCT edge set means the
+      // set is unchanged → fixpoint reached (hash-sum collision on a
+      // changed set would need a 2^-64-scale coincidence — acceptable
+      // for an early-exit that otherwise just runs one more round).
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")).head()
+      val sig = (r.getLong(0), r.getDecimal(1))
+      stable = prev != null && sig._1 == prev._1 && sig._2.compareTo(prev._2) == 0
+      prev = sig
+    }
+    val labels = e.select(col("src").as("node"), col("dst").as("label"))
+      .union(e.select(col("dst").as("node"), col("dst").as("label")).distinct())
+    (labels, rounds)
+  }
+}

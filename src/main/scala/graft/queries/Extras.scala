@@ -279,10 +279,40 @@ object Extras {
     * This is the final step of a dedup pipeline (pick min-doc_id
     * representative per cluster); rounds are bounded because 100 TB
     * connected-components runs as a fixed number of joins, not an
-    * unbounded driver loop. */
+    * unbounded driver loop.
+    *
+    * High-diameter scale path: `spark.graft.cc.algo=lss` switches to
+    * large-star/small-star alternation (ops/ConnectedComponents.scala),
+    * which converges in O(log diameter) rounds instead of
+    * diameter-many — on any graph where min-label reaches its fixpoint
+    * within the 8 declared rounds the two paths produce IDENTICAL
+    * labels (both fixpoints are "min doc_id of the component"), so the
+    * oracle stays valid; on a deeper graph lss is the correct answer
+    * and minlabel's truncation is not (ScaleLinearitySpec pins both
+    * the equivalence and the round advantage on a 64-chain). */
   val llmDedupCluster: Q = (s, d) => {
     val pairs = Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b")
     val docs = Tables.documents(s, d).select(col("doc_id"))
+    if (s.conf.get("spark.graft.cc.algo", "minlabel") == "lss") {
+      val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      // isolated docs have no edges → label themselves
+      val labels = docs.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "lbl")
+        .select(col("dd").as("doc_id"), col("lbl").as("cluster"), col("csize"))
+        .orderBy("doc_id")
+    } else minLabelCluster(s, pairs, docs)
+  }
+
+  /** The declared-semantics default path of llm_dedup_cluster: 8 bounded
+    * rounds of min-label propagation with a monotone-sum convergence
+    * early-exit. */
+  private def minLabelCluster(s: org.apache.spark.sql.SparkSession,
+                              pairs: org.apache.spark.sql.DataFrame,
+                              docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // iterative algorithm hygiene: materialize the edge list once (else
     // every round's plan re-embeds the whole jaccard pipeline — observed
     // 8× recompute, 12.7 s → ~2 s at sf0.1) and cut label lineage each

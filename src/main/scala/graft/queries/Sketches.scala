@@ -61,9 +61,17 @@ object Sketches {
   }
 
   /** llm_simhash — 64-bit SimHash per doc; near-dup pairs via 4×16-bit
-    * band blocking + exact Hamming distance ≤ 4 (empirically the ≥0.8-
-    * Jaccard operating point for these short docs; ≤8 admits 0.6-ish
-    * pairs). */
+    * band blocking + exact Hamming distance ≤ 6.
+    *
+    * Operating point re-calibrated for the round-3 xxHash64 digest
+    * (SimhashCalibrate at sf0.001, banded candidates vs exact-Jaccard
+    * truth): ham≤4 → recall@jac≥0.9 0.336 / precision@jac≥0.8 0.993;
+    * ham≤5 → 0.450 / 0.979; ham≤6 → 0.506 / 0.958; ham≤7 → 0.563 /
+    * 0.934. ≤6 beats the old digest's ≤4 point (recall ~0.39) on recall
+    * while keeping precision ≥0.95; floors pinned in JaccardRecallSpec
+    * (recall ≥0.45) and SketchSpec (precision ≥0.8). Any future digest
+    * or seed change MUST re-run SimhashCalibrate and re-pin (VERDICT r3
+    * #1 — the r3 digest swap shipped without this and went red). */
   val llmSimhash: Q = (s, d) => {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
@@ -82,7 +90,7 @@ object Sketches {
       .distinct()
     cand
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
-      .where(col("hamming") <= 4)
+      .where(col("hamming") <= 6)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }

@@ -70,19 +70,20 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.95 // 4-band minhash: 1-(1-j)^4 ≥ 0.97 at j=0.6
   }
 
-  test("llm_simhash hamming<=4 recall vs jac>=0.9 truth is >= 0.35 (measured; precision-oriented by design)") {
-    // simhash at hamming<=4 deliberately trades recall for precision
-    // (SketchSpec pins precision >= 0.8; hamming<=8 was measured in
-    // round 1 to admit jac~0.6 false pairs). 64-bit simhash over ~25-
-    // token sets is noisy, so recall vs jac>=0.9 measures ~0.39 — the
-    // RECALL path of the sketch family is llm_minhash (>= 0.95, pinned
-    // in SketchSpec). This floor just pins today's behavior.
+  test("llm_simhash hamming<=6 recall vs jac>=0.9 truth is >= 0.45 (measured; precision-oriented by design)") {
+    // simhash trades recall for precision (SketchSpec pins precision
+    // >= 0.8; measured 0.958 at this point). 64-bit simhash over ~25-
+    // token sets is noisy — the RECALL path of the sketch family is
+    // llm_minhash (>= 0.95, pinned in SketchSpec). Operating point
+    // re-calibrated for the xxHash64 digest via SimhashCalibrate
+    // (recall 0.506 at ham<=6 banded); floor 0.45 leaves >=0.05 margin.
+    // Re-run SimhashCalibrate and re-pin on ANY digest/seed change.
     val truth = allPairsTruth(0.9)
     val found = Sketches.llmSimhash(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     truth.nonEmpty shouldBe true
     val recall = (truth & found).size.toDouble / truth.size
     info(f"simhash recall vs jac>=0.9 = $recall%.3f over ${truth.size} truth pairs")
-    recall should be >= 0.35
+    recall should be >= 0.45
   }
 }

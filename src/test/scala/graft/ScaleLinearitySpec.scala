@@ -67,4 +67,35 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     n1 should be > 0L
     n4.toDouble shouldBe (4.0 * n1 +- 0.05 * 4 * n1)
   }
+
+  test("large-star/small-star solves a 64-chain dup graph in O(log d) rounds (min-label would need 63)") {
+    // the high-diameter case min-label propagation cannot afford: a
+    // chain 0-1-2-…-63 has diameter 63, so min-label needs 63 rounds to
+    // pull label 0 to the far end — llm_dedup_cluster's declared 8
+    // rounds would leave it wrong. Large-star/small-star contracts the
+    // chain toward a star and must land every node on label 0 in ≤7
+    // rounds (VERDICT r3 #7's done-bar).
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = ops.ConnectedComponents.largeStarSmallStar(chain)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe (0L to 63L).toSet
+    out.values.toSet shouldBe Set(0L)
+    info(s"large-star/small-star rounds on 64-chain: $rounds")
+    rounds should be <= 7
+  }
+
+  test("lss cluster assignment matches the converged min-label assignment on the real near-dup graph") {
+    // on any graph where min-label reaches its fixpoint within 8 rounds
+    // (the sf0.001 fixture does — the convergence exit fires), the two
+    // algorithms' fixpoints are the same function: min doc_id per
+    // component. Pin the equivalence so the lss path stays a drop-in.
+    val key = "spark.graft.cc.algo"
+    val base = queries.Extras.llmDedupCluster(spark, sfDir).collect()
+    spark.conf.set(key, "lss")
+    try {
+      val lss = queries.Extras.llmDedupCluster(spark, sfDir).collect()
+      lss should equal(base)
+    } finally spark.conf.unset(key)
+  }
 }

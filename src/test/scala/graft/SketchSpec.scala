@@ -47,6 +47,42 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.95
   }
 
+  test("llm_minhash 16x8 banding false-negative rate matches the S-curve (xxHash64 digest)") {
+    // Ties the band/row parameters to a MEASURED miss rate (VERDICT r3
+    // #6): for a pair at exact jaccard j, the 16-band/8-row LSH detects
+    // it with p(j) = 1 - (1 - j^8)^16 (0.947 at j=0.80, 0.9999 at
+    // j=0.90); the est_jac >= 0.7 cut then removes < 1% of jac >= 0.8
+    // pairs (>= 2.8 sigma at k=128). Assert measured recall per jaccard
+    // bucket >= mean theoretical detection - 0.06 margin, so any digest
+    // / seed / band-geometry change that shifts the S-curve fails here
+    // instead of silently losing near-dups.
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sets = tok.groupBy("doc_id", "lang").agg(collect_set("token").as("s"))
+    val a = sets.select(col("doc_id").as("da"), col("lang").as("la"), col("s").as("sa"))
+    val b = sets.select(col("doc_id").as("db"), col("lang").as("lb"), col("s").as("sb"))
+    val truth = a.join(b, col("la") === col("lb") && col("da") < col("db"))
+      .withColumn("ni", expr("size(array_intersect(sa, sb))"))
+      .withColumn("jac", expr("cast(ni * 1.0 / (size(sa) + size(sb) - ni) as double)"))
+      .where(col("jac") >= 0.8)
+      .select("da", "db", "jac").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    truth.nonEmpty shouldBe true
+    val found = Sketches.llmMinhash(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sCurve(j: Double): Double = 1.0 - math.pow(1.0 - math.pow(j, 8), 16)
+    for ((lo, hi) <- Seq((0.8, 0.9), (0.9, 1.01))) {
+      val bucket = truth.filter { case (_, j) => j >= lo && j < hi }
+      if (bucket.nonEmpty) {
+        val recall = bucket.count { case (p, _) => found.contains(p) }.toDouble / bucket.size
+        val expected = bucket.map { case (_, j) => sCurve(j) }.sum / bucket.size
+        info(f"jac [$lo,$hi): n=${bucket.size} recall=$recall%.4f s-curve=$expected%.4f")
+        recall should be >= (expected - 0.06)
+      }
+    }
+  }
+
   test("simhash: identical sets collide, disjoint sets are far") {
     val agg = new SimHashAgg
     def sig(tokens: Set[String]): Long =
@@ -65,7 +101,8 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = pairs.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     found.length should be > 0
-    // precision against jac>=0.8 ground truth: most hamming<=8 pairs are real near-dups
+    // precision against jac>=0.8 ground truth: most hamming<=6 pairs are
+    // real near-dups (measured 0.958 via SimhashCalibrate, xxHash64 digest)
     val precision = found.count(exact.contains).toDouble / found.length
     precision should be >= 0.8
   }
