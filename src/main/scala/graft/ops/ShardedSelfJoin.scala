@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-safe all-pairs self-join within LSH buckets (VERDICT r3 #8).
+  *
+  * The band joins in Sketches generate candidates by self-joining the
+  * banded frame on (band, bkey, lang). At web scale one pathological
+  * bucket — thousands of boilerplate-identical documents landing in the
+  * same (band, bkey) — would put the whole bucket in ONE task and
+  * produce |B|² pairs from it, exceeding task memory long before the
+  * shuffle does. This helper shards oversized buckets with the
+  * triangle-cell decomposition for symmetric self-joins:
+  *
+  *   S = ceil(|bucket| / threshold) shards; row shard s = hash(doc_id) mod S.
+  *   Left side replicates to cells (p=s, q) for q ∈ [s, S);
+  *   right side to cells (p, q=s) for p ∈ [0, s].
+  *   Join key = bucket key ++ (p, q).
+  *
+  * A pair with shards (sx ≤ sy) meets in exactly cell (sx, sy), so the
+  * pair set is IDENTICAL to the naive self-join (SkewSpec pins this),
+  * while per-task input is bounded by ~2·threshold rows per cell and a
+  * hot bucket fans out over S(S+1)/2 independent tasks. Buckets at or
+  * under the threshold get S=1 → single cell (0,0) → exactly the
+  * original join, so the normal path pays only the bucket-size window
+  * count (one extra shuffle of the narrow banded frame).
+  */
+object ShardedSelfJoin {
+
+  /** All unordered candidate pairs (doc_a < doc_b) within each bucket.
+    *
+    * @param banded    one row per (doc, bucket) with a `doc_id` column
+    * @param keys      bucket key columns (e.g. band, bkey, lang)
+    * @param threshold max bucket rows a single task should hold; buckets
+    *                  beyond it are sharded into ceil(size/threshold)
+    * @param carry     extra per-doc columns to surface as {c}_a / {c}_b
+    */
+  def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
+            carry: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0, "shard threshold must be positive")
+    // Annotate shard counts via a broadcast of ONLY the oversized
+    // buckets, not a window over every bucket: oversized buckets are few
+    // by definition (each holds > threshold docs, so a 10^10-doc corpus
+    // has at most docs·bands/threshold of them, each a 3-column row),
+    // while a window would shuffle+sort the whole banded frame. The
+    // aggregate itself map-side combines to one row per bucket before
+    // shuffling. Normal buckets miss the join → nsh=1 → the original
+    // single-cell join, zero extra shuffle.
+    val big = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bn")).where(col("bn") > threshold)
+    val sharded = banded.join(broadcast(big), keys, "left")
+      .withColumn("nsh",
+        coalesce(ceil(col("bn") / lit(threshold.toDouble)).cast("int"), lit(1)))
+      .withColumn("srow", pmod(xxhash64(col("doc_id")), col("nsh")).cast("int"))
+    val a = sharded
+      .withColumn("p", col("srow"))
+      .withColumn("q", explode(sequence(col("srow"), col("nsh") - 1)))
+    val b = sharded
+      .withColumn("q", col("srow"))
+      .withColumn("p", explode(sequence(lit(0), col("srow"))))
+    val joinKeys = keys ++ Seq("p", "q")
+    // A pair whose lower-shard doc has the HIGHER doc_id only meets in
+    // its one (sx, sy) cell with that doc on the A side, so a blanket
+    // `a.doc_id < b.doc_id` predicate would drop it. In OFF-diagonal
+    // cells (p < q) each pair meets exactly once (shard assignment fixes
+    // the roles) — accept it in whatever doc order and normalize in the
+    // projection. DIAGONAL cells (p = q) see both orderings, so there —
+    // and only there — keep the `<` filter; this also makes an unsharded
+    // bucket (single (0,0) cell) byte-identical to the original join
+    // instead of producing every pair twice and paying 2× into distinct.
+    val aLower = col("a.doc_id") < col("b.doc_id")
+    val sel =
+      Seq(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")) ++
+      carry.flatMap(c => Seq(
+        when(aLower, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
+        when(aLower, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
+    a.as("a")
+      .join(b.as("b"),
+        joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        (col("a.p") =!= col("a.q") || aLower))
+      .select(sel: _*)
+      .distinct()
+  }
+}

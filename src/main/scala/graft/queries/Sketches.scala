@@ -17,6 +17,13 @@ object Sketches {
   val minhash = udaf(new MinHashAgg(128))
   val simhash = udaf(new SimHashAgg)
 
+  /** Max rows of one LSH bucket a single task may hold before the band
+    * self-join shards it (spark.graft.lsh.shardThreshold). 64k narrow
+    * rows ≈ a few MB of task input; production can lower it for
+    * boilerplate-heavy corpora. */
+  private def shardThreshold(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.lsh.shardThreshold", "65536").toInt
+
   /** llm_minhash — MinHash(128) signatures + 16×8 LSH banding: candidate
     * pairs sharing any band bucket, estimated Jaccard = signature
     * agreement, kept at est ≥ 0.7. The band join S-curve detects
@@ -45,12 +52,13 @@ object Sketches {
       .withColumn("band", explode(expr("sequence(0, 15)")))
       .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
       .select("doc_id", "lang", "band", "bkey")
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // skew-safe bucket self-join: a pathological hot (band, bkey) bucket
+    // (boilerplate-identical docs at web scale) is sharded across
+    // ceil(size/threshold) triangle cells instead of landing in one
+    // task — identical pair set, bounded task input (ShardedSelfJoin;
+    // SkewSpec pins both properties)
+    val cand = graft.ops.ShardedSelfJoin.pairs(
+      banded, Seq("band", "bkey", "lang"), shardThreshold(s))
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("merge"), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("merge"), "doc_b")
@@ -81,13 +89,9 @@ object Sketches {
     val banded = sigs
       .withColumn("band", explode(expr("sequence(0, 3)")))
       .withColumn("bkey", expr("(sh >> (band * 16)) & 65535"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-              col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
+    // same skew-safe bucket self-join as llm_minhash (hot-bucket shard)
+    val cand = graft.ops.ShardedSelfJoin.pairs(
+      banded, Seq("band", "bkey", "lang"), shardThreshold(s), carry = Seq("sh"))
     cand
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .where(col("hamming") <= 6)

@@ -68,6 +68,54 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("sharded LSH bucket self-join: identical pair set, bounded per-cell input on a hot bucket") {
+    import spark.implicits._
+    // adversarial band layout: 300 docs land in ONE (band, bkey) bucket
+    // (boilerplate corpus), 50 more spread thinly. Naive self-join puts
+    // all 300 rows (and 300*299/2 pair outputs) in one task.
+    val hot = (1L to 300L).map(d => (d, 0, 7L, "en"))
+    val thin = (301L to 350L).map(d => (d, 1, d % 25, "en"))
+    val banded = (hot ++ thin).toDF("doc_id", "band", "bkey", "lang")
+    val keys = Seq("band", "bkey", "lang")
+    def pairSet(thr: Int) = ops.ShardedSelfJoin.pairs(banded, keys, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = pairSet(Int.MaxValue) // S=1 everywhere — the original join
+    naive.size shouldBe 300 * 299 / 2 + (thin.groupBy(_._3).map(g => g._2.size * (g._2.size - 1) / 2).sum)
+    val sharded = pairSet(64) // hot bucket → ceil(300/64)=5 shards, 15 cells
+    sharded should equal(naive) // sharding must not change the pair set
+    // bounded task input: no (keys, p, q) join cell on either side may
+    // exceed ~threshold rows (that is what lands in one task's hash/sort
+    // buffer for the bucket)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val shardedRows = banded
+      .withColumn("nsh", ceil(count(lit(1)).over(w) / lit(64.0)).cast("int"))
+      .withColumn("srow", pmod(xxhash64(col("doc_id")), col("nsh")).cast("int"))
+    val aCell = shardedRows
+      .withColumn("p", col("srow"))
+      .withColumn("q", explode(sequence(col("srow"), col("nsh") - 1)))
+      .groupBy((keys ++ Seq("p", "q")).map(col): _*).count()
+      .agg(max("count")).head().getLong(0)
+    val bCell = shardedRows
+      .withColumn("q", col("srow"))
+      .withColumn("p", explode(sequence(lit(0), col("srow"))))
+      .groupBy((keys ++ Seq("p", "q")).map(col): _*).count()
+      .agg(max("count")).head().getLong(0)
+    // 300 rows over 5 hash shards averages 60/cell-side; allow hash
+    // imbalance up to 2x the threshold before calling it unbounded
+    aCell should be <= 128L
+    bCell should be <= 128L
+    // and the production queries still run green through the sharded path
+    // at a tiny threshold (llm_simhash carries its signature through it)
+    val key = "spark.graft.lsh.shardThreshold"
+    spark.conf.set(key, "8")
+    try {
+      val base = queries.Sketches.llmSimhash(spark, sfDir).collect()
+      spark.conf.unset(key)
+      val unsharded = queries.Sketches.llmSimhash(spark, sfDir).collect()
+      base should equal(unsharded)
+    } finally spark.conf.unset(key)
+  }
+
   test("GraftExtensions injects without error; graft_dot evaluates via SQL") {
     // applying the extensions to a fresh SparkSessionExtensions must
     // register both builders without throwing
