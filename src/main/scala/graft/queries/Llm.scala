@@ -148,13 +148,15 @@ object Llm {
     // probes the vocab size with an eager count at plan-build time —
     // fine locally, but a 100 TB job should pin "array" (or "bitmask"
     // for known-small vocabs) to avoid the extra scan.
-    val useBitmask =
+    lazy val useBitmask =
       s.conf.get("spark.graft.jaccard.setRepr", "auto") match {
         case "bitmask" => true
         case "array"   => false
         case _         => dfTok.count() <= 64
       }
-    val sets =
+    // lazy: the "stream" intersect path below never touches per-doc sets,
+    // so it must not pay the auto-mode vocab probe either
+    lazy val sets =
       if (useBitmask) {
         val wVocab = Window.orderBy("token") // ≤ 64 rows: single partition is fine
         val tokenIds = dfTok.select("token")
@@ -171,14 +173,40 @@ object Llm {
         tok.groupBy("doc_id").agg(array_sort(collect_set("token")).as("m"))
           .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
       }
-    val interExpr =
+    lazy val interExpr =
       if (sets.schema("m").dataType == org.apache.spark.sql.types.LongType)
         expr("bit_count(ma & mb)")
       else size(array_intersect(col("ma"), col("mb")))
-    // rejoin per-document sets via shuffle equi-joins on doc id — `sets`
-    // is per-document state (one mask/array per doc), so broadcasting it
-    // is O(corpus); the merge hint pins the SMJ plan at every scale
-    cand
+    // Intersection strategy (spark.graft.jaccard.intersect):
+    //  - "arrays" (default): rejoin per-document sets via shuffle
+    //    equi-joins on doc id and intersect in-row. `sets` is
+    //    per-document state (one mask/array per doc), so broadcasting it
+    //    is O(corpus); the merge hint pins the SMJ plan at every scale.
+    //  - "stream": never materialize per-doc arrays — count shared
+    //    tokens by joining the candidate pairs back to the NARROW token
+    //    stream twice (on doc_a, then on (doc_b, token)) and groupBy
+    //    pair. The oracle SQL's shape. Every candidate shares >= 1 block
+    //    token, so no pair drops out of the count.
+    //    Measured at sf0.1 local[32] (hermetic min-of-3, round 4):
+    //    arrays 10.2 s, stream 27.1 s — on this dup-dense fixture the
+    //    759k candidates × ~25 tokens explode to ~19M narrow rows
+    //    through two joins, far heavier than the ~25-element arrays
+    //    through 2 SMJs, so arrays stays the default. Kept
+    //    conf-switchable because the winner flips with corpus shape:
+    //    very long docs (KB-size arrays through the SMJs) favor stream.
+    if (s.conf.get("spark.graft.jaccard.intersect", "arrays") == "stream") {
+      val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val ni = cand
+        .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
+        .join(tok.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      ni
+        .join(nt.select(col("doc_id").as("doc_a"), col("nt").as("na")).hint("merge"), "doc_a")
+        .join(nt.select(col("doc_id").as("doc_b"), col("nt").as("nb")).hint("merge"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
+        .where(col("jac") >= 0.8)
+    } else cand
       .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na")).hint("merge"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb")).hint("merge"), "doc_b")
       .withColumn("ni", interExpr)

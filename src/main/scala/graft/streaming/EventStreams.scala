@@ -20,6 +20,16 @@ case class FunnelUpdate(user_id: Long, view_s: Long,
                         click_s: Option[Long], purchase_s: Option[Long],
                         converted: Int)
 
+/** One increment per (user, cohort, day-offset), emitted exactly once by
+  * `retentionIncrements` — the streaming twin of queries.Events
+  * .evRetention (count increments per (cohort_day, offset) downstream). */
+case class RetentionInc(cohort_day: Long, offset: Long)
+
+/** One event-type trigram per user-sequence position, emitted by
+  * `pathTrigrams` — the streaming twin of queries.Events.evUserPath
+  * (count per (e0,e1,e2) downstream; top-k is a query on the counts). */
+case class PathTrigram(e0: String, e1: String, e2: String)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -130,6 +140,71 @@ object EventStreams {
               if (tp < 0) None else Some(tp / 1000),
               if (tp < 0) 0 else 1))
           else Iterator.empty
+      }
+  }
+
+  /** ev_retention twin: incremental cohort analytics (SURVEY §8 round-3
+    * candidate, built round 4). Keyed state per user is 16 bytes — the
+    * UTC cohort day plus a bitmask of day-offsets 0..7 already emitted —
+    * so each (user, offset) produces EXACTLY ONE RetentionInc and a
+    * downstream running `count` per (cohort_day, offset) equals the
+    * batch `countDistinct(user_id)` without any distinct state. That is
+    * the 100 TB story: no re-scan of history, no unbounded state, and
+    * the counts sink is update-mode incremental.
+    *
+    * Stream/batch divergence: the cohort is the earliest day seen SO
+    * FAR — an event for an even-earlier day arriving later would
+    * re-base the cohort in batch but cannot retract already-emitted
+    * increments here (same in-order caveat as `funnelState`, which
+    * StreamingSpec's feeds respect). Days are UTC epoch-days, matching
+    * the batch `to_date` under the repo-wide UTC session. */
+  def retentionIncrements(events: Dataset[Ev]): Dataset[RetentionInc] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RetentionInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (cohort, mask) = state.getOption.getOrElse(
+            (evs.head.ts.getTime / 86400000L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetentionInc]
+          evs.foreach { e =>
+            val off = e.ts.getTime / 86400000L - cohort
+            if (off >= 0 && off <= 7 && ((mask >> off) & 1L) == 0L) {
+              mask |= 1L << off
+              out += RetentionInc(cohort, off)
+            }
+          }
+          state.update((cohort, mask))
+          out.iterator
+      }
+  }
+
+  /** ev_user_path twin: per-user event-type trigram stream. State is the
+    * last two event types per user (two short strings — bounded,
+    * evictable by TTL in a real deployment); each arriving event emits
+    * at most one PathTrigram, so a downstream count per (e0, e1, e2) is
+    * incremental and the batch top-20 is a plain query over that counts
+    * table (global top-k inside the stream would force complete mode —
+    * the counts-sink + query split is the scale-correct shape). In-order
+    * arrival gives exact batch parity (StreamingSpec). */
+  def pathTrigrams(events: Dataset[Ev]): Dataset[PathTrigram] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, String), PathTrigram](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Ev], state: GroupState[(String, String)]) =>
+          // "" sentinels: event_type is never empty in the model
+          var (p2, p1) = state.getOption.getOrElse(("", ""))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PathTrigram]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (p2.nonEmpty && p1.nonEmpty) out += PathTrigram(p2, p1, e.event_type)
+            p2 = p1; p1 = e.event_type
+          }
+          state.update((p2, p1))
+          out.iterator
       }
   }
 

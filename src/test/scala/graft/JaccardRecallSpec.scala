@@ -70,6 +70,21 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.95 // 4-band minhash: 1-(1-j)^4 ≥ 0.97 at j=0.6
   }
 
+  test("stream-intersect mode produces the identical jaccard pair list") {
+    // spark.graft.jaccard.intersect=stream computes intersections by
+    // token-stream join instead of per-doc arrays — same exact Jaccard,
+    // pinned here so the conf path can't drift (it lost the round-4
+    // bench 27.1 s vs 10.2 s but remains the right shape for corpora
+    // with very long documents).
+    val base = Llm.llmJaccardPairs(spark, sfDir).collect()
+    val key = "spark.graft.jaccard.intersect"
+    spark.conf.set(key, "stream")
+    try {
+      val stream = Llm.llmJaccardPairs(spark, sfDir).collect()
+      stream should equal(base)
+    } finally spark.conf.unset(key)
+  }
+
   test("llm_simhash hamming<=6 recall vs jac>=0.9 truth is >= 0.45 (measured; precision-oriented by design)") {
     // simhash trades recall for precision (SketchSpec pins precision
     // >= 0.8; measured 0.958 at this point). 64-bit simhash over ~25-

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 import graft.streaming.{Ev, EventStreams}
@@ -182,6 +183,79 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     last(1L) shouldBe ((s(10), Some(s(20)), Some(s(30)), 1))
     last(2L) shouldBe ((s(15), Some(s(25)), None, 0))
     last(3L) shouldBe ((s(8), None, None, 0))
+  }
+
+  test("retentionIncrements counts match batch cohort retention across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dts(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    // user 1: days 0,1,3 (+ a dup on day 1 → one increment only);
+    // user 2: days 1,2; user 3: day 0 only; day 9 for user 3 is past the
+    // 0..7 offset window and must emit nothing
+    val batch1 = Seq(
+      Ev(1, dts(0, 10), 1, "view", 1.0), Ev(2, dts(1, 20), 1, "click", 1.0),
+      Ev(3, dts(1, 30), 2, "view", 1.0), Ev(4, dts(0, 40), 3, "view", 1.0))
+    val batch2 = Seq(
+      Ev(5, dts(1, 50), 1, "view", 1.0), Ev(6, dts(3, 10), 1, "purchase", 1.0),
+      Ev(7, dts(2, 15), 2, "click", 1.0), Ev(8, dts(9, 5), 3, "view", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(batch1: _*)
+    val q = EventStreams.retentionIncrements(stream.toDS())
+      .writeStream.format("memory").queryName("ret").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    // one increment per (user, offset) → counting them per (cohort,
+    // offset) IS countDistinct(user_id); compare against the batch
+    // retention computed the evRetention way on the union of both batches
+    val streamedCounts = spark.table("ret")
+      .groupBy("cohort_day", "offset").count()
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val all = (batch1 ++ batch2).toDF()
+    val e = all.select(col("user_id"), org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+    val first = e.groupBy("user_id").agg(org.apache.spark.sql.functions.min("day").as("cohort"))
+    val batchCounts = e.join(first, "user_id")
+      .withColumn("offset", org.apache.spark.sql.functions.datediff(col("day"), col("cohort")).cast("long"))
+      .where(col("offset") <= 7)
+      .groupBy("cohort", "offset")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n_active"))
+      .collect().map(r => ((r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)), r.getLong(2))).toMap
+    streamedCounts should equal(batchCounts)
+  }
+
+  test("pathTrigrams counts match the batch trigram window across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1 path split across microbatches: view,click,view | purchase
+    //   → trigrams (view,click,view), (click,view,purchase)
+    // user 2: view,view only → no trigram
+    val batch1 = Seq(
+      Ev(1, ts(1), 1, "view", 1.0), Ev(2, ts(2), 1, "click", 1.0),
+      Ev(3, ts(3), 1, "view", 1.0), Ev(4, ts(1), 2, "view", 1.0))
+    val batch2 = Seq(
+      Ev(5, ts(9), 1, "purchase", 1.0), Ev(6, ts(4), 2, "view", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(batch1: _*)
+    val q = EventStreams.pathTrigrams(stream.toDS())
+      .writeStream.format("memory").queryName("paths").outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("paths")
+      .groupBy("e0", "e1", "e2").count()
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    // batch twin: the evUserPath lead-window shape on the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val batchTri = (batch1 ++ batch2).toDF()
+      .withColumn("t1", org.apache.spark.sql.functions.lead("event_type", 1).over(w))
+      .withColumn("t2", org.apache.spark.sql.functions.lead("event_type", 2).over(w))
+      .where(col("t2").isNotNull)
+      .groupBy(col("event_type"), col("t1"), col("t2")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3))).toMap
+    streamed should equal(batchTri)
+    streamed((("view", "click", "view"))) shouldBe 1L
   }
 
   test("runningUserState matches batch ev_stateful on the same input") {
