@@ -146,14 +146,93 @@ object Textops {
       .orderBy("test_doc")
   }
 
+  /** llm_repetition — repetition/boilerplate quality filters per doc
+    * (the Gopher/C4 family: machine-generated and boilerplate text is
+    * dominated by repeated tokens and repeated n-grams):
+    *   max_run       longest run of one token repeated consecutively
+    *   top_frac      most-frequent-token count / n_tok
+    *   dup_tri_frac  1 − distinct trigrams / total trigrams
+    *   rep_flag      1 if any metric crosses its filter threshold
+    * All inputs are integer counts; the two fractions round through
+    * Det.r4, so the flag comparisons are engine-deterministic. Scale:
+    * one explode + three per-doc aggregations (window run-length
+    * encoding shuffles by doc_id, the partition key everything else in
+    * the pipeline already uses) — no joins wider than doc_id. */
+  val llmRepetition: Q = (s, d) => {
+    val tp = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "t")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // run-length encoding: a segment id that increments on token change
+    val runs = tp
+      .withColumn("chg",
+        when(lag("t", 1).over(w).isNull || col("t") =!= lag("t", 1).over(w), 1)
+          .otherwise(0))
+      .withColumn("seg", sum("chg").over(w))
+    val maxRun = runs.groupBy("doc_id", "seg").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    val tokStats = tp.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_tok"), max("c").as("top_c"))
+    val tri = tp
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
+      .where(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("t1"), col("t2")).as("tri"))
+    val triStats = tri.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct("tri").as("n_tri_d"))
+    val topFrac = r4(col("top_c") * lit(1.0) / col("n_tok"))
+    val dupFrac = r4(lit(1.0) - col("n_tri_d") * lit(1.0) / col("n_tri"))
+    tokStats.join(maxRun, "doc_id")
+      .join(triStats, Seq("doc_id"), "left") // <3-token docs have no trigrams
+      .select(col("doc_id"), col("n_tok"), col("max_run"),
+        topFrac.as("top_frac"),
+        coalesce(dupFrac, lit(0.0)).as("dup_tri_frac"))
+      .withColumn("rep_flag",
+        (col("max_run") >= 3 || col("top_frac") >= 0.2 || col("dup_tri_frac") >= 0.5)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
     "llm_regex_tokens"   -> llmRegexTokens,
     "llm_contamination"  -> llmContamination,
+    "llm_repetition"     -> llmRepetition,
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_repetition" ->
+      s"""WITH tp AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+        |  unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+        | FROM documents),
+        |runs AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN lag(t) OVER w IS NULL OR t <> lag(t) OVER w THEN 1 ELSE 0 END AS chg
+        | FROM tp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |seg AS (SELECT doc_id, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS s FROM runs),
+        |mr AS (SELECT doc_id, max(c) AS max_run FROM (
+        |  SELECT doc_id, s, count(*) AS c FROM seg GROUP BY doc_id, s) GROUP BY doc_id),
+        |ts AS (SELECT doc_id, sum(c) AS n_tok, max(c) AS top_c FROM (
+        |  SELECT doc_id, t, count(*) AS c FROM tp GROUP BY doc_id, t) GROUP BY doc_id),
+        |tri AS (
+        | SELECT doc_id, unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |   for i in generate_series(1, len(l) - 2)]) AS tri
+        | FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        | WHERE len(l) >= 3),
+        |tst AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tri) AS n_tri_d
+        |        FROM tri GROUP BY doc_id)
+        |SELECT ts.doc_id, CAST(ts.n_tok AS BIGINT) AS n_tok,
+        | CAST(mr.max_run AS BIGINT) AS max_run,
+        | ${r4Sql("ts.top_c * 1.0 / ts.n_tok")} AS top_frac,
+        | coalesce(${r4Sql("1.0 - tst.n_tri_d * 1.0 / tst.n_tri")}, 0.0) AS dup_tri_frac,
+        | CAST(CASE WHEN mr.max_run >= 3 OR ${r4Sql("ts.top_c * 1.0 / ts.n_tok")} >= 0.2
+        |  OR coalesce(${r4Sql("1.0 - tst.n_tri_d * 1.0 / tst.n_tri")}, 0.0) >= 0.5
+        |  THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+        |FROM ts JOIN mr ON mr.doc_id = ts.doc_id
+        | LEFT JOIN tst ON tst.doc_id = ts.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
     "llm_ngram_jaccard" ->
       s"""WITH sh AS (
         | SELECT DISTINCT doc_id, lang,

@@ -86,6 +86,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     ng should include regex "SortMergeJoin \\[doc_b"
   }
 
+  test("sharded band self-join: equi-join on bucket+cell keys, hot-bucket list broadcasts") {
+    // the candidate join must stay a hash/merge EQUI-join on
+    // (band, bkey, lang, p, q) — a nested-loop fallback would be the
+    // quadratic shape sharding exists to prevent — and the oversized-
+    // bucket annotation must reach the banded frame as a BROADCAST left
+    // join (shuffling the banded frame to annotate it would defeat the
+    // no-extra-shuffle design of ShardedSelfJoin)
+    for (q <- Seq(queries.Sketches.llmMinhash(spark, sfDir),
+                  queries.Sketches.llmSimhash(spark, sfDir))) {
+      val plan = planOf(q)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include("BroadcastHashJoin") // bucket-size annotation
+    }
+  }
+
   test("llm_quality_score / llm_lang_id derive top-K vocab via TakeOrderedAndProject") {
     // global Window.orderBy (no partitionBy) would funnel the whole
     // vocabulary through one task; orderBy+limit is per-partition top-K
