@@ -51,32 +51,47 @@ object CorpusPrep {
 
     // 3. near dedup on the original operator's pair semantics (blocked
     //    jaccard over the raw text — cleaning must not change identity),
-    //    bounded min-label propagation, keep cluster representative
+    //    bounded min-label propagation, keep cluster representative.
+    //    spark.graft.cc.algo=lss swaps in large-star/small-star
+    //    (ops/ConnectedComponents — O(log d) rounds for high-diameter
+    //    dup graphs), identical labels whenever min-label converges
+    //    within its bounded rounds (CorpusPrepSpec pins the equality).
     val pairs = graft.queries.Llm.jaccardPairsUnsorted(spark, sfDir)
       .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b")
     val ids = exact.select(col("doc_id"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      .join(ids.select(col("doc_id").as("src")), Seq("src"))
-      .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
-      .repartition(col("src"))
-      .persist()
-    // monotone-sum convergence early-exit (see Extras.llmDedupCluster):
-    // exiting at the fixpoint yields labels identical to all K rounds
-    var labels = ids.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
-    for (_ <- 1 to labelRounds if !converged) {
-      labels = graft.ops.Lineage.cut(
-        edges.join(labels, col("dd") === col("src"))
-          .groupBy(col("dst")).agg(min("lbl").as("lbl"))
-          .select(col("dst").as("dd"), col("lbl")))
-      val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      prevSum = s
+    val labels = if (spark.conf.get("spark.graft.cc.algo", "minlabel") == "lss") {
+      val e = pairs
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .join(ids.select(col("doc_id").as("src")), Seq("src"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+      val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(e)
+      ids.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))
+    } else {
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+        .join(ids.select(col("doc_id").as("src")), Seq("src"))
+        .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
+        .repartition(col("src"))
+        .persist()
+      // monotone-sum convergence early-exit (see Extras.llmDedupCluster):
+      // exiting at the fixpoint yields labels identical to all K rounds
+      var lbl = ids.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
+      var prevSum: java.math.BigDecimal = null
+      var converged = false
+      for (_ <- 1 to labelRounds if !converged) {
+        lbl = graft.ops.Lineage.cut(
+          edges.join(lbl, col("dd") === col("src"))
+            .groupBy(col("dst")).agg(min("lbl").as("lbl"))
+            .select(col("dst").as("dd"), col("lbl")))
+        val s = lbl.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+        converged = prevSum != null && s.compareTo(prevSum) == 0
+        prevSum = s
+      }
+      edges.unpersist()
+      lbl
     }
-    edges.unpersist()
     val reps = labels.groupBy("lbl").agg(min("dd").as("doc_id"))
       .select(col("doc_id"), col("lbl").as("cluster"))
     val nearDeduped = exact

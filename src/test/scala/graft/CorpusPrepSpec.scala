@@ -27,6 +27,18 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 0L
   }
 
+  test("lss clustering produces the identical pipeline output") {
+    // spark.graft.cc.algo=lss swaps the min-label loop for large-star/
+    // small-star; on a converging fixture both fixpoints are min-doc_id
+    // per component, so the full pipeline output must be row-identical
+    val key = "spark.graft.cc.algo"
+    spark.conf.set(key, "lss")
+    try {
+      val lss = CorpusPrep.run(spark, sfDir).collect()
+      lss should equal(out.collect())
+    } finally spark.conf.unset(key)
+  }
+
   test("no stopword survives cleaning") {
     val tok = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("token"))
