@@ -11,9 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 CLASSES=target/scala-2.13/classes
-if [ ! -f "$CLASSES/graft/Bench.class" ]; then
-  sbt -error compile 1>&2
-fi
+# always compile (no-op when fresh, goes to stderr): benching stale
+# classes would silently measure old code
+sbt -error compile 1>&2
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
