@@ -67,6 +67,71 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("sharded self-join equals nested-loop bucket pairs on random layouts and thresholds") {
+    // the triangle-cell decomposition's pairing logic is subtle (the
+    // round-4 off-diagonal ordering bug survived an example-based test
+    // until SkewSpec grew an adversarial case) — randomize layouts so
+    // regressions can't hide in a fixed fixture. 8 seeded cases, each a
+    // small Spark job against a Scala nested-loop oracle.
+    import spark.implicits._
+    val genLayout: Gen[(List[(Long, Long)], Int)] = for {
+      n <- Gen.choose(10, 120)
+      nBuckets <- Gen.choose(1, 6)
+      buckets <- Gen.listOfN(n, Gen.choose(0L, nBuckets - 1L))
+      thr <- Gen.choose(1, 50)
+    } yield (buckets.zipWithIndex.map { case (b, i) => (i.toLong, b) }, thr)
+    (1 to 8).foreach { i =>
+      genLayout.apply(Gen.Parameters.default, Seed(900L + i)).foreach {
+        case (rows, thr) =>
+          val banded = rows.toDF("doc_id", "bkey")
+          val got = ops.ShardedSelfJoin.pairs(banded, Seq("bkey"), thr)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val want = (for {
+            (a, ba) <- rows; (b, bb) <- rows
+            if ba == bb && a < b
+          } yield (a, b)).toSet
+          got should equal(want)
+      }
+    }
+  }
+
+  test("large-star/small-star labels equal union-find components on random graphs") {
+    import spark.implicits._
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(5L, 60L)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1); b <- Gen.choose(0L, n - 1)
+      } yield (a, b))
+    } yield edges
+    (1 to 8).foreach { i =>
+      genGraph.apply(Gen.Parameters.default, Seed(700L + i)).foreach { edges =>
+        val (labels, _) = ops.ConnectedComponents.largeStarSmallStar(
+          edges.toDF("src", "dst"))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // Scala union-find oracle over the same edges
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val nonIsolated = nodes.filter(u => edges.exists(e =>
+          (e._1 == u || e._2 == u) && e._1 != e._2))
+        val want = nonIsolated.map { u =>
+          // component min = min over the component via root grouping
+          val root = find(u)
+          u -> nonIsolated.filter(v => find(v) == root).min
+        }.toMap
+        got should equal(want)
+      }
+    }
+  }
+
   test("r4 is idempotent and order-independent on representable values") {
     import graft.ops.Det
     val df = spark.range(1000).select(
