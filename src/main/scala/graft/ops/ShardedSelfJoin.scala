@@ -24,8 +24,16 @@ import org.apache.spark.sql.functions._
   * while per-task input is bounded by ~2·threshold rows per cell and a
   * hot bucket fans out over S(S+1)/2 independent tasks. Buckets at or
   * under the threshold get S=1 → single cell (0,0) → exactly the
-  * original join, so the normal path pays only the bucket-size window
-  * count (one extra shuffle of the narrow banded frame).
+  * original join, so the normal path pays only the oversized-bucket
+  * broadcast annotation (no extra shuffle).
+  *
+  * Escalation note: sharding bounds task INPUT, not pair OUTPUT — a
+  * bucket of B rows still owes B²/2 pairs, just spread fairly. For a
+  * truly degenerate bucket (millions of byte-identical boilerplate
+  * docs) the right move is upstream of this join: exact-dedup first
+  * (llm_exact_dedup collapses identical texts to one representative),
+  * or cap the bucket to a representative sample — a semantics change
+  * that needs a per-pipeline decision, not a silent default here.
   */
 object ShardedSelfJoin {
 
