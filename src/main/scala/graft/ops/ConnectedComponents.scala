@@ -77,7 +77,11 @@ object ConnectedComponents {
         count(lit(1)).as("n"),
         sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")).as("h")).head()
       val sig = (r.getLong(0), r.getDecimal(1))
-      stable = prev != null && sig._1 == prev._1 && sig._2.compareTo(prev._2) == 0
+      // n == 0 → no edges at all (input was empty or all self-loops):
+      // already at the fixpoint, and the hash-sum is NULL — comparing it
+      // would NPE on the next round
+      stable = sig._1 == 0L ||
+        (prev != null && sig._1 == prev._1 && sig._2.compareTo(prev._2) == 0)
       prev = sig
     }
     val labels = e.select(col("src").as("node"), col("dst").as("label"))

@@ -85,6 +85,23 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     rounds should be <= 7
   }
 
+  test("large-star/small-star handles degenerate graphs: empty, self-loop-only, single edge") {
+    // a self-loop-only graph collapses to ZERO edges after cleaning; the
+    // convergence check must treat the empty set as the fixpoint instead
+    // of comparing a NULL hash-sum (NPE found by review, round 4)
+    import spark.implicits._
+    val selfOnly = Seq((5L, 5L), (9L, 9L)).toDF("src", "dst")
+    val (l1, r1) = ops.ConnectedComponents.largeStarSmallStar(selfOnly)
+    l1.count() shouldBe 0L
+    r1 shouldBe 1
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    ops.ConnectedComponents.largeStarSmallStar(empty)._1.count() shouldBe 0L
+    val one = Seq((7L, 3L)).toDF("src", "dst")
+    val (l3, _) = ops.ConnectedComponents.largeStarSmallStar(one)
+    l3.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((7L, 3L), (3L, 3L))
+  }
+
   test("lss cluster assignment matches the converged min-label assignment on the real near-dup graph") {
     // on any graph where min-label reaches its fixpoint within 8 rounds
     // (the sf0.001 fixture does — the convergence exit fires), the two
