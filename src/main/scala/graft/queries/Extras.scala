@@ -391,7 +391,50 @@ object Extras {
       .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("lang", "split")
 
+  /** llm_dedup_incremental — dedup a NEW ingest batch against the
+    * EXISTING corpus (the daily-refresh shape: yesterday's corpus is
+    * immutable, only today's batch needs a verdict). Old/new membership
+    * is the reproducible md5-bucket rule (old = bucket < 80, the
+    * llm_split train side); per new doc:
+    *   dup_exact  1 if its sha256(text) already exists in the old corpus
+    *   n_near_old count of old docs with token-set jaccard ≥ 0.8
+    *   keep       1 iff neither
+    * Scale: the exact check is one anti-join-shaped hash lookup on the
+    * 256-bit digest; the near check REUSES the full-corpus rarity-block
+    * pair machinery and just classifies pair endpoints by the bucket
+    * rule re-derived from doc_id (no extra join, no per-doc state) —
+    * at 100 TB the old side's token/df/block tables are precomputed
+    * artifacts of the previous run, so the marginal cost is the new
+    * batch's blocks only. */
+  val llmDedupIncremental: Q = (s, d) => {
+    // the llm_split md5-bucket rule as a Column function
+    def bkt(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 100
+    val docs = Tables.documents(s, d).withColumn("bucket", bkt(col("doc_id")))
+    val oldSha = docs.where(col("bucket") < 80)
+      .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+      .withColumn("dup", lit(1L))
+    val newDocs = docs.where(col("bucket") >= 80)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("h"))
+    val withExact = newDocs.join(oldSha, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup_exact"))
+    // endpoint classification re-derives the bucket from the id — pairs
+    // carry only (doc_a, doc_b), nothing joins back to the corpus
+    val pairs = Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b")
+    val nearOld = pairs.select(col("doc_a").as("nid"), col("doc_b").as("oid"))
+      .union(pairs.select(col("doc_b").as("nid"), col("doc_a").as("oid")))
+      .where(bkt(col("nid")) >= 80 && bkt(col("oid")) < 80)
+      .groupBy("nid").agg(count(lit(1)).as("n_near_old"))
+    withExact.join(nearOld, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"), col("dup_exact"),
+        coalesce(col("n_near_old"), lit(0L)).as("n_near_old"))
+      .withColumn("keep",
+        (col("dup_exact") === 0 && col("n_near_old") === 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_sample_balanced" -> llmSampleBalanced,
     "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
@@ -448,6 +491,30 @@ object Extras {
   }.mkString(",\n")
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_incremental" ->
+      s"""WITH $jaccardCtes,
+        |bk AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        | FROM documents),
+        |oldsha AS (SELECT DISTINCT sha256(d.text) AS h
+        | FROM documents d JOIN bk ON bk.doc_id = d.doc_id WHERE bk.b < 80),
+        |newdocs AS (SELECT d.doc_id, sha256(d.text) AS h
+        | FROM documents d JOIN bk ON bk.doc_id = d.doc_id WHERE bk.b >= 80),
+        |sym AS (SELECT doc_a AS nid, doc_b AS oid FROM pairs
+        |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nearold AS (
+        | SELECT s.nid, count(*) AS n_near_old
+        | FROM sym s JOIN bk bn ON bn.doc_id = s.nid JOIN bk bo ON bo.doc_id = s.oid
+        | WHERE bn.b >= 80 AND bo.b < 80 GROUP BY s.nid)
+        |SELECT n.doc_id,
+        | CAST(CASE WHEN o.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_exact,
+        | CAST(coalesce(no.n_near_old, 0) AS BIGINT) AS n_near_old,
+        | CAST(CASE WHEN o.h IS NULL AND coalesce(no.n_near_old, 0) = 0
+        |  THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM newdocs n
+        | LEFT JOIN oldsha o ON o.h = n.h
+        | LEFT JOIN nearold no ON no.nid = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "llm_sample_balanced" ->
       """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
         |rates AS (SELECT lang, (SELECT min(n_l) FROM counts) * 1.0 / n_l AS rate FROM counts)
