@@ -181,6 +181,44 @@ object EventStreams {
       }
   }
 
+  /** Same retention increments on the Spark 4 `transformWithState` API
+    * (explicit named ValueState, TTL-capable, RocksDB-friendly) — the
+    * preferred shape for new 100 TB pipelines, mirroring
+    * RunningUserStateProcessor for the running-state twin. */
+  class RetentionProcessor extends StatefulProcessor[Long, Ev, RetentionInc] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "cohortMask", Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[RetentionInc] = {
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var (cohort, mask) = if (state.exists()) state.get()
+                           else (evs.head.ts.getTime / 86400000L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[RetentionInc]
+      evs.foreach { e =>
+        val off = e.ts.getTime / 86400000L - cohort
+        if (off >= 0 && off <= 7 && ((mask >> off) & 1L) == 0L) {
+          mask |= 1L << off
+          out += RetentionInc(cohort, off)
+        }
+      }
+      state.update((cohort, mask))
+      out.iterator
+    }
+  }
+
+  /** ev_retention twin on transformWithState (see processor above). */
+  def retentionIncrementsTws(events: Dataset[Ev]): Dataset[RetentionInc] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** ev_user_path twin: per-user event-type trigram stream. State is the
     * last two event types per user (two short strings — bounded,
     * evictable by TTL in a real deployment); each arriving event emits

@@ -224,6 +224,42 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     streamedCounts should equal(batchCounts)
   }
 
+  test("transformWithState retention twin emits the same increments as mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def dts(day: Int, minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d ${minute / 60}%02d:${minute % 60}%02d:00")
+    val batch1 = Seq(
+      Ev(1, dts(0, 10), 1, "view", 1.0), Ev(2, dts(1, 20), 1, "click", 1.0),
+      Ev(3, dts(1, 30), 2, "view", 1.0))
+    val batch2 = Seq(
+      Ev(4, dts(3, 10), 1, "purchase", 1.0), Ev(5, dts(2, 15), 2, "click", 1.0))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val tws = MemoryStream[Ev]
+      tws.addData(batch1: _*)
+      val q1 = EventStreams.retentionIncrementsTws(tws.toDS())
+        .writeStream.format("memory").queryName("rettws").outputMode(OutputMode.Append).start()
+      q1.processAllAvailable()
+      tws.addData(batch2: _*)
+      q1.processAllAvailable(); q1.stop()
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val mgs = MemoryStream[Ev]
+    mgs.addData(batch1: _*)
+    val q2 = EventStreams.retentionIncrements(mgs.toDS())
+      .writeStream.format("memory").queryName("retmgs").outputMode(OutputMode.Append).start()
+    q2.processAllAvailable()
+    mgs.addData(batch2: _*)
+    q2.processAllAvailable(); q2.stop()
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    rows("rettws") should equal(rows("retmgs"))
+    rows("rettws").nonEmpty shouldBe true
+  }
+
   test("pathTrigrams counts match the batch trigram window across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
