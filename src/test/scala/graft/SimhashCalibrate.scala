@@ -50,19 +50,31 @@ object SimhashCalibrate {
       .select("da", "db", "ham").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
 
-    // banded candidates (what llm_simhash actually considers)
-    val banded = sigs
-      .withColumn("band", explode(expr("sequence(0, 3)")))
-      .withColumn("bkey", expr("(sh >> (band * 16)) & 65535"))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded candidates under both geometries: the shipped 4×16 (Manku
+    // k=3 guarantee) and the hypothetical 8×8 (k=7 guarantee but
+    // 256-value buckets → candidate volume ~n²/32 per lang at scale)
+    def bandCands(nBands: Int, bits: Int): Set[(Long, Long)] = {
+      val mask = (1L << bits) - 1
+      val banded = sigs
+        .withColumn("band", explode(expr(s"sequence(0, ${nBands - 1})")))
+        .withColumn("bkey", expr(s"(sh >> (band * $bits)) & $mask"))
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val cands = bandCands(4, 16)
+    val cands8 = bandCands(8, 8)
+    println(s"candidate volume: 4x16 -> ${cands.size}, 8x8 -> ${cands8.size}")
 
     for (t <- 2 to 8) {
       val allT = hamAll.filter(_._2 <= t).keySet
       val bandT = allT & cands
+      val band8T = allT & cands8
+      def r90(f: Set[(Long, Long)]) =
+        if (truth90.isEmpty) 0.0 else (f & truth90).size.toDouble / truth90.size
+      println(f"  8x8 at ham<=$t: pairs=${band8T.size}%5d recall90=${r90(band8T)}%.3f")
       def rec(found: Set[(Long, Long)], truth: Set[(Long, Long)]) =
         if (truth.isEmpty) 0.0 else (found & truth).size.toDouble / truth.size
       def prec(found: Set[(Long, Long)], truth: Set[(Long, Long)]) =
