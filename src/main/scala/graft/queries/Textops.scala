@@ -193,15 +193,57 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** Lookahead-free PII patterns — identical semantics under Java regex
+    * (Spark codegen) and RE2 (DuckDB), same compatibility rule as
+    * llm_regex_tokens. Redaction order is email → ipv4 → phone so an
+    * address like `a@1.2.3.4` is consumed as one email before the ip
+    * pass sees it; the patterns are otherwise disjoint (an ipv4 is four
+    * 1-3-digit groups; the phone shape is 3-3-4). */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** llm_pii_scrub — PII redaction pass of a training-data pipeline:
+    * count and replace emails / IPv4s / NANP-shaped phone numbers with
+    * typed placeholder tokens. One projection — no shuffle, no UDF; the
+    * regexes stay inside codegen'd string expressions, which is what
+    * makes this viable as a full-corpus pass at 100 TB. The synthetic
+    * fixture contains no PII (counts are zero, text passes through), so
+    * the oracle validates the cross-engine rails; PiiScrubSpec feeds
+    * synthesized PII documents through the same query and pins the
+    * actual redaction behavior. */
+  val llmPiiScrub: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit(emailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(ipRe)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phone"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>")),
+          lit(phoneRe), lit("<PHONE>")).as("clean_text"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
     "llm_regex_tokens"   -> llmRegexTokens,
     "llm_contamination"  -> llmContamination,
     "llm_repetition"     -> llmRepetition,
+    "llm_pii_scrub"      -> llmPiiScrub,
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_pii_scrub" ->
+      s"""SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phone,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   text, '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+        |   '$phoneRe', '<PHONE>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_repetition" ->
       s"""WITH tp AS (
         | SELECT doc_id, unnest(string_split(text, ' ')) AS t,
