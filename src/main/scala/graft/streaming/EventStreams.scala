@@ -246,6 +246,76 @@ object EventStreams {
       }
   }
 
+  /** Funnel on transformWithState — completes the TWS migration story
+    * (running state, retention, funnel, paths all exist on the Spark 4
+    * API). Same stage semantics as `funnelState`. */
+  class FunnelProcessor extends StatefulProcessor[Long, Ev, FunnelUpdate] {
+    @transient private var state: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long)](
+        "funnelStages", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[FunnelUpdate] = {
+      var (tv, tc, tp) = if (state.exists()) state.get() else (-1L, -1L, -1L)
+      var changed = false
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "view"     if tv < 0                       => tv = t; changed = true
+          case "click"    if tv >= 0 && tc < 0 && t > tv  => tc = t; changed = true
+          case "purchase" if tc >= 0 && tp < 0 && t > tc  => tp = t; changed = true
+          case _ =>
+        }
+      }
+      state.update((tv, tc, tp))
+      if (changed && tv >= 0)
+        Iterator(FunnelUpdate(key, tv / 1000,
+          if (tc < 0) None else Some(tc / 1000),
+          if (tp < 0) None else Some(tp / 1000),
+          if (tp < 0) 0 else 1))
+      else Iterator.empty
+    }
+  }
+
+  /** ev_funnel twin on transformWithState (see processor above). */
+  def funnelStateTws(events: Dataset[Ev]): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Path trigrams on transformWithState. */
+  class PathTrigramProcessor extends StatefulProcessor[Long, Ev, PathTrigram] {
+    @transient private var state: ValueState[(String, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(String, String)](
+        "lastTwoTypes", Encoders.product[(String, String)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[PathTrigram] = {
+      var (p2, p1) = if (state.exists()) state.get() else ("", "")
+      val out = scala.collection.mutable.ArrayBuffer.empty[PathTrigram]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (p2.nonEmpty && p1.nonEmpty) out += PathTrigram(p2, p1, e.event_type)
+        p2 = p1; p1 = e.event_type
+      }
+      state.update((p2, p1))
+      out.iterator
+    }
+  }
+
+  /** ev_user_path twin on transformWithState (see processor above). */
+  def pathTrigramsTws(events: Dataset[Ev]): Dataset[PathTrigram] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PathTrigramProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** ev_stateful twin: running per-user purchase count + cumulative value
     * via mapGroupsWithState. Events inside a microbatch are folded in
     * (ts, event_id) order so replays are deterministic. */

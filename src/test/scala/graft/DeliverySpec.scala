@@ -84,6 +84,54 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     df.unpersist()
   }
 
+  test("syncPartitions rewrites only changed partitions and deletes stale ones") {
+    val tmp = Files.createTempDirectory("dlv_sync").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    orders.write.parquet(s"$tmp/src_v1")
+    // initial sync into an empty dst: every partition is "changed"
+    val (c1, s1, r1) = Deliver.syncPartitions(spark, s"$tmp/src_v1", s"$tmp/dst", "o_orderpriority")
+    s1 shouldBe empty
+    c1.toSet shouldBe orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).toSet
+    r1.rows shouldBe orders.count()
+    // no-op re-sync: nothing changed, nothing rewritten, files untouched
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(p: String): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next(); b(f.getPath.toString) = f.getModificationTime }
+      b.toMap
+    }
+    val before = mtimes(s"$tmp/dst")
+    val (c2, s2, _) = Deliver.syncPartitions(spark, s"$tmp/src_v1", s"$tmp/dst", "o_orderpriority")
+    c2 shouldBe empty
+    s2 shouldBe empty
+    mtimes(s"$tmp/dst") should equal(before)
+    // v2 source: one partition's rows change, one partition disappears
+    val pris = c1.sorted
+    val (touched, dropped) = (pris.head, pris.last)
+    orders.where(col("o_orderpriority") =!= dropped)
+      .withColumn("o_totalprice",
+        when(col("o_orderpriority") === touched, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .write.parquet(s"$tmp/src_v2")
+    val (c3, s3, r3) = Deliver.syncPartitions(spark, s"$tmp/src_v2", s"$tmp/dst", "o_orderpriority")
+    c3 shouldBe Seq(touched)
+    s3 shouldBe Seq(dropped)
+    // untouched partitions kept their files byte-for-byte (same mtimes)
+    val after = mtimes(s"$tmp/dst")
+    val untouchedBefore = before.filter { case (p, _) =>
+      !p.contains(s"o_orderpriority=$touched") && !p.contains(s"o_orderpriority=$dropped") &&
+      !p.endsWith("_SUCCESS") }
+    untouchedBefore.foreach { case (p, t) => after.get(p) shouldBe Some(t) }
+    // and the synced dst now equals src_v2 exactly
+    r3.rows shouldBe spark.read.parquet(s"$tmp/src_v2").count()
+    Deliver.verifyDelivery(spark, s"$tmp/src_v2", "parquet",
+      s"$tmp/dst", "parquet") shouldBe true
+  }
+
   test("incremental delivery ships only the delta and is idempotent") {
     val tmp = Files.createTempDirectory("dlv").toString
     val orders = Tables.orders(spark, sfDir)

@@ -294,6 +294,38 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     streamed((("view", "click", "view"))) shouldBe 1L
   }
 
+  test("TWS funnel and path twins emit the same rows as their mapGroupsWithState twins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val batch1 = Seq(
+      Ev(1, ts(10), 1, "view", 1.0), Ev(2, ts(20), 1, "click", 1.0),
+      Ev(3, ts(5), 2, "click", 1.0), Ev(4, ts(15), 2, "view", 1.0))
+    val batch2 = Seq(
+      Ev(5, ts(30), 1, "purchase", 1.0), Ev(6, ts(25), 2, "click", 1.0))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def runTws[T](name: String, f: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[T]): Unit = {
+      val st = MemoryStream[Ev]
+      st.addData(batch1: _*)
+      val q = f(st.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable(); st.addData(batch2: _*); q.processAllAvailable(); q.stop()
+    }
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runTws("funtws", EventStreams.funnelStateTws)
+      runTws("pathtws", EventStreams.pathTrigramsTws)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    runTws("funmgs", EventStreams.funnelState)
+    runTws("pathmgs", EventStreams.pathTrigrams)
+    def sorted(t: String) = spark.table(t).collect().map(_.toString).sorted.toSeq
+    sorted("funtws") should equal(sorted("funmgs"))
+    sorted("pathtws") should equal(sorted("pathmgs"))
+    sorted("funtws").nonEmpty shouldBe true
+    sorted("pathtws").nonEmpty shouldBe true
+  }
+
   test("runningUserState matches batch ev_stateful on the same input") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
