@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSession
   *   graft.delivery.DeliverMain SRC DST [--src-format F] [--dst-format F]
   *     [--schema DDL] [--partition-by c1,c2] [--repartition N]
   *     [--read-option k=v]... [--write-option k=v]... [--no-verify]
+  *     [--sync-partitions COL]   # partition-diff re-delivery instead of
+  *                               # a full copy: rewrite changed partitions,
+  *                               # delete stale ones (Deliver.syncPartitions)
   *
   * Paths go through the Hadoop FileSystem API: file:/, hdfs://, s3a://
   * all behave identically.
@@ -24,7 +27,8 @@ object DeliverMain {
       partitionBy: Seq[String] = Nil, repartition: Option[Int] = None,
       readOptions: Map[String, String] = Map.empty,
       writeOptions: Map[String, String] = Map.empty,
-      verify: Boolean = true)
+      verify: Boolean = true,
+      syncPartitionCol: Option[String] = None)
 
   private def parse(argv: List[String]): Args = {
     def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -41,6 +45,7 @@ object DeliverMain {
       case "--read-option" :: v :: t  => loop(t, acc.copy(readOptions = acc.readOptions + kv(v)))
       case "--write-option" :: v :: t => loop(t, acc.copy(writeOptions = acc.writeOptions + kv(v)))
       case "--no-verify" :: t         => loop(t, acc.copy(verify = false))
+      case "--sync-partitions" :: v :: t => loop(t, acc.copy(syncPartitionCol = Some(v)))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     argv match {
@@ -56,8 +61,16 @@ object DeliverMain {
   /** Exposed for tests: run a delivery, return (report, verified). */
   def run(spark: SparkSession, argv: Array[String]): (DeliveryReport, Boolean) = {
     val a = parse(argv.toList)
-    val report = Deliver.copy(spark, a.src, a.dst, a.srcFormat, a.dstFormat,
-      a.schema, a.readOptions, a.writeOptions, a.partitionBy, a.repartition)
+    val report = a.syncPartitionCol match {
+      case Some(c) =>
+        val (changed, stale, r) = Deliver.syncPartitions(
+          spark, a.src, a.dst, c, a.srcFormat, a.dstFormat)
+        System.err.println(
+          s"[deliver] sync rewrote ${changed.size} partition(s), deleted ${stale.size}")
+        r
+      case None => Deliver.copy(spark, a.src, a.dst, a.srcFormat, a.dstFormat,
+        a.schema, a.readOptions, a.writeOptions, a.partitionBy, a.repartition)
+    }
     val ok = !a.verify || Deliver.verifyDelivery(spark, a.src, a.srcFormat,
       a.dst, a.dstFormat, a.schema, a.readOptions, a.writeOptions)
     (report, ok)

@@ -165,6 +165,22 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     report.files should be > 0L
   }
 
+  test("DeliverMain CLI: --sync-partitions runs a verified partition-diff re-delivery") {
+    val tmp = Files.createTempDirectory("dlv_cli_sync").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    orders.write.parquet(s"$tmp/src")
+    val (r1, ok1) = graft.delivery.DeliverMain.run(spark,
+      Array(s"$tmp/src", s"$tmp/dst", "--sync-partitions", "o_orderpriority"))
+    ok1 shouldBe true
+    r1.rows shouldBe orders.count()
+    // idempotent second run still verifies and rewrites nothing new
+    val (r2, ok2) = graft.delivery.DeliverMain.run(spark,
+      Array(s"$tmp/src", s"$tmp/dst", "--sync-partitions", "o_orderpriority"))
+    ok2 shouldBe true
+    r2.fingerprint shouldBe r1.fingerprint
+  }
+
   test("DeliverMain CLI: parquet→csv with schema read-back verifies; bad flag rejected") {
     val tmp = Files.createTempDirectory("dlv").toString
     spark.read.parquet(s"$sfDir/orders.parquet")
