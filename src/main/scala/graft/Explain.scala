@@ -20,14 +20,19 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
+      // construction is timed separately: eager Lineage.cuts run inside
+      // the query builder, so "build" time IS pipeline time for the
+      // checkpointed subtrees and "exec" only covers the post-cut plan
+      val tB = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val build = (System.nanoTime() - tB) / 1e9
       if (!timeOnly) {
         println(s"===== $name =====")
         df.explain("formatted")
       }
       val t0 = System.nanoTime()
       val n = df.queryExecution.toRdd.count() // execute as written, no count-pruning
-      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   $n%8d rows")
+      println(f"$name%-24s build $build%7.2f s  exec ${(System.nanoTime() - t0) / 1e9}%7.2f s  $n%8d rows")
     }
     spark.stop()
   }

@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   */
 object ShardedSelfJoin {
 
+  /** Shared shard-size knob for every blocking/banding self-join (LSH
+    * bands, rarity blocks, min-shingle blocks). 64k narrow rows per cell
+    * side keeps a task's join buffer in the tens of MB. */
+  def confThreshold(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.lsh.shardThreshold", "65536").toInt
+
   /** All unordered candidate pairs (doc_a < doc_b) within each bucket.
     *
     * @param banded    one row per (doc, bucket) with a `doc_id` column
@@ -44,9 +50,14 @@ object ShardedSelfJoin {
     * @param threshold max bucket rows a single task should hold; buckets
     *                  beyond it are sharded into ceil(size/threshold)
     * @param carry     extra per-doc columns to surface as {c}_a / {c}_b
+    * @param pairFilter optional predicate over (doc_a, doc_b) applied
+    *                  BEFORE the dedup `distinct`, so pairs a caller
+    *                  will discard anyway (e.g. old-old pairs in an
+    *                  incremental dedup) never pay the distinct shuffle
     */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
-            carry: Seq[String] = Nil): DataFrame = {
+            carry: Seq[String] = Nil,
+            pairFilter: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = None): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     // Annotate shard counts via a broadcast of ONLY the oversized
     // buckets, not a window over every bucket: oversized buckets are few
@@ -85,11 +96,12 @@ object ShardedSelfJoin {
       carry.flatMap(c => Seq(
         when(aLower, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
         when(aLower, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
-    a.as("a")
+    val joined = a.as("a")
       .join(b.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         (col("a.p") =!= col("a.q") || aLower))
       .select(sel: _*)
+    pairFilter.fold(joined)(f => joined.where(f(col("doc_a"), col("doc_b"))))
       .distinct()
   }
 }

@@ -56,8 +56,11 @@ object CorpusPrep {
     //    (ops/ConnectedComponents — O(log d) rounds for high-diameter
     //    dup graphs), identical labels whenever min-label converges
     //    within its bounded rounds (CorpusPrepSpec pins the equality).
-    val pairs = graft.queries.Llm.jaccardPairsUnsorted(spark, sfDir)
-      .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b")
+    // cut: the edge union below references the pair list twice; the
+    // blocked jaccard pipeline must execute once, not per reference
+    val pairs = graft.ops.Lineage.cut(
+      graft.queries.Llm.jaccardPairsUnsorted(spark, sfDir)
+        .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b"))
     val ids = exact.select(col("doc_id"))
     val labels = if (spark.conf.get("spark.graft.cc.algo", "minlabel") == "lss") {
       val e = pairs

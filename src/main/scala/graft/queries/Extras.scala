@@ -291,7 +291,11 @@ object Extras {
     * and minlabel's truncation is not (ScaleLinearitySpec pins both
     * the equivalence and the round advantage on a 64-chain). */
   val llmDedupCluster: Q = (s, d) => {
-    val pairs = Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b")
+    // cut: the pair list (759k narrow rows at sf0.1) is referenced twice
+    // by the symmetric edge union — without the cut the whole blocked
+    // jaccard pipeline executes once per reference
+    val pairs = graft.ops.Lineage.cut(
+      Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b"))
     val docs = Tables.documents(s, d).select(col("doc_id"))
     if (s.conf.get("spark.graft.cc.algo", "minlabel") == "lss") {
       val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
@@ -400,12 +404,17 @@ object Extras {
     *   n_near_old count of old docs with token-set jaccard ≥ 0.8
     *   keep       1 iff neither
     * Scale: the exact check is one anti-join-shaped hash lookup on the
-    * 256-bit digest; the near check REUSES the full-corpus rarity-block
-    * pair machinery and just classifies pair endpoints by the bucket
-    * rule re-derived from doc_id (no extra join, no per-doc state) —
-    * at 100 TB the old side's token/df/block tables are precomputed
-    * artifacts of the previous run, so the marginal cost is the new
-    * batch's blocks only. */
+    * 256-bit digest; the near check reuses the rarity-block pair
+    * machinery with the new↔old endpoint restriction PUSHED INTO the
+    * candidate stage (jaccardPairsUnsorted's candPred): old-old and
+    * new-new pairs — ~64% of candidates at an 80/20 split — are dropped
+    * before the pair-dedup distinct and the set-intersection joins ever
+    * see them. The predicate re-derives the md5 bucket from the ids, so
+    * nothing joins back to the corpus, and the emitted pair set is
+    * provably the filtered full set (PropertySpec pins it). At 100 TB,
+    * additionally point spark.graft.pairs.artifact at the previous
+    * run's persisted pair table and the old side is not recomputed at
+    * all. */
   val llmDedupIncremental: Q = (s, d) => {
     // the llm_split md5-bucket rule as a Column function
     def bkt(c: org.apache.spark.sql.Column) =
@@ -419,8 +428,19 @@ object Extras {
     val withExact = newDocs.join(oldSha, Seq("h"), "left")
       .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup_exact"))
     // endpoint classification re-derives the bucket from the id — pairs
-    // carry only (doc_a, doc_b), nothing joins back to the corpus
-    val pairs = Llm.jaccardPairsUnsorted(s, d).select("doc_a", "doc_b")
+    // carry only (doc_a, doc_b), nothing joins back to the corpus; the
+    // symmetric new↔old predicate is pushed into the candidate stage
+    // (attr = md5 bucket of the id, evaluated once per doc and carried;
+    // pred = exactly one endpoint in the new batch)
+    val newOld: Llm.CandPred = (bkt _,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        (a >= 80 && b < 80) || (a < 80 && b >= 80))
+    // cut: the symmetric union below references the pair list twice —
+    // without the cut the (already predicate-filtered) pipeline would
+    // still execute once per reference
+    val pairs = graft.ops.Lineage.cut(
+      Llm.jaccardPairsUnsorted(s, d, Some(newOld), 4, 5)
+        .select("doc_a", "doc_b"))
     val nearOld = pairs.select(col("doc_a").as("nid"), col("doc_b").as("oid"))
       .union(pairs.select(col("doc_b").as("nid"), col("doc_a").as("oid")))
       .where(bkt(col("nid")) >= 80 && bkt(col("oid")) < 80)

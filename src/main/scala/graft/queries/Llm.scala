@@ -112,11 +112,77 @@ object Llm {
   val llmJaccardPairs: Q = (s, d) =>
     jaccardPairsUnsorted(s, d).orderBy("doc_a", "doc_b")
 
+  /** llm_pair_table — the materialized near-dup PAIR ARTIFACT: the same
+    * blocked/scored pipeline floored at jac ≥ 0.5 instead of 0.8, so one
+    * persisted table serves every downstream consumer that thresholds at
+    * ≥ 0.5 (jaccard_pairs at 0.8, dedup_cluster at any θ, incremental
+    * dedup, audits at 0.9) without recomputing candidates. Write it with
+    * pipelines.PairTable and point `spark.graft.pairs.artifact` at the
+    * parquet path: jaccardPairsUnsorted then READS the artifact and
+    * re-applies its threshold/predicate — the daily-refresh shape where
+    * the pair table is computed once per corpus version. */
+  val llmPairTable: Q = (s, d) =>
+    jaccardPairsUnsorted(s, d, None, PairTableFloorNum, PairTableFloorDen)
+      .orderBy("doc_a", "doc_b")
+
+  /** Artifact floor 0.5 = 1/2 (kept rational so the size prefilter stays
+    * integer-exact). */
+  val PairTableFloorNum = 1
+  val PairTableFloorDen = 2
+
+  /** Candidate-pair restriction pushed into the blocking stage:
+    * `attr` derives a per-DOCUMENT attribute from the doc id (evaluated
+    * once per blocked row, then carried through the self-join as a
+    * plain column — never recomputed per candidate pair), and `pred`
+    * accepts a pair by the two carried attribute values. Shaped this
+    * way on purpose: a free-form (doc_a, doc_b) predicate would sink
+    * into the self-join condition and be re-evaluated (md5 and all)
+    * inside the SMJ inner loop for every same-key row combination —
+    * measured 3× slower than the whole unfiltered pipeline at sf0.1. */
+  type CandPred = (org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                   (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+
+  def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    jaccardPairsUnsorted(s, d, None, 4, 5)
+
   /** Pair source without the final total order — consumers that only
     * need the pair SET (llm_dedup_cluster, CorpusPrep) skip the global
-    * range-shuffle+sort of the full pair list (759k rows at sf0.1). */
-  def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String)
+    * range-shuffle+sort of the full pair list (759k rows at sf0.1).
+    *
+    * @param candPred optional (attr, pred) restriction pushed into the
+    *        CANDIDATE stage — pairs failing it are dropped before the
+    *        dedup-distinct and the set-intersection joins, so e.g.
+    *        incremental dedup's new↔old restriction never pays for
+    *        old-old pairs. Output ≡ unfiltered output filtered by the
+    *        predicate (the attributes derive from (doc_a, doc_b), which
+    *        never change downstream); PropertySpec pins the equality.
+    * @param thetaNum/@param thetaDen the Jaccard floor θ = num/den as an
+    *        exact rational: the floor drives BOTH the final jac ≥ θ
+    *        filter and the lossless size prefilter — jac = |∩|/|∪| ≤
+    *        min(na,nb)/max(na,nb), so any pair with den·min < num·max
+    *        cannot reach θ and is dropped on narrow (long, long) size
+    *        columns BEFORE the wide array-payload joins (46% of sf0.1
+    *        candidates die here at θ=0.8). Integer cross-multiplication,
+    *        not doubles: 0.8·5 in binary floating point is not exactly 4,
+    *        and an exact-boundary pair (4/5 ratio, jac exactly 0.8) must
+    *        survive. */
+  def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String,
+      candPred: Option[CandPred], thetaNum: Int, thetaDen: Int)
       : org.apache.spark.sql.DataFrame = {
+    val theta = thetaNum.toDouble / thetaDen
+    // Artifact read path: a pre-built pair table (pipelines.PairTable,
+    // floored at 0.5) short-circuits the whole candidate pipeline. The
+    // threshold re-applies on read; the caller's θ must be ≥ the
+    // artifact floor for this to be lossless (0.8 and 0.5 both are).
+    val artifact = s.conf.get("spark.graft.pairs.artifact", "")
+    if (artifact.nonEmpty) {
+      require(theta >= PairTableFloorNum.toDouble / PairTableFloorDen,
+        s"pair-table artifact is floored at 0.5; cannot serve theta=$theta")
+      val base = s.read.parquet(artifact).where(col("jac") >= theta)
+      return candPred.fold(base) { case (attr, pred) =>
+        base.where(pred(attr(col("doc_a")), attr(col("doc_b")))) }
+    }
     // materialize the distinct token stream once — it feeds the df table,
     // the blocking join and the per-doc set aggregation (3 references =
     // 3 recomputes of explode+distinct without the cut)
@@ -130,16 +196,46 @@ object Llm {
     // pins it) while rare-token df keeps blocks small at corpus scale.
     // No broadcast hint on dfTok: it is vocabulary-sized (unbounded at
     // web scale) — let Catalyst/AQE broadcast it only while it is small.
-    val block = tok.join(dfTok, "token")
+    // Per-doc set size (tok is distinct, so count = set size) joins onto
+    // the blocked frame BEFORE candidate generation: nt rides the
+    // self-join as a carried int, so the θ size prefilter (below) runs
+    // before the pair-dedup distinct and no per-pair size join exists.
+    val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    // cut: ShardedSelfJoin references the blocked frame three times (a
+    // side, b side, oversize-bucket census) — materialize the tiny
+    // 4-rows-per-doc result instead of recomputing df-join + window per
+    // reference
+    val block = graft.ops.Lineage.cut(tok.join(dfTok, "token")
       .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
       .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
-    val cand = block.as("a")
-      .join(block.as("b"),
-        col("a.block_tok") === col("b.block_tok") &&
-        col("a.lang") === col("b.lang") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct() // a pair can share several of its 4 block tokens
+      .join(ntDf, "doc_id"))
+    // Skew-safe block self-join: a boilerplate-heavy corpus puts
+    // thousands of docs in one (block_tok, lang) cell; the triangle-cell
+    // shard bounds per-task input while keeping the pair set identical
+    // (same helper + SkewSpec guarantees as the LSH band joins).
+    // Two pair restrictions run BEFORE the pair-dedup distinct, both on
+    // carried per-doc ints (never recomputed per pair):
+    //  - the lossless θ size prefilter — jac = |∩|/|∪| ≤ min(na,nb)/
+    //    max(na,nb), so θ·den-cross-multiplied size mismatches can never
+    //    reach the floor (integer arithmetic: 0.8·5 in binary floating
+    //    point is not exactly 4, and an exact-boundary pair must
+    //    survive); 46% of sf0.1 candidates die here at θ=0.8
+    //  - the caller's candidate predicate (if any) over its carried
+    //    per-doc attribute (e.g. incremental dedup's new↔old buckets)
+    val thr = graft.ops.ShardedSelfJoin.confThreshold(s)
+    val sizeOk = least(col("nt_a"), col("nt_b")) * thetaDen >=
+                 greatest(col("nt_a"), col("nt_b")) * thetaNum
+    val blockIn = candPred.fold(block) { case (attr, _) =>
+      block.withColumn("cattr", attr(col("doc_id"))) }
+    val candFilter = candPred match {
+      case None => sizeOk
+      case Some((_, pred)) => sizeOk && pred(col("cattr_a"), col("cattr_b"))
+    }
+    val candSz = graft.ops.ShardedSelfJoin.pairs(
+        blockIn, Seq("block_tok", "lang"), thr,
+        carry = Seq("nt") ++ candPred.map(_ => "cattr").toSeq,
+        pairFilter = Some((_, _) => candFilter))
+      .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // Adaptive set representation. Small vocab → each token set is ONE
     // 64-bit mask and intersection is bit_count(a & b); general vocab →
     // sorted token arrays + native array_intersect. Same exact Jaccard
@@ -168,10 +264,10 @@ object Llm {
             "bit_or(shiftleft(1L, if(tid < 64, tid, " +
             "cast(raise_error('vocab > 64 tokens: set spark.graft.jaccard.setRepr=array') as int))))")
             .as("m"))
-          .select(col("doc_id"), col("m"), expr("bit_count(m)").as("nt"))
+          .select(col("doc_id"), col("m"))
       } else {
         tok.groupBy("doc_id").agg(array_sort(collect_set("token")).as("m"))
-          .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
+          .select(col("doc_id"), col("m"))
       }
     lazy val interExpr =
       if (sets.schema("m").dataType == org.apache.spark.sql.types.LongType)
@@ -195,24 +291,21 @@ object Llm {
     //    conf-switchable because the winner flips with corpus shape:
     //    very long docs (KB-size arrays through the SMJs) favor stream.
     if (s.conf.get("spark.graft.jaccard.intersect", "arrays") == "stream") {
-      val nt = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val ni = cand
+      // na/nb ride the groupBy keys (functionally dependent on the ids)
+      candSz
         .join(tok.select(col("doc_id").as("doc_a"), col("token")), "doc_a")
         .join(tok.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
-      ni
-        .join(nt.select(col("doc_id").as("doc_a"), col("nt").as("na")).hint("merge"), "doc_a")
-        .join(nt.select(col("doc_id").as("doc_b"), col("nt").as("nb")).hint("merge"), "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("ni"))
         .select(col("doc_a"), col("doc_b"),
           r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
-        .where(col("jac") >= 0.8)
-    } else cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na")).hint("merge"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb")).hint("merge"), "doc_b")
+        .where(col("jac") >= theta)
+    } else candSz
+      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb")).hint("merge"), "doc_b")
       .withColumn("ni", interExpr)
       .select(col("doc_a"), col("doc_b"),
         r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
-      .where(col("jac") >= 0.8)
+      .where(col("jac") >= theta)
   }
 
   /** llm_multimodal_schema — the multimodal column model: pack rows into
@@ -256,6 +349,7 @@ object Llm {
     "llm_token_stats"       -> llmTokenStats,
     "llm_tfidf"             -> llmTfidf,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
+    "llm_pair_table"        -> llmPairTable,
     "llm_multimodal_schema" -> llmMultimodalSchema,
   )
 
@@ -321,7 +415,17 @@ object Llm {
         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
         | FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "llm_jaccard_pairs" ->
+    "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
+    "llm_pair_table"    -> jaccardPairsSql("0.5"),
+    "llm_multimodal_schema" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+
+  /** Oracle body shared by llm_jaccard_pairs (floor 0.8) and
+    * llm_pair_table (artifact floor 0.5) — identical pipeline, different
+    * Jaccard floor. */
+  private def jaccardPairsSql(floor: String): String =
       s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
         |block AS (
@@ -344,9 +448,5 @@ object Llm {
         | SELECT i.doc_a, i.doc_b,
         |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
         | FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
-        |WHERE jac >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
-    "llm_multimodal_schema" ->
-      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-  )
+        |WHERE jac >= $floor ORDER BY doc_a, doc_b""".stripMargin
 }

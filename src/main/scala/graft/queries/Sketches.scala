@@ -18,11 +18,11 @@ object Sketches {
   val simhash = udaf(new SimHashAgg)
 
   /** Max rows of one LSH bucket a single task may hold before the band
-    * self-join shards it (spark.graft.lsh.shardThreshold). 64k narrow
-    * rows ≈ a few MB of task input; production can lower it for
-    * boilerplate-heavy corpora. */
+    * self-join shards it (spark.graft.lsh.shardThreshold — shared with
+    * the rarity/min-shingle blocking joins; production can lower it for
+    * boilerplate-heavy corpora). */
   private def shardThreshold(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.get("spark.graft.lsh.shardThreshold", "65536").toInt
+    graft.ops.ShardedSelfJoin.confThreshold(s)
 
   /** llm_minhash — MinHash(128) signatures + 16×8 LSH banding: candidate
     * pairs sharing any band bucket, estimated Jaccard = signature

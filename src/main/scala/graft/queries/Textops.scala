@@ -54,21 +54,33 @@ object Textops {
     // with Jaccard j share a band w.p. ≈ 1-(1-j)^4 (0.97 at the 0.6
     // threshold), and block sizes stay bounded by true dup-cluster size.
     val wBlock = Window.partitionBy("doc_id").orderBy("shg")
-    val block = sh
+    // per-doc shingle-set size joins onto the banded frame so it rides
+    // the self-join as a carried int (no per-pair size join)
+    val ntDf = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    // cut: ShardedSelfJoin references the banded frame three times (a/b
+    // sides + oversize census) — materialize the 4-rows-per-doc result
+    val block = graft.ops.Lineage.cut(sh
       .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
       .select(col("doc_id"), col("lang"), col("shg").as("block_shg"))
-    val cand = block.as("a")
-      .join(block.as("b"),
-        col("a.block_shg") === col("b.block_shg") &&
-        col("a.lang") === col("b.lang") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct() // a pair can share several of its 4 band shingles
+      .join(ntDf, "doc_id"))
+    // skew-safe band self-join (same helper + guarantees as the LSH band
+    // joins and the rarity-block join): a hot (block_shg, lang) cell
+    // from boilerplate-identical docs shards across triangle cells
+    // instead of landing in one task. The lossless θ=0.6=3/5 size
+    // prefilter runs pre-distinct on the carried sizes: jac ≤
+    // min(na,nb)/max(na,nb), so 5·min < 3·max pairs can never reach 0.6
+    // (integer cross-multiplication — exact at the boundary).
+    val candSz = graft.ops.ShardedSelfJoin.pairs(
+        block, Seq("block_shg", "lang"),
+        graft.ops.ShardedSelfJoin.confThreshold(s), carry = Seq("nt"),
+        pairFilter = Some((_, _) =>
+          least(col("nt_a"), col("nt_b")) * 5 >= greatest(col("nt_a"), col("nt_b")) * 3))
+      .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     val sets = sh.groupBy("doc_id").agg(array_sort(collect_set("shg")).as("m"))
-      .select(col("doc_id"), col("m"), size(col("m")).as("nt"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma"), col("nt").as("na")).hint("merge"), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb"), col("nt").as("nb")).hint("merge"), "doc_b")
+      .select(col("doc_id"), col("m"))
+    candSz
+      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb")).hint("merge"), "doc_b")
       .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
       .select(col("doc_a"), col("doc_b"),
         r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))

@@ -85,6 +85,51 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("candidate predicate pushdown ≡ post-filter of the unfiltered pair set") {
+    // llm_dedup_incremental's new↔old restriction is pushed into the
+    // candidate stage (pre-distinct, pre-scoring). The discarded pairs
+    // never reach the output of the unfiltered pipeline's filtered
+    // result either, so pushed ≡ post-filtered — pinned here because the
+    // whole 17.6 s → ~5 s incremental win rests on this equivalence.
+    def bkt(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 100
+    val newOld: Llm.CandPred = (bkt _,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        (a >= 80 && b < 80) || (a < 80 && b >= 80))
+    val pushed = Llm.jaccardPairsUnsorted(spark, sfDir, Some(newOld), 4, 5)
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val post = Llm.jaccardPairsUnsorted(spark, sfDir)
+      .where(
+        (bkt(col("doc_a")) >= 80 && bkt(col("doc_b")) < 80) ||
+        (bkt(col("doc_a")) < 80 && bkt(col("doc_b")) >= 80))
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pushed.nonEmpty shouldBe true
+    pushed should equal(post)
+  }
+
+  test("pair-table artifact read ≡ recompute for every jaccard consumer") {
+    // PairTable persists the 0.5-floored pair pipeline once;
+    // spark.graft.pairs.artifact short-circuits jaccardPairsUnsorted to
+    // a parquet read + threshold/predicate re-apply. Pinned for the 0.8
+    // operator, the artifact query itself, and the incremental consumer.
+    val out = java.nio.file.Files.createTempDirectory("pairs").toString + "/pt"
+    pipelines.PairTable.write(spark, sfDir, out)
+    def run() = (
+      Llm.llmJaccardPairs(spark, sfDir).collect().toSeq,
+      Llm.llmPairTable(spark, sfDir).collect().toSeq,
+      queries.Extras.llmDedupIncremental(spark, sfDir).collect().toSeq)
+    val direct = run()
+    spark.conf.set("spark.graft.pairs.artifact", out)
+    try {
+      val viaArtifact = run()
+      viaArtifact._1 should equal(direct._1)
+      viaArtifact._2 should equal(direct._2)
+      viaArtifact._3 should equal(direct._3)
+    } finally spark.conf.unset("spark.graft.pairs.artifact")
+  }
+
   test("llm_simhash hamming<=6 recall vs jac>=0.9 truth is >= 0.45 (measured; precision-oriented by design)") {
     // simhash trades recall for precision (SketchSpec pins precision
     // >= 0.8; measured 0.958 at this point). 64-bit simhash over ~25-

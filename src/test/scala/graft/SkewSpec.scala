@@ -116,6 +116,27 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("exact-jaccard blocking joins are skew-safe: tiny shard threshold leaves outputs unchanged") {
+    // The rarity-block (llm_jaccard_pairs) and min-shingle-block
+    // (llm_ngram_jaccard) self-joins route through the same
+    // ShardedSelfJoin as the LSH band joins. A threshold of 8 forces
+    // sharding on EVERY fixture block bigger than 8 docs (the sf0.001
+    // dup clusters qualify) — the pair outputs, carried sizes included,
+    // must be byte-identical to the unsharded run. Cell-boundedness of
+    // the decomposition itself is pinned by the synthetic hot-bucket
+    // test above; carried-column normalization by PropertySpec.
+    val key = "spark.graft.lsh.shardThreshold"
+    val baseJac = queries.Llm.llmJaccardPairs(spark, sfDir).collect()
+    val baseNgram = queries.Textops.llmNgramJaccard(spark, sfDir).collect()
+    val baseIncr = queries.Extras.llmDedupIncremental(spark, sfDir).collect()
+    spark.conf.set(key, "8")
+    try {
+      queries.Llm.llmJaccardPairs(spark, sfDir).collect() should equal(baseJac)
+      queries.Textops.llmNgramJaccard(spark, sfDir).collect() should equal(baseNgram)
+      queries.Extras.llmDedupIncremental(spark, sfDir).collect() should equal(baseIncr)
+    } finally spark.conf.unset(key)
+  }
+
   test("GraftExtensions injects without error; graft_dot evaluates via SQL") {
     // applying the extensions to a fresh SparkSessionExtensions must
     // register both builders without throwing
