@@ -107,26 +107,45 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** IVF coarse-quantizer width in sign bits (2^bits cells), the
+    * bits ↔ candidates ↔ recall knob: raise it with the corpus so
+    * cell occupancy (N/2^bits) stays near the target candidate budget.
+    * The DEFAULT (3 bits, hyperplane dims 1/9/17) is the declared
+    * oracle contract — the SQL mirror hardcodes it — so overriding
+    * spark.graft.ann.bits departs from the oracle; AnnRecallSpec
+    * re-pins the recall floor at 4 bits. Capped by the fixture's
+    * embedding dim (hyperplane k reads dim 8k+1). */
+  private def annBits(s: org.apache.spark.sql.SparkSession): Int = {
+    val b = s.conf.get("spark.graft.ann.bits", "3").toInt
+    require(b >= 1 && b <= 8, s"spark.graft.ann.bits must be in [1, 8], got $b")
+    b
+  }
+
   private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.VectorExprs.register(s)
+    val bits = annBits(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .withColumn("bkt",
-        (element_at(col("e"), 1) > 0).cast("int") * 4 +
-        (element_at(col("e"), 9) > 0).cast("int") * 2 +
-        (element_at(col("e"), 17) > 0).cast("int"))
+        (0 until bits).map(i =>
+          (element_at(col("e"), i * 8 + 1) > 0).cast("int") * lit(1 << (bits - 1 - i)))
+          .reduce(_ + _))
   }
 
-  /** Hamming≤1 multi-probe: the query's own cell plus its 3 one-bit
+  /** Hamming≤1 multi-probe: the query's own cell plus its `bits` one-bit
     * neighbours. Each (query, candidate) cell pair matches at most one
     * probe, so no dedup is needed; the probe join stays an EQUI-join.
-    * Recall on near-orthogonal fixture vectors ≈ q³+3q²(1-q) for
-    * q = 1-θ/π (AnnRecallSpec pins the measured floor); candidates stay
+    * Recall on near-orthogonal fixture vectors ≈ Σ survival over ≤1 bit
+    * flips (AnnRecallSpec pins the measured floor); candidates stay
     * ~nprobe/cells of N² — at real scale raise the bit count with the
     * corpus and keep nprobe fixed (9 probes of a 256-cell code ≈ 3.5%). */
-  private def withProbes(v: org.apache.spark.sql.DataFrame) =
-    v.withColumn("probe", explode(expr("array(bkt, bkt ^ 1, bkt ^ 2, bkt ^ 4)")))
+  private def withProbes(s: org.apache.spark.sql.SparkSession,
+                         v: org.apache.spark.sql.DataFrame) = {
+    val probes = (Seq("bkt") ++ (0 until annBits(s)).map(i => s"bkt ^ ${1 << i}"))
+      .mkString("array(", ", ", ")")
+    v.withColumn("probe", explode(expr(probes)))
+  }
 
   /** llm_ann_ivf — IVF/LSH-style ANN: a 3-hyperplane sign bucket as the
     * coarse quantizer (8 cells), Hamming≤1 multi-probe, top-3 by rounded
@@ -134,7 +153,7 @@ object Extras {
     * equi-join — contrast with the brute-force llm_cosine_topk baseline. */
   val llmAnnIvf: Q = (s, d) => {
     val v = bucketed(s, d)
-    val a = withProbes(v)
+    val a = withProbes(s, v)
       .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"), col("probe"))
     val b = v.select(col("vec_id").as("vid"), col("e").as("eb"), col("nrm").as("nb"),
                      col("bkt").as("probe"))
@@ -156,7 +175,7 @@ object Extras {
     * the bounded brute-force twin. */
   val llmEmbedNeardup: Q = (s, d) => {
     val v = bucketed(s, d)
-    val a = withProbes(v)
+    val a = withProbes(s, v)
       .select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"), col("probe"))
     val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"),
                      col("bkt").as("probe"))

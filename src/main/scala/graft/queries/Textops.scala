@@ -129,13 +129,26 @@ object Textops {
         expr("size(filter(toks, t -> t rlike '^[0-9]+$'))").cast("long").as("n_num"))
       .orderBy("doc_id")
 
+  /** Document-frequency cap for llm_contamination's shingle join: a
+    * shingle present in more train docs than this is boilerplate, not
+    * contamination signal, and is dropped BEFORE the test⋈train join
+    * (standard decontamination practice — and the only thing standing
+    * between that join and a quadratic blow-up on one ubiquitous
+    * navigation/footer trigram at web scale). The DEFAULT is the
+    * declared oracle contract (the SQL mirror pins the same literal);
+    * overriding spark.graft.contamination.maxDf departs from the
+    * oracle. Fixture max train-df is 21, so the default is inert on the
+    * declared correctness surface. */
+  val ContaminationMaxDf = 1000L
+
   /** llm_contamination — benchmark-contamination report: for every doc
     * in the held-out test split (md5-bucket rule, as llm_split), count
     * the train-split documents sharing any word-trigram shingle and the
     * distinct shared shingles, plus the contaminated fraction of the
     * test doc's shingles. The decontamination step of a training
-    * pipeline as one shuffle join on the shingle key — block sizes are
-    * bounded by true shingle-overlap density, never all-pairs. */
+    * pipeline as one shuffle join on the shingle key — per-key join
+    * input is bounded by the maxDf cap (above), never all-pairs. The
+    * dropped-shingle count is logged, not silent. */
   val llmContamination: Q = (s, d) => {
     val split = expr(
       "conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) % 100")
@@ -143,10 +156,26 @@ object Textops {
       .withColumn("bucket", split.cast("long"))
       .withColumn("part",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
-    val train = sh.where(col("part") === "train")
+    val trainAll = sh.where(col("part") === "train")
       .select(col("doc_id").as("train_doc"), col("shg"))
     val test = sh.where(col("part") === "test")
       .select(col("doc_id").as("test_doc"), col("shg"))
+    // df-cap: drop boilerplate shingles (train-df > maxDf) before the
+    // join. The dropped set is small by construction (each member has
+    // > maxDf occurrences, so there are < |train|/maxDf of them) —
+    // counted eagerly for the log line; no broadcast hint on the
+    // anti-join (AQE broadcasts it while small, and at web scale a
+    // shuffled anti-join on shg is the correct fallback).
+    val maxDf = s.conf.get("spark.graft.contamination.maxDf",
+      ContaminationMaxDf.toString).toLong
+    val dropped = graft.ops.Lineage.cut(
+      trainAll.groupBy("shg").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("shg"))
+    val nDropped = dropped.count()
+    if (nDropped > 0)
+      System.err.println(
+        s"[graft] llm_contamination: dropped $nDropped boilerplate shingle(s) with train-df > $maxDf")
+    val train = trainAll.join(dropped, Seq("shg"), "left_anti")
     val testSize = test.groupBy("test_doc").agg(count(lit(1)).as("n_shingles"))
     test.join(train, "shg")
       .groupBy("test_doc")
@@ -334,8 +363,11 @@ object Textops {
         | FROM (SELECT doc_id,
         |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
         |  FROM documents)),
-        |train AS (SELECT s.doc_id AS train_doc, s.shg FROM sh s
-        |          JOIN sp ON sp.doc_id = s.doc_id AND sp.part = 'train'),
+        |train0 AS (SELECT s.doc_id AS train_doc, s.shg FROM sh s
+        |           JOIN sp ON sp.doc_id = s.doc_id AND sp.part = 'train'),
+        |trdf AS (SELECT shg, count(*) AS df FROM train0 GROUP BY shg),
+        |train AS (SELECT t.train_doc, t.shg FROM train0 t
+        |          JOIN trdf ON trdf.shg = t.shg AND trdf.df <= $ContaminationMaxDf),
         |test AS (SELECT s.doc_id AS test_doc, s.shg FROM sh s
         |         JOIN sp ON sp.doc_id = s.doc_id AND sp.part = 'test'),
         |tsz AS (SELECT test_doc, count(*) AS n_shingles FROM test GROUP BY test_doc),

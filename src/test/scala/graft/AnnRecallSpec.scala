@@ -32,6 +32,24 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.55
   }
 
+  test("llm_ann_ivf at spark.graft.ann.bits=4: recall floor re-pinned, still subset-sound") {
+    // the quantizer-width knob (16 cells, 5 probes): more cells = fewer
+    // candidates per query = lower recall on near-orthogonal fixture
+    // vectors — the trade a larger corpus buys back via occupancy.
+    val truth = Llm.llmCosineTopk(spark, sfDir)
+      .where(col("rn") <= 3).select("qid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.ann.bits", "4")
+    try {
+      val found = Extras.llmAnnIvf(spark, sfDir)
+        .select("qid", "vid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & found).size.toDouble / truth.size
+      info(f"llm_ann_ivf recall@3 at 4 bits = $recall%.3f over ${truth.size} truth pairs")
+      recall should be >= 0.40 // measured 0.517 at sf0.001; floor leaves margin
+    } finally spark.conf.unset("spark.graft.ann.bits")
+  }
+
   test("llm_embed_neardup multi-probe recall vs brute-force cos>=0.35 pairs is >= 0.50 (measured floor)") {
     graft.functions.VectorExprs.register(spark)
     val v = Tables.embeddings(spark, sfDir)
