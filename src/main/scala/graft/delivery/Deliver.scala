@@ -122,13 +122,28 @@ object Deliver {
     } finally delta.unpersist()
   }
 
-  /** Per-partition content fingerprints: partition value (as string) →
-    * the same xor ⊕ rot32(sum) combiner as `fingerprint`, one shuffle.
-    * The collect is bounded by PARTITION count, not rows — the list a
-    * 100 TB delivery reconciles is thousands of entries, not the data. */
+  /** Hive's directory name for a null partition value — the key both
+    * fingerprint sides normalize null to, so null partitions diff and
+    * delete like any other value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Per-partition content fingerprints: partition value (as string,
+    * null → [[NullPartition]]) → the same xor ⊕ rot32(sum) combiner as
+    * `fingerprint`, one shuffle. The collect is bounded by PARTITION
+    * count, not rows — the list a 100 TB delivery reconciles is
+    * thousands of entries, not the data. */
   def partitionFingerprints(df: DataFrame, partCol: String): Map[String, Long] = {
-    val cols = df.columns.sorted.map(col)
-    df.select(col(partCol).cast("string").as("p"),
+    // Normalize partCol to (string, null → sentinel) INSIDE the row hash
+    // too, not just the grouping key: the dst side's partition column
+    // type comes from directory-name parsing (string when inference is
+    // off, a re-inferred type when on), so hashing the src-typed value
+    // would make e.g. a string "05" partition permanently "changed"
+    // against its int-inferred read-back. After this cast both sides
+    // serialize identically whichever way the dst read typed it.
+    val dfN = df.withColumn(partCol,
+      coalesce(col(partCol).cast("string"), lit(NullPartition)))
+    val cols = dfN.columns.sorted.map(col)
+    dfN.select(col(partCol).as("p"),
         xxhash64(to_json(struct(cols: _*))).as("h"))
       .groupBy("p")
       .agg(expr("bit_xor(h)").as("x"),
@@ -153,12 +168,31 @@ object Deliver {
   def syncPartitions(spark: SparkSession, src: String, dst: String,
                      partCol: String,
                      srcFormat: String = "parquet", dstFormat: String = "parquet")
+      : (Seq[String], Seq[String], DeliveryReport) =
+    syncPartitions(spark, read(spark, src, srcFormat), dst, partCol, dstFormat)
+
+  /** DataFrame-source variant: the composition point for pipelines whose
+    * refresh is computed, not copied (e.g. CorpusPrep's daily corpus
+    * re-prep ships only the split partitions whose content moved).
+    * `in` is executed twice (fingerprint pass + rewrite) — pass a
+    * Lineage.cut/persisted frame when it is an expensive pipeline. */
+  def syncPartitions(spark: SparkSession, in: DataFrame, dst: String,
+                     partCol: String, dstFormat: String)
       : (Seq[String], Seq[String], DeliveryReport) = {
-    val in = read(spark, src, srcFormat)
     val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Pin the dst partition column to STRING (no directory-name type
+    // re-inference): partitionFingerprints normalizes both sides to
+    // string, and an int-inferred "05" → 5 round-trip would otherwise
+    // mark such partitions changed on every sync.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val dstFps: Map[String, Long] =
       if (!fs.exists(new Path(dst))) Map.empty
-      else partitionFingerprints(read(spark, dst, dstFormat), partCol)
+      else {
+        val prevInfer = spark.conf.getOption(inferKey)
+        spark.conf.set(inferKey, "false")
+        try partitionFingerprints(read(spark, dst, dstFormat), partCol)
+        finally prevInfer.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
+      }
     val srcFps = partitionFingerprints(in, partCol)
     val changed = srcFps.filter { case (p, f) => dstFps.get(p) != Some(f) }.keys.toSeq.sorted
     val stale = (dstFps.keySet -- srcFps.keySet).toSeq.sorted
@@ -166,12 +200,21 @@ object Deliver {
       val mode = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(mode)
       spark.conf.set(mode, "dynamic") // overwrite ONLY the written partitions
-      try in.where(col(partCol).cast("string").isin(changed: _*))
+      // fingerprint keys are null-normalized, so match on the same form
+      try in.where(coalesce(col(partCol).cast("string"), lit(NullPartition))
+          .isin(changed: _*))
         .write.format(dstFormat).partitionBy(partCol).mode("overwrite").save(dst)
       finally prev.fold(spark.conf.unset(mode))(spark.conf.set(mode, _))
     }
     stale.foreach { p =>
-      fs.delete(new Path(dst, s"$partCol=$p"), true)
+      // Spark writes partition directories with Hive path escaping
+      // (spaces, ':', '%', '/', … percent-encoded; null → the
+      // __HIVE_DEFAULT_PARTITION__ sentinel, which escapes to itself).
+      // Deleting the RAW value would miss the real directory and leave
+      // stale data alive.
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p)
+      fs.delete(new Path(dst, s"$partCol=$escaped"), true)
     }
     (changed, stale, manifest(spark, dst, dstFormat))
   }

@@ -24,7 +24,42 @@ object CorpusPrepMain {
     s"""{"rows_in":$in,"rows_out":$kept,"splits":{$bySplit}}"""
   }
 
+  /** Partition-diff re-delivery of the prepared corpus (the daily
+    * refresh shape): re-run the prep over the current source and ship
+    * ONLY the split partitions whose content fingerprint moved —
+    * unchanged splits keep their delivered files byte-for-byte. First
+    * run into an empty OUTDIR delivers everything; a refresh that only
+    * appends train-bucket docs rewrites only split=train
+    * (CorpusPrepSpec pins this). Returns (changed, stale, manifest). */
+  def sync(spark: SparkSession, src: String, dst: String, stopK: Int = 5)
+      : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
+    // cut: syncPartitions executes its input twice (fingerprint +
+    // rewrite) and the prep pipeline is the expensive part
+    val out = graft.ops.Lineage.cut(CorpusPrep.run(spark, src, stopK = stopK))
+    graft.delivery.Deliver.syncPartitions(
+      spark, out, s"$dst/documents", "split", "parquet")
+  }
+
   def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    if (flags.contains("--sync")) {
+      require(pos.length >= 2, "usage: CorpusPrepMain --sync SRCDIR OUTDIR [stopK]")
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val (changed, stale, rep) =
+          sync(spark, pos(0), pos(1), pos.lift(2).map(_.toInt).getOrElse(5))
+        println(s"""{"changed":[${changed.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""stale":[${stale.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
+      } finally spark.stop()
+      return
+    }
     require(args.length >= 2, "usage: CorpusPrepMain SRCDIR OUTDIR [stopK]")
     val Array(src, dst) = args.take(2)
     val stopK = args.lift(2).map(_.toInt).getOrElse(5)

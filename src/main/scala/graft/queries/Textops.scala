@@ -236,10 +236,16 @@ object Textops {
 
   /** Lookahead-free PII patterns — identical semantics under Java regex
     * (Spark codegen) and RE2 (DuckDB), same compatibility rule as
-    * llm_regex_tokens. Redaction order is email → ipv4 → phone so an
-    * address like `a@1.2.3.4` is consumed as one email before the ip
-    * pass sees it; the patterns are otherwise disjoint (an ipv4 is four
-    * 1-3-digit groups; the phone shape is 3-3-4). */
+    * llm_regex_tokens. Redaction is sequential (email → ipv4 → phone),
+    * but the COUNTS are raw-text occurrence counts per pattern, computed
+    * independently on the ORIGINAL text — they may overlap across
+    * categories and need not equal the placeholders emitted into
+    * clean_text (e.g. the phone inside `x@123-456-7890.com` counts in
+    * n_phone yet is consumed by the <EMAIL> replacement; note emailRe
+    * requires an alphabetic TLD, so a numeric host like `a@1.2.3.4` is
+    * NOT an email match — its IP counts in n_ip and survives to the ip
+    * pass). The oracle SQL mirrors exactly this counting rule;
+    * PiiScrubSpec pins both the counts and the redaction output. */
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val ipRe    = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
   private val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"

@@ -75,6 +75,56 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     total shouldBe out.count()
   }
 
+  test("sync re-delivery of an appended train-only batch rewrites only split=train") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prep_sync").toString
+    // v1 = the fixture corpus, copied so v2 can append to it
+    Tables.documents(spark, sfDir).write.parquet(s"$tmp/src_v1/documents.parquet")
+    val (c1, s1, r1) = graft.pipelines.CorpusPrepMain.sync(spark, s"$tmp/src_v1", s"$tmp/out")
+    c1.toSet shouldBe Set("train", "val", "test")
+    s1 shouldBe empty
+    // v2 appends fresh docs whose md5 bucket lands in TRAIN only, with
+    // globally-unique tokens: stop list, old docs' blocks, clusters and
+    // clean_text are all unaffected, so val/test content is unchanged
+    def bucket(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 6), 16) % 100
+    }
+    val added = (100001L to 100400L).filter(bucket(_) < 80).take(25)
+      .map(id => (id, s"zq${id}a zq${id}b zq${id}c zq${id}d zq${id}e zq${id}f",
+        "en", "synth", 0L))
+    added.size shouldBe 25
+    Tables.documents(spark, sfDir)
+      .union(added.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .write.parquet(s"$tmp/src_v2/documents.parquet")
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(p: String): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val b = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) { val f = it.next(); b(f.getPath.toString) = f.getModificationTime }
+      b.toMap
+    }
+    val before = mtimes(s"$tmp/out/documents")
+    val (c2, s2, r2) = graft.pipelines.CorpusPrepMain.sync(spark, s"$tmp/src_v2", s"$tmp/out")
+    c2 shouldBe Seq("train") // ONLY the affected split partition rewrote
+    s2 shouldBe empty
+    r2.rows shouldBe r1.rows + 25
+    // val/test partitions kept their delivered files byte-for-byte
+    mtimes(s"$tmp/out/documents").filterNot(_._1.contains("split=train"))
+      .filterNot(_._1.contains("_SUCCESS")) should equal(
+      before.filterNot(_._1.contains("split=train")).filterNot(_._1.contains("_SUCCESS")))
+    // and the delivered corpus equals a from-scratch prep of v2
+    // (fingerprints verified via the same content-fingerprint combiner)
+    val fresh = graft.ops.Lineage.cut(CorpusPrep.run(spark, s"$tmp/src_v2"))
+    graft.delivery.Deliver.fingerprint(
+      spark.read.parquet(s"$tmp/out/documents")
+        .select(fresh.columns.map(org.apache.spark.sql.functions.col): _*)
+        .withColumn("split", col("split").cast("string"))) shouldBe
+      graft.delivery.Deliver.fingerprint(fresh)
+  }
+
   test("split assignment is the reproducible md5-bucket rule") {
     val bad = out.withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)

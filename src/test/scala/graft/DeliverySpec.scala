@@ -132,6 +132,40 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
       s"$tmp/dst", "parquet") shouldBe true
   }
 
+  test("syncPartitions survives hostile partition values: escaping, numeric-string inference, nulls") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dlv_hostile").toString
+    // "05" → int-inference trap; "a b" / "x:y" → Hive path escaping;
+    // null → __HIVE_DEFAULT_PARTITION__ sentinel
+    val rows = Seq((1L, "05"), (2L, "05"), (3L, "a b"), (4L, "x:y"), (5L, null: String))
+    rows.toDF("k", "part").write.parquet(s"$tmp/src_v1")
+    val (c1, s1, r1) = Deliver.syncPartitions(spark, s"$tmp/src_v1", s"$tmp/dst", "part")
+    s1 shouldBe empty
+    c1.toSet shouldBe Set("05", "a b", "x:y", Deliver.NullPartition)
+    r1.rows shouldBe 5L
+    // idempotent re-sync: no partition may churn ("05" read back as int 5,
+    // an unescaped path, or a null key would all show up as changed here)
+    val (c2, s2, _) = Deliver.syncPartitions(spark, s"$tmp/src_v1", s"$tmp/dst", "part")
+    c2 shouldBe empty
+    s2 shouldBe empty
+    // v2 drops the escaped value and the null partition: their dst
+    // DIRECTORIES must actually die (raw-value delete paths would miss)
+    rows.filter(r => r._2 == "05" || r._2 == "a b")
+      .toDF("k", "part").write.parquet(s"$tmp/src_v2")
+    val (c3, s3, r3) = Deliver.syncPartitions(spark, s"$tmp/src_v2", s"$tmp/dst", "part")
+    c3 shouldBe empty
+    s3.toSet shouldBe Set("x:y", Deliver.NullPartition)
+    r3.rows shouldBe 3L
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/dst"))
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+    dirs.exists(_.contains("x%3Ay")) shouldBe false
+    dirs.contains(s"part=${Deliver.NullPartition}") shouldBe false
+    Deliver.verifyDelivery(spark, s"$tmp/src_v2", "parquet",
+      s"$tmp/dst", "parquet") shouldBe true
+  }
+
   test("incremental delivery ships only the delta and is idempotent") {
     val tmp = Files.createTempDirectory("dlv").toString
     val orders = Tables.orders(spark, sfDir)
