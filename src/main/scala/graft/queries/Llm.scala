@@ -266,7 +266,16 @@ object Llm {
             .as("m"))
           .select(col("doc_id"), col("m"))
       } else {
-        tok.groupBy("doc_id").agg(array_sort(collect_set("token")).as("m"))
+        // Intern tokens to xxhash64 before the set agg: the arrays the
+        // candidate pairs drag through two SMJ shuffles become primitive
+        // longs (~8 B/elem vs ~30 B/elem strings) and array_intersect
+        // compares longs, not strings. |∩| is unchanged unless two
+        // DIFFERENT tokens inside one candidate pair's union collide in
+        // 64 bits — P ≈ Σ|sa|·|sb|/2^64 ≈ 6e-11 across the whole sf0.1
+        // fixture, and the dedup outcome of a real corpus is equally
+        // indifferent. (Reverting to raw-token arrays is this one line,
+        // if a zero-collision guarantee is ever required.)
+        tok.groupBy("doc_id").agg(array_sort(collect_set(xxhash64(col("token")))).as("m"))
           .select(col("doc_id"), col("m"))
       }
     lazy val interExpr =

@@ -76,7 +76,10 @@ object Textops {
         pairFilter = Some((_, _) =>
           least(col("nt_a"), col("nt_b")) * 5 >= greatest(col("nt_a"), col("nt_b")) * 3))
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
-    val sets = sh.groupBy("doc_id").agg(array_sort(collect_set("shg")).as("m"))
+    // intern the 32-char md5 shingle strings to xxhash64 longs before
+    // the set agg (same move + collision argument as Llm's token
+    // interning): the arrays through the two scoring SMJs shrink ~6×
+    val sets = sh.groupBy("doc_id").agg(array_sort(collect_set(xxhash64(col("shg")))).as("m"))
       .select(col("doc_id"), col("m"))
     candSz
       .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
