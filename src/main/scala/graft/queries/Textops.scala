@@ -155,10 +155,13 @@ object Textops {
   val llmContamination: Q = (s, d) => {
     val split = expr(
       "conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) % 100")
-    val sh = shingles(s, d)
+    // cut: the split shingle stream feeds the train side, the test side
+    // AND the df-cap table — three consumers, one materialization of the
+    // lead-window shingling
+    val sh = graft.ops.Lineage.cut(shingles(s, d)
       .withColumn("bucket", split.cast("long"))
       .withColumn("part",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")))
     val trainAll = sh.where(col("part") === "train")
       .select(col("doc_id").as("train_doc"), col("shg"))
     val test = sh.where(col("part") === "test")
@@ -203,9 +206,11 @@ object Textops {
     * encoding shuffles by doc_id, the partition key everything else in
     * the pipeline already uses) — no joins wider than doc_id. */
   val llmRepetition: Q = (s, d) => {
-    val tp = Tables.documents(s, d)
+    // cut: the positional token stream feeds run-length encoding, token
+    // stats AND trigram stats — three consumers, one explode
+    val tp = graft.ops.Lineage.cut(Tables.documents(s, d)
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "pos", "t")
+      .toDF("doc_id", "pos", "t"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // run-length encoding: a segment id that increments on token change
     val runs = tp

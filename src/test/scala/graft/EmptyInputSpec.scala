@@ -31,7 +31,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "scan_parquet", "filter_pred", "join_shuffle", "join_asof", "join_salted",
     "agg_hash", "agg_approx_percentile", "win_rank", "sort_multikey",
     "set_union", "fn_explode", "ev_tumbling", "ev_funnel", "ev_stateful",
-    "llm_exact_dedup", "llm_jaccard_pairs", "llm_ngram_jaccard",
+    "llm_exact_dedup", "llm_jaccard_pairs", "llm_pair_table",
+    "llm_contamination", "llm_ngram_jaccard",
     "llm_minhash", "llm_simhash", "llm_cosine_topk", "llm_ann_ivf",
     "llm_embed_neardup", "llm_tfidf", "llm_lang_id", "llm_quality_score",
     "llm_stopword_scrub", "llm_chunk", "llm_dedup_cluster", "llm_split",
