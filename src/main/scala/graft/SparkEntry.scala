@@ -27,6 +27,7 @@ object SparkEntry {
     (Sketches.queries, Sketches.oracle),
     (Extras.queries, Extras.oracle),
     (Textops.queries, Textops.oracle),
+    (Webops.queries, Webops.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

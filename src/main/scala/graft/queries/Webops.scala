@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det._
+
+/** Web-corpus cleaning/extraction operators (round 5, SURVEY §2.13
+  * growth): the steps between "crawled HTML-ish text" and the cleaned
+  * corpus the rest of the LLM pipeline assumes — URL extraction, markup
+  * stripping, and charset composition stats. All are single-projection
+  * (or projection + bounded per-doc agg) passes with codegen'd regex
+  * expressions — no UDFs, no shuffles beyond the per-doc aggregation —
+  * the only shapes that survive a full-corpus pass at 100 TB.
+  *
+  * Regex discipline matches llm_pii_scrub / llm_regex_tokens:
+  * lookahead-free patterns with identical semantics under Java regex
+  * (Spark codegen) and RE2 (the DuckDB oracle). The sf fixtures contain
+  * no URLs or markup, so the oracle run validates the cross-engine
+  * rails; WebopsSpec synthesizes web-shaped docs and pins behavior.
+  */
+object Webops {
+
+  private val urlRe = "https?://[^ ]+"
+  private val domRe = "https?://([^/ ]+)"
+  private val tagRe = "<[^>]*>"
+
+  /** llm_url_extract — per-doc URL census: how many URLs, how many
+    * distinct domains, and the lexicographically-first domain (a stable
+    * representative for per-site grouping downstream). Docs without
+    * URLs report 0/0/NULL — the inner explode would drop them, so the
+    * extraction re-joins the full doc list via a left join on doc_id
+    * (broadcast-sized? no — doc-count-sized, stays a shuffle join). */
+  val llmUrlExtract: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val urls = docs
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("domain", regexp_extract(col("url"), domRe, 1))
+    val perDoc = urls.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_urls"),
+           countDistinct("domain").as("n_domains"),
+           min("domain").as("first_domain"))
+    docs.select("doc_id", "lang").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+        coalesce(col("n_domains"), lit(0L)).as("n_domains"),
+        col("first_domain"))
+      .orderBy("doc_id")
+  }
+
+  /** llm_markup_strip — HTML-ish tag removal: replace every `<...>` run
+    * with a space, squeeze repeated spaces, trim. Reports the tag count
+    * and an md5 of the cleaned text (the compact cross-engine witness
+    * that the full cleaned string matches — same trick as
+    * llm_stopword_scrub's clean_md5). */
+  val llmMarkupStrip: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        regexp_count(col("text"), lit(tagRe)).cast("long").as("n_tags"),
+        trim(regexp_replace(
+          regexp_replace(col("text"), lit(tagRe), lit(" ")),
+          lit("  +"), lit(" "))).as("clean_text"))
+      .withColumn("clean_md5", md5(col("clean_text").cast("binary")))
+      .orderBy("doc_id")
+
+  /** llm_charset_stats — per-doc character composition: printable-ASCII
+    * count, digit count, uppercase count, and the ASCII ratio (the
+    * cheap first-pass language/garbage discriminator of a web
+    * pipeline). All counts via regexp_count on single-char classes —
+    * one codegen'd projection. */
+  val llmCharsetStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        regexp_count(col("text"), lit("[ -~]")).cast("long").as("n_ascii"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
+        regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_upper"))
+      .withColumn("ascii_ratio",
+        r4(col("n_ascii") * lit(1.0) / col("n_chars_txt")))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "llm_url_extract"   -> llmUrlExtract,
+    "llm_markup_strip"  -> llmMarkupStrip,
+    "llm_charset_stats" -> llmCharsetStats,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_url_extract" ->
+      s"""WITH u AS (
+        | SELECT doc_id, unnest(regexp_extract_all(text, '$urlRe')) AS url
+        | FROM documents),
+        |pd AS (
+        | SELECT doc_id, count(*) AS n_urls,
+        |  count(DISTINCT regexp_extract(url, '$domRe', 1)) AS n_domains,
+        |  min(regexp_extract(url, '$domRe', 1)) AS first_domain
+        | FROM u GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang,
+        | coalesce(pd.n_urls, 0) AS n_urls,
+        | coalesce(pd.n_domains, 0) AS n_domains,
+        | pd.first_domain
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "llm_markup_strip" ->
+      s"""SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '$tagRe')) AS BIGINT) AS n_tags,
+        | trim(regexp_replace(regexp_replace(text, '$tagRe', ' ', 'g'), '  +', ' ', 'g')) AS clean_text,
+        | md5(trim(regexp_replace(regexp_replace(text, '$tagRe', ' ', 'g'), '  +', ' ', 'g'))) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_charset_stats" ->
+      s"""SELECT doc_id, lang,
+        | CAST(length(text) AS BIGINT) AS n_chars_txt,
+        | CAST(len(regexp_extract_all(text, '[ -~]')) AS BIGINT) AS n_ascii,
+        | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+        | CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+        | ${r4Sql("len(regexp_extract_all(text, '[ -~]')) * 1.0 / length(text)")} AS ascii_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -16,8 +16,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 96
-    SparkEntry.oracleSql.size shouldBe 92
+    SparkEntry.queries.size shouldBe 99
+    SparkEntry.oracleSql.size shouldBe 95
   }
 
   test("no duplicate keys across query modules (Map ++ would silently drop one)") {
@@ -26,7 +26,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
       queries.Aggs.queries, queries.Sorts.queries, queries.Sets.queries,
       queries.Windows.queries, queries.Scalars.queries, queries.Events.queries,
       queries.Llm.queries, queries.Sketches.queries, queries.Extras.queries,
-      queries.Textops.queries).flatMap(_.keys)
+      queries.Textops.queries, queries.Webops.queries).flatMap(_.keys)
     all.size shouldBe all.distinct.size
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Webops behavior on documents that actually LOOK like web content —
+  * the sf fixtures contain no URLs or markup (their oracle run
+  * validates only the cross-engine rails), so this spec synthesizes a
+  * web-shaped corpus in the fixture schema and pins extraction,
+  * stripping and charset counts. Same discipline as PiiScrubSpec. */
+class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  private lazy val dir: String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_web").toString
+    import spark.implicits._
+    Seq(
+      (0L, "see https://a.example.com/x and http://b.org plus https://a.example.com/y", "en", "w", 0L),
+      (1L, "<div class=\"x\"><p>Hello  World</p></div> tail", "en", "w", 0L),
+      (2L, "plain words only 123 ABC", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+    base
+  }
+
+  test("url extract counts urls and distinct domains; url-free docs report zeros") {
+    val rows = queries.Webops.llmUrlExtract(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), Option(r.getString(4)))).toSeq
+    rows(0) shouldBe ((0L, 3L, 2L, Some("a.example.com")))
+    rows(1) shouldBe ((1L, 0L, 0L, None))
+    rows(2) shouldBe ((2L, 0L, 0L, None))
+  }
+
+  test("markup strip removes tags, squeezes spaces, trims; counts match") {
+    val rows = queries.Webops.llmMarkupStrip(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    rows(0)._2 shouldBe 0L
+    rows(1) shouldBe ((1L, 4L, "Hello World tail"))
+    rows(2) shouldBe ((2L, 0L, "plain words only 123 ABC"))
+  }
+
+  test("charset stats count ascii/digit/upper and ratio exactly") {
+    val r2 = queries.Webops.llmCharsetStats(spark, dir)
+      .where(col("doc_id") === 2).head()
+    // "plain words only 123 ABC": 24 chars, all printable ascii
+    r2.getLong(2) shouldBe 24L
+    r2.getLong(3) shouldBe 24L
+    r2.getLong(4) shouldBe 3L // digits 1 2 3
+    r2.getLong(5) shouldBe 3L // A B C
+    r2.getDouble(6) shouldBe 1.0
+  }
+
+  test("on the web-free fixture: zero urls, zero tags, strip is whitespace-identity") {
+    queries.Webops.llmUrlExtract(spark, sfDir)
+      .where(col("n_urls") =!= 0).count() shouldBe 0L
+    val ms = queries.Webops.llmMarkupStrip(spark, sfDir)
+    ms.where(col("n_tags") =!= 0).count() shouldBe 0L
+    ms.join(Tables.documents(spark, sfDir), "doc_id")
+      .where(col("clean_text") =!= col("text")).count() shouldBe 0L
+  }
+}
