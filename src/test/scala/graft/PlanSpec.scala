@@ -102,6 +102,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("sharded blocking self-joins (jaccard family) stay equi-joins — no cartesian fallback") {
+    // round-5 shape: rarity/min-shingle blocking routes through
+    // ShardedSelfJoin with carried nt (+ incremental's cattr); the
+    // candidate join must remain a hash/merge equi-join on
+    // (block key, lang, p, q), and the carried-column filters must not
+    // degrade it to a nested-loop join
+    for (q <- Seq(queries.Llm.llmJaccardPairs(spark, sfDir),
+                  queries.Llm.llmPairTable(spark, sfDir),
+                  queries.Textops.llmNgramJaccard(spark, sfDir),
+                  queries.Extras.llmDedupIncremental(spark, sfDir))) {
+      val plan = planOf(q)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
   test("llm_quality_score / llm_lang_id derive top-K vocab via TakeOrderedAndProject") {
     // global Window.orderBy (no partitionBy) would funnel the whole
     // vocabulary through one task; orderBy+limit is per-partition top-K

@@ -17,7 +17,8 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
     Seq(
       (0L, "see https://a.example.com/x and http://b.org plus https://a.example.com/y", "en", "w", 0L),
       (1L, "<div class=\"x\"><p>Hello  World</p></div> tail", "en", "w", 0L),
-      (2L, "plain words only 123 ABC", "en", "w", 0L))
+      (2L, "plain words only 123 ABC", "en", "w", 0L),
+      (3L, "visit http:///odd and https://ok.io", "en", "w", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$base/documents.parquet")
     base
@@ -29,6 +30,10 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows(0) shouldBe ((0L, 3L, 2L, Some("a.example.com")))
     rows(1) shouldBe ((1L, 0L, 0L, None))
     rows(2) shouldBe ((2L, 0L, 0L, None))
+    // degenerate "http:///odd": the URL matches but its domain group
+    // doesn't — BOTH engines yield '' for a no-match extract (probed
+    // against DuckDB RE2), so '' is a countable domain value by contract
+    rows(3) shouldBe ((3L, 2L, 2L, Some("")))
   }
 
   test("markup strip removes tags, squeezes spaces, trims; counts match") {
