@@ -95,6 +95,41 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("sharded self-join with carry + pre-distinct filter equals the filtered nested-loop oracle") {
+    // round-5 machinery: carried per-doc columns must surface as the
+    // {c}_a/{c}_b of the NORMALIZED pair (doc_a < doc_b — the
+    // when(aLower) projection), and the pre-distinct pairFilter must
+    // only remove pairs, never invent or reorder them. Randomized like
+    // the plain-pairs case above so the diagonal/off-diagonal carry
+    // normalization can't regress silently.
+    import spark.implicits._
+    val genLayout: Gen[(List[(Long, Long, Long)], Int)] = for {
+      n <- Gen.choose(10, 100)
+      nBuckets <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.choose(0L, nBuckets - 1L)
+        v <- Gen.choose(0L, 9L) // carried attribute
+      } yield (b, v))
+      thr <- Gen.choose(1, 40)
+    } yield (rows.zipWithIndex.map { case ((b, v), i) => (i.toLong, b, v) }, thr)
+    (1 to 6).foreach { i =>
+      genLayout.apply(Gen.Parameters.default, Seed(4200L + i)).foreach {
+        case (rows, thr) =>
+          val banded = rows.toDF("doc_id", "bkey", "attr")
+          val got = ops.ShardedSelfJoin.pairs(
+              banded, Seq("bkey"), thr, carry = Seq("attr"),
+              pairFilter = Some((_, _) => col("attr_a") =!= col("attr_b")))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+          val attr = rows.map(r => r._1 -> r._3).toMap
+          val want = (for {
+            (a, ba, _) <- rows; (b, bb, _) <- rows
+            if ba == bb && a < b && attr(a) != attr(b)
+          } yield (a, b, attr(a), attr(b))).toSet
+          got should equal(want)
+      }
+    }
+  }
+
   test("large-star/small-star labels equal union-find components on random graphs") {
     import spark.implicits._
     val genGraph: Gen[List[(Long, Long)]] = for {
