@@ -37,4 +37,41 @@ object PairTable {
     * directory layout here. */
   def write(spark: SparkSession, sfDir: String, out: String): Unit =
     build(spark, sfDir).write.mode("overwrite").parquet(out)
+
+  /** Incremental artifact refresh — the daily-batch shape: `prev` is
+    * the pair table of yesterday's (immutable) corpus, `sfDir` now
+    * contains old + new docs, and `isNewAttr`/`isNewPred` identify the
+    * new batch (same CandPred contract as jaccardPairsUnsorted, e.g.
+    * the md5-bucket rule or a doc_id watermark). Only pairs with AT
+    * LEAST ONE new endpoint are computed — old-old pairs are exactly
+    * `prev`, because Jaccard between two docs depends only on the two
+    * docs, never on the rest of the corpus. The union is disjoint by
+    * construction (every new pair has a new endpoint; no prev pair
+    * does), so no dedup pass is needed.
+    *
+    * Exactness contract (PairTableSpec pins all three clauses at the
+    * 0.8 operator threshold): (1) the touching-new half of the merged
+    * artifact is EXACTLY what a full rebuild finds — the refresh is
+    * exact for the question it answers; (2) the old-old half is frozen
+    * to `prev`, untouched — an incremental refresh never revisits
+    * yesterday's verdicts; (3) consequently a rebuild may differ from
+    * the merge only in old-old pairs at the blocking margin (candidate
+    * BLOCKING uses corpus-wide token df, so yesterday's 4-rarest-token
+    * choices are not today's; measured 2 of 4822 old-old pairs on the
+    * fixture's 80% subset). If bit-identical-to-rebuild matters more
+    * than stability of shipped verdicts, run `write` instead — the
+    * incremental path is for pipelines where re-judging yesterday's
+    * corpus daily is exactly what you are avoiding. */
+  def updateIncremental(spark: SparkSession, sfDir: String,
+                        prev: String, out: String,
+                        isNewAttr: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Unit = {
+    val touchingNew: graft.queries.Llm.CandPred = (isNewAttr,
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a || b)
+    val fresh = graft.queries.Llm.jaccardPairsUnsorted(
+      spark, sfDir, Some(touchingNew),
+      graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
+    spark.read.parquet(prev).unionByName(fresh)
+      .write.mode("overwrite").parquet(out)
+  }
 }
