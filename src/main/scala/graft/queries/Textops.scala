@@ -280,7 +280,36 @@ object Textops {
           lit(phoneRe), lit("<PHONE>")).as("clean_text"))
       .orderBy("doc_id")
 
+  /** llm_pack_sequences — training-sequence packing (the pre-dataloader
+    * step): docs are greedily concatenated in doc_id order into bins of
+    * ≤ 2048 tokens; a doc's bin is the bin its START offset falls in
+    * (greedy first-fit in stream order — the standard concat-packing a
+    * GPT-style dataloader does, expressed as one running-sum window).
+    * Packing runs independently per (lang, shard-of-16): the md5 shard
+    * bounds every window partition at corpus_size/(langs·16) docs and
+    * makes the job embarrassingly parallel — at 100 TB raise the shard
+    * count with the corpus; each shard's packing is deterministic and
+    * independent, so the output is reproducible at any parallelism.
+    * Outputs (doc_id, lang, shard, n_tok, start_off, bin). */
+  val llmPackSequences: Q = (s, d) => {
+    val budget = 2048L
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long") % 16))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("start_off", sum("n_tok").over(w) - col("n_tok"))
+      // integer division, not floor(double /): at extreme offsets a
+      // double quotient could misbin; start_off ≥ 0 so div ≡ floor
+      .withColumn("bin", expr(s"start_off div $budget"))
+      .select("doc_id", "lang", "shard", "n_tok", "start_off", "bin")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_pack_sequences" -> llmPackSequences,
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
     "llm_regex_tokens"   -> llmRegexTokens,
@@ -290,6 +319,20 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 16 AS shard
+        | FROM documents),
+        |o AS (
+        | SELECT doc_id, lang, shard, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS start_off
+        | FROM t)
+        |SELECT doc_id, lang, shard, n_tok, start_off,
+        | CAST(start_off // 2048 AS BIGINT) AS bin
+        |FROM o ORDER BY doc_id""".stripMargin,
     "llm_pii_scrub" ->
       s"""SELECT doc_id, lang,
         | CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_email,

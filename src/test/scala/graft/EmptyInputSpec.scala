@@ -36,7 +36,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "llm_minhash", "llm_simhash", "llm_cosine_topk", "llm_ann_ivf",
     "llm_embed_neardup", "llm_tfidf", "llm_lang_id", "llm_quality_score",
     "llm_stopword_scrub", "llm_chunk", "llm_dedup_cluster", "llm_split",
-    "llm_multimodal_stats", "llm_repetition", "llm_dedup_incremental", "llm_pii_scrub")
+    "llm_multimodal_stats", "llm_repetition", "llm_dedup_incremental", "llm_pii_scrub",
+    "llm_pack_sequences", "llm_url_extract")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {

@@ -96,6 +96,23 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("llm_pack_sequences: contiguous offsets per shard, monotone bins, budget-aligned starts") {
+    val out = queries.Textops.llmPackSequences(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3) // doc_id order = packing order
+      // greedy concat: each doc starts exactly where the previous ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, nTok, off, _), (_, _, _, _, off2, _)) =>
+          off2 shouldBe off + nTok
+        case _ =>
+      }
+      // bin = start_off div 2048, and bins never decrease in pack order
+      sorted.foreach { case (_, _, _, _, off, bin) => bin shouldBe off / 2048 }
+      sorted.map(_._6) shouldBe sorted.map(_._6).sorted
+    }
+  }
+
   test("agg_approx_percentile is within 2% of the exact percentile per group") {
     // the sketch is engine-specific (no SQL oracle, like approx_distinct);
     // its semantics are pinned against the exact percentile instead
