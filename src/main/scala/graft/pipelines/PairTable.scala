@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   // parquet read + jac-threshold + predicate filter
   * }}}
   *
-  * The artifact is floored at jac ≥ 0.5 (Llm.PairTableFloor*), strictly
+  * The artifact is floored at jac ≥ 0.6 (Llm.PairTableFloor*), strictly
   * below every consumer threshold (0.8 operator floor, 0.6 would need
   * its own table), so the re-applied threshold on read is lossless.
   * PropertySpec pins artifact-read ≡ recompute for both jaccard_pairs
@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PairTable {
 
-  /** The artifact frame (unsorted; jac ≥ 0.5). */
+  /** The artifact frame (unsorted; jac ≥ 0.6). */
   def build(spark: SparkSession, sfDir: String): DataFrame =
     graft.queries.Llm.jaccardPairsUnsorted(
       spark, sfDir, None,

@@ -113,22 +113,23 @@ object Llm {
     jaccardPairsUnsorted(s, d).orderBy("doc_a", "doc_b")
 
   /** llm_pair_table — the materialized near-dup PAIR ARTIFACT: the same
-    * blocked/scored pipeline floored at jac ≥ 0.5 instead of 0.8, so one
-    * persisted table serves every downstream consumer that thresholds at
-    * ≥ 0.5 (jaccard_pairs at 0.8, dedup_cluster at any θ, incremental
-    * dedup, audits at 0.9) without recomputing candidates. Write it with
-    * pipelines.PairTable and point `spark.graft.pairs.artifact` at the
-    * parquet path: jaccardPairsUnsorted then READS the artifact and
+    * blocked/scored pipeline floored at jac ≥ 0.6 instead of 0.8, so one
+    * persisted table serves every downstream consumer that thresholds
+    * above the floor (jaccard_pairs at 0.8, dedup_cluster at any θ ≥
+    * 0.8, incremental dedup, audits at 0.9 — 0.2 of margin below the
+    * lowest declared consumer) without recomputing candidates. Write it
+    * with pipelines.PairTable and point `spark.graft.pairs.artifact` at
+    * the parquet path: jaccardPairsUnsorted then READS the artifact and
     * re-applies its threshold/predicate — the daily-refresh shape where
     * the pair table is computed once per corpus version. */
   val llmPairTable: Q = (s, d) =>
     jaccardPairsUnsorted(s, d, None, PairTableFloorNum, PairTableFloorDen)
       .orderBy("doc_a", "doc_b")
 
-  /** Artifact floor 0.5 = 1/2 (kept rational so the size prefilter stays
+  /** Artifact floor 0.6 = 3/5 (kept rational so the size prefilter stays
     * integer-exact). */
-  val PairTableFloorNum = 1
-  val PairTableFloorDen = 2
+  val PairTableFloorNum = 3
+  val PairTableFloorDen = 5
 
   /** Candidate-pair restriction pushed into the blocking stage:
     * `attr` derives a per-DOCUMENT attribute from the doc id (evaluated
@@ -172,13 +173,13 @@ object Llm {
       : org.apache.spark.sql.DataFrame = {
     val theta = thetaNum.toDouble / thetaDen
     // Artifact read path: a pre-built pair table (pipelines.PairTable,
-    // floored at 0.5) short-circuits the whole candidate pipeline. The
+    // floored at 0.6) short-circuits the whole candidate pipeline. The
     // threshold re-applies on read; the caller's θ must be ≥ the
-    // artifact floor for this to be lossless (0.8 and 0.5 both are).
+    // artifact floor for this to be lossless (0.8 and 0.6 both are).
     val artifact = s.conf.get("spark.graft.pairs.artifact", "")
     if (artifact.nonEmpty) {
       require(theta >= PairTableFloorNum.toDouble / PairTableFloorDen,
-        s"pair-table artifact is floored at 0.5; cannot serve theta=$theta")
+        s"pair-table artifact is floored at 0.6; cannot serve theta=$theta")
       val base = s.read.parquet(artifact).where(col("jac") >= theta)
       return candPred.fold(base) { case (attr, pred) =>
         base.where(pred(attr(col("doc_a")), attr(col("doc_b")))) }
@@ -425,14 +426,14 @@ object Llm {
         | FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
-    "llm_pair_table"    -> jaccardPairsSql("0.5"),
+    "llm_pair_table"    -> jaccardPairsSql("0.6"),
     "llm_multimodal_schema" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** Oracle body shared by llm_jaccard_pairs (floor 0.8) and
-    * llm_pair_table (artifact floor 0.5) — identical pipeline, different
+    * llm_pair_table (artifact floor 0.6) — identical pipeline, different
     * Jaccard floor. */
   private def jaccardPairsSql(floor: String): String =
       s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -110,7 +110,7 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("pair-table artifact read ≡ recompute for every jaccard consumer") {
-    // PairTable persists the 0.5-floored pair pipeline once;
+    // PairTable persists the 0.6-floored pair pipeline once;
     // spark.graft.pairs.artifact short-circuits jaccardPairsUnsorted to
     // a parquet read + threshold/predicate re-apply. Pinned for the 0.8
     // operator, the artifact query itself, and the incremental consumer.
