@@ -50,14 +50,16 @@ object ShardedSelfJoin {
     * @param threshold max bucket rows a single task should hold; buckets
     *                  beyond it are sharded into ceil(size/threshold)
     * @param carry     extra per-doc columns to surface as {c}_a / {c}_b
-    * @param pairFilter optional predicate over (doc_a, doc_b) applied
-    *                  BEFORE the dedup `distinct`, so pairs a caller
-    *                  will discard anyway (e.g. old-old pairs in an
-    *                  incremental dedup) never pay the distinct shuffle
+    * @param pairFilter optional predicate applied BEFORE the dedup
+    *                  `distinct`, so pairs a caller will discard anyway
+    *                  (e.g. old-old pairs in an incremental dedup) never
+    *                  pay the distinct shuffle. The expression resolves
+    *                  against the OUTPUT columns: doc_a, doc_b and the
+    *                  normalized carries ({c}_a / {c}_b)
     */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
             carry: Seq[String] = Nil,
-            pairFilter: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column] = None): DataFrame = {
+            pairFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     // Annotate shard counts via a broadcast of ONLY the oversized
     // buckets, not a window over every bucket: oversized buckets are few
@@ -101,7 +103,7 @@ object ShardedSelfJoin {
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         (col("a.p") =!= col("a.q") || aLower))
       .select(sel: _*)
-    pairFilter.fold(joined)(f => joined.where(f(col("doc_a"), col("doc_b"))))
+    pairFilter.fold(joined)(joined.where)
       .distinct()
   }
 }

@@ -42,27 +42,15 @@ object CorpusPrepMain {
 
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
-    if (flags.contains("--sync")) {
-      require(pos.length >= 2, "usage: CorpusPrepMain --sync SRCDIR OUTDIR [stopK]")
-      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      try {
-        val (changed, stale, rep) =
-          sync(spark, pos(0), pos(1), pos.lift(2).map(_.toInt).getOrElse(5))
-        println(s"""{"changed":[${changed.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""stale":[${stale.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
-      } finally spark.stop()
-      return
-    }
-    require(args.length >= 2, "usage: CorpusPrepMain SRCDIR OUTDIR [stopK]")
-    val Array(src, dst) = args.take(2)
-    val stopK = args.lift(2).map(_.toInt).getOrElse(5)
+    // reject unknown flags instead of letting a typo ('--synk') fall
+    // through as a positional SRCDIR/OUTDIR — a misparsed OUTDIR is a
+    // mode(overwrite) write into the wrong directory
+    val unknown = flags.filterNot(_ == "--sync")
+    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(" ")}; " +
+      "usage: CorpusPrepMain [--sync] SRCDIR OUTDIR [stopK]")
+    require(pos.length >= 2, "usage: CorpusPrepMain [--sync] SRCDIR OUTDIR [stopK]")
+    val (src, dst) = (pos(0), pos(1))
+    val stopK = pos.lift(2).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -70,7 +58,13 @@ object CorpusPrepMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(run(spark, src, dst, stopK))
-    finally spark.stop()
+    try {
+      if (flags.contains("--sync")) {
+        val (changed, stale, rep) = sync(spark, src, dst, stopK)
+        println(s"""{"changed":[${changed.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""stale":[${stale.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
+      } else println(run(spark, src, dst, stopK))
+    } finally spark.stop()
   }
 }

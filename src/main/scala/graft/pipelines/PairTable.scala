@@ -25,18 +25,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object PairTable {
 
-  /** The artifact frame (unsorted; jac ≥ 0.6). */
+  private val MarkerFile = "_graft_corpus"
+
+  /** The builders below must COMPUTE, never read the artifact back —
+    * with spark.graft.pairs.artifact set (the documented steady state),
+    * an un-bypassed build would short-circuit to the stale table and
+    * updateIncremental would "refresh" the artifact from itself. The
+    * conf is consulted at plan-CONSTRUCTION time, so unsetting it just
+    * around construction is sufficient and thread-visible state is
+    * restored before returning. */
+  private def bypassingArtifact[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.graft.pairs.artifact"
+    val prev = spark.conf.getOption(key)
+    prev.foreach(_ => spark.conf.unset(key))
+    try f finally prev.foreach(spark.conf.set(key, _))
+  }
+
+  /** Stamp the artifact with the corpus dir it was built from; the
+    * read path refuses to serve any other dir (the conf is
+    * session-global — without the stamp one artifact would silently
+    * answer for every dataset the session touches). Underscore-prefixed
+    * so parquet readers ignore it, like _SUCCESS. */
+  private def writeCorpusMarker(spark: SparkSession, out: String, corpus: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(out, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(corpus.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** The corpus dir an artifact was stamped with; fails loudly on an
+    * unstamped directory (only PairTable-produced tables qualify). */
+  def readCorpusMarker(spark: SparkSession, artifact: String): String = {
+    val p = new org.apache.hadoop.fs.Path(artifact, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$artifact has no $MarkerFile stamp — not a PairTable-written artifact")
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** The artifact frame (unsorted; jac ≥ 0.6), always computed fresh. */
   def build(spark: SparkSession, sfDir: String): DataFrame =
-    graft.queries.Llm.jaccardPairsUnsorted(
-      spark, sfDir, None,
-      graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
+    bypassingArtifact(spark) {
+      graft.queries.Llm.jaccardPairsUnsorted(
+        spark, sfDir, None,
+        graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
+    }
 
   /** Persist the artifact. Partitioned only by parquet row groups —
     * consumers filter on jac (min/max row-group pruning applies) and
     * join on doc ids; there is no low-cardinality partition key worth a
     * directory layout here. */
-  def write(spark: SparkSession, sfDir: String, out: String): Unit =
+  def write(spark: SparkSession, sfDir: String, out: String): Unit = {
     build(spark, sfDir).write.mode("overwrite").parquet(out)
+    writeCorpusMarker(spark, out, sfDir)
+  }
 
   /** Incremental artifact refresh — the daily-batch shape: `prev` is
     * the pair table of yesterday's (immutable) corpus, `sfDir` now
@@ -68,10 +111,17 @@ object PairTable {
       : Unit = {
     val touchingNew: graft.queries.Llm.CandPred = (isNewAttr,
       (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a || b)
-    val fresh = graft.queries.Llm.jaccardPairsUnsorted(
-      spark, sfDir, Some(touchingNew),
-      graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
+    // bypassingArtifact: with the artifact conf pointing at `prev` (the
+    // steady state this method exists for), an un-bypassed call would
+    // filter YESTERDAY'S pairs by the new-endpoint rule — an empty
+    // delta, a silently stale artifact
+    val fresh = bypassingArtifact(spark) {
+      graft.queries.Llm.jaccardPairsUnsorted(
+        spark, sfDir, Some(touchingNew),
+        graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
+    }
     spark.read.parquet(prev).unionByName(fresh)
       .write.mode("overwrite").parquet(out)
+    writeCorpusMarker(spark, out, sfDir)
   }
 }

@@ -430,10 +430,14 @@ object Extras {
     * before the pair-dedup distinct and the set-intersection joins ever
     * see them. The predicate re-derives the md5 bucket from the ids, so
     * nothing joins back to the corpus, and the emitted pair set is
-    * provably the filtered full set (PropertySpec pins it). At 100 TB,
-    * additionally point spark.graft.pairs.artifact at the previous
-    * run's persisted pair table and the old side is not recomputed at
-    * all. */
+    * provably the filtered full set (PropertySpec pins it). At 100 TB
+    * the daily-refresh composition is pipelines.PairTable
+    * .updateIncremental (compute only pairs touching the new batch,
+    * union with yesterday's artifact); spark.graft.pairs.artifact then
+    * serves repeated queries over the SAME corpus version from that
+    * table — the artifact is corpus-stamped, so pointing it at a
+    * different corpus's table fails loudly instead of silently
+    * answering with stale pairs. */
   val llmDedupIncremental: Q = (s, d) => {
     // the llm_split md5-bucket rule as a Column function
     def bkt(c: org.apache.spark.sql.Column) =

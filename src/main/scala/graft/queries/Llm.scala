@@ -180,6 +180,14 @@ object Llm {
     if (artifact.nonEmpty) {
       require(theta >= PairTableFloorNum.toDouble / PairTableFloorDen,
         s"pair-table artifact is floored at 0.6; cannot serve theta=$theta")
+      // corpus-identity check: the conf is session-global, so without
+      // this an artifact built for one corpus would silently answer for
+      // every other dataset dir the session touches (wrong clusters and
+      // splits, no error). PairTable.write stamps the marker.
+      val marker = graft.pipelines.PairTable.readCorpusMarker(s, artifact)
+      require(marker == d,
+        s"pair-table artifact at $artifact was built for corpus '$marker', not '$d' " +
+        "— rebuild with pipelines.PairTable.write or unset spark.graft.pairs.artifact")
       val base = s.read.parquet(artifact).where(col("jac") >= theta)
       return candPred.fold(base) { case (attr, pred) =>
         base.where(pred(attr(col("doc_a")), attr(col("doc_b")))) }
@@ -224,8 +232,15 @@ object Llm {
     //  - the caller's candidate predicate (if any) over its carried
     //    per-doc attribute (e.g. incremental dedup's new↔old buckets)
     val thr = graft.ops.ShardedSelfJoin.confThreshold(s)
-    val sizeOk = least(col("nt_a"), col("nt_b")) * thetaDen >=
-                 greatest(col("nt_a"), col("nt_b")) * thetaNum
+    // The final filter thresholds the r4-ROUNDED jaccard, which rounds
+    // half-up at 4 decimals — a true jac in [θ−0.00005, θ) still passes
+    // it. The prefilter must therefore test min/max ≥ θ − 1/20000, not
+    // θ, or boundary pairs (unreachable on ~25-token fixtures, real on
+    // long web docs) would be dropped that the oracle keeps. Exact
+    // integer form: min·den·20000 ≥ max·(num·20000 − den); nt up to
+    // ~10^13 stays far from Long overflow.
+    val sizeOk = least(col("nt_a"), col("nt_b")) * (thetaDen * 20000L) >=
+                 greatest(col("nt_a"), col("nt_b")) * (thetaNum * 20000L - thetaDen)
     val blockIn = candPred.fold(block) { case (attr, _) =>
       block.withColumn("cattr", attr(col("doc_id"))) }
     val candFilter = candPred match {
@@ -235,7 +250,7 @@ object Llm {
     val candSz = graft.ops.ShardedSelfJoin.pairs(
         blockIn, Seq("block_tok", "lang"), thr,
         carry = Seq("nt") ++ candPred.map(_ => "cattr").toSeq,
-        pairFilter = Some((_, _) => candFilter))
+        pairFilter = Some(candFilter))
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // Adaptive set representation. Small vocab → each token set is ONE
     // 64-bit mask and intersection is bit_count(a & b); general vocab →

@@ -68,13 +68,15 @@ object Textops {
     // from boilerplate-identical docs shards across triangle cells
     // instead of landing in one task. The lossless θ=0.6=3/5 size
     // prefilter runs pre-distinct on the carried sizes: jac ≤
-    // min(na,nb)/max(na,nb), so 5·min < 3·max pairs can never reach 0.6
-    // (integer cross-multiplication — exact at the boundary).
+    // min(na,nb)/max(na,nb). As in Llm, the bound is θ − 1/20000 (the
+    // final filter thresholds the r4-ROUNDED jac, which rounds half-up
+    // at 4 decimals), integer cross-multiplied: min·100000 ≥ max·59995.
     val candSz = graft.ops.ShardedSelfJoin.pairs(
         block, Seq("block_shg", "lang"),
         graft.ops.ShardedSelfJoin.confThreshold(s), carry = Seq("nt"),
-        pairFilter = Some((_, _) =>
-          least(col("nt_a"), col("nt_b")) * 5 >= greatest(col("nt_a"), col("nt_b")) * 3))
+        pairFilter = Some(
+          least(col("nt_a"), col("nt_b")) * 100000L >=
+          greatest(col("nt_a"), col("nt_b")) * 59995L))
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // intern the 32-char md5 shingle strings to xxhash64 longs before
     // the set agg (same move + collision argument as Llm's token

@@ -74,8 +74,12 @@ object Webops {
         regexp_count(col("text"), lit("[ -~]")).cast("long").as("n_ascii"),
         regexp_count(col("text"), lit("[0-9]")).cast("long").as("n_digit"),
         regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_upper"))
+      // empty docs (common after aggressive cleaning): define the ratio
+      // as 0.0 rather than inherit each engine's x/0 behavior (Spark
+      // NULL vs DuckDB IEEE inf) — the oracle mirrors the same CASE
       .withColumn("ascii_ratio",
-        r4(col("n_ascii") * lit(1.0) / col("n_chars_txt")))
+        when(col("n_chars_txt") === 0, lit(0.0))
+          .otherwise(r4(col("n_ascii") * lit(1.0) / col("n_chars_txt"))))
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
@@ -112,7 +116,8 @@ object Webops {
         | CAST(len(regexp_extract_all(text, '[ -~]')) AS BIGINT) AS n_ascii,
         | CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
         | CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
-        | ${r4Sql("len(regexp_extract_all(text, '[ -~]')) * 1.0 / length(text)")} AS ascii_ratio
+        | CASE WHEN length(text) = 0 THEN 0.0
+        |  ELSE ${r4Sql("len(regexp_extract_all(text, '[ -~]')) * 1.0 / length(text)")} END AS ascii_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -58,4 +58,30 @@ class PairTableSpec extends AnyFunSuite with Matchers with SparkFixture {
     (full -- merged).size should be <= 5
     (merged -- full) shouldBe empty
   }
+
+  test("artifact conf can neither poison the incremental refresh nor serve a foreign corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("pt_guard").toString
+    Tables.documents(spark, sfDir).where(bucketCol(col("doc_id")) < 80)
+      .write.parquet(s"$tmp/old/documents.parquet")
+    pipelines.PairTable.write(spark, s"$tmp/old", s"$tmp/prev")
+    def refresh(out: String): Set[(Long, Long, Double)] = {
+      pipelines.PairTable.updateIncremental(
+        spark, sfDir, s"$tmp/prev", out, id => bucketCol(id) >= 80)
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val clean = refresh(s"$tmp/m_clean")
+    spark.conf.set("spark.graft.pairs.artifact", s"$tmp/prev")
+    try {
+      // the corpus stamp rejects serving a different dataset dir — the
+      // conf is session-global, a foreign artifact must fail loudly
+      intercept[IllegalArgumentException] {
+        queries.Llm.llmJaccardPairs(spark, sfDir)
+      }
+      // and the refresh bypasses the conf: without the bypass, the
+      // new-endpoint filter over YESTERDAY'S pairs is an empty delta
+      // and the artifact silently never learns today's near-dups
+      refresh(s"$tmp/m_conf") should equal(clean)
+    } finally spark.conf.unset("spark.graft.pairs.artifact")
+  }
 }

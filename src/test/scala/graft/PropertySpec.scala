@@ -118,7 +118,7 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
           val banded = rows.toDF("doc_id", "bkey", "attr")
           val got = ops.ShardedSelfJoin.pairs(
               banded, Seq("bkey"), thr, carry = Seq("attr"),
-              pairFilter = Some((_, _) => col("attr_a") =!= col("attr_b")))
+              pairFilter = Some(col("attr_a") =!= col("attr_b")))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
           val attr = rows.map(r => r._1 -> r._3).toMap
           val want = (for {

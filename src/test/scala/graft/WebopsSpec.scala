@@ -18,7 +18,8 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (0L, "see https://a.example.com/x and http://b.org plus https://a.example.com/y", "en", "w", 0L),
       (1L, "<div class=\"x\"><p>Hello  World</p></div> tail", "en", "w", 0L),
       (2L, "plain words only 123 ABC", "en", "w", 0L),
-      (3L, "visit http:///odd and https://ok.io", "en", "w", 0L))
+      (3L, "visit http:///odd and https://ok.io", "en", "w", 0L),
+      (4L, "", "en", "w", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$base/documents.parquet")
     base
@@ -53,6 +54,11 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
     r2.getLong(4) shouldBe 3L // digits 1 2 3
     r2.getLong(5) shouldBe 3L // A B C
     r2.getDouble(6) shouldBe 1.0
+    // empty doc: ratio is DEFINED as 0.0, not engine-specific x/0
+    val r4row = queries.Webops.llmCharsetStats(spark, dir)
+      .where(col("doc_id") === 4).head()
+    r4row.getLong(2) shouldBe 0L
+    r4row.getDouble(6) shouldBe 0.0
   }
 
   test("on the web-free fixture: zero urls, zero tags, strip is whitespace-identity") {
