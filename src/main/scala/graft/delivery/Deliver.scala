@@ -155,6 +155,21 @@ object Deliver {
       }.toMap
   }
 
+  /** Partition-column type inference disabled around `f`: everything
+    * syncPartitions reads from a partitioned directory — the diff
+    * fingerprints, the src side, and the final manifest — must see
+    * partition values under ONE typing rule (the literal directory-name
+    * strings). With inference on, a partition whose values are all
+    * numeric strings ("05") reads back as int 5, and the reported
+    * fingerprint/verification diverges from the diffing rule (ADVICE
+    * r5). */
+  private def withPartitionInferenceOff[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   /** Partition-diff re-delivery (the rsync shape for periodic refresh):
     * compare per-partition fingerprints of src and a previously
     * partitionBy(partCol)-delivered dst, rewrite ONLY the partitions
@@ -169,7 +184,9 @@ object Deliver {
                      partCol: String,
                      srcFormat: String = "parquet", dstFormat: String = "parquet")
       : (Seq[String], Seq[String], DeliveryReport) =
-    syncPartitions(spark, read(spark, src, srcFormat), dst, partCol, dstFormat)
+    syncPartitions(spark,
+      withPartitionInferenceOff(spark)(read(spark, src, srcFormat)),
+      dst, partCol, dstFormat)
 
   /** DataFrame-source variant: the composition point for pipelines whose
     * refresh is computed, not copied (e.g. CorpusPrep's daily corpus
@@ -184,14 +201,10 @@ object Deliver {
     // re-inference): partitionFingerprints normalizes both sides to
     // string, and an int-inferred "05" → 5 round-trip would otherwise
     // mark such partitions changed on every sync.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val dstFps: Map[String, Long] =
       if (!fs.exists(new Path(dst))) Map.empty
-      else {
-        val prevInfer = spark.conf.getOption(inferKey)
-        spark.conf.set(inferKey, "false")
-        try partitionFingerprints(read(spark, dst, dstFormat), partCol)
-        finally prevInfer.fold(spark.conf.unset(inferKey))(spark.conf.set(inferKey, _))
+      else withPartitionInferenceOff(spark) {
+        partitionFingerprints(read(spark, dst, dstFormat), partCol)
       }
     val srcFps = partitionFingerprints(in, partCol)
     val changed = srcFps.filter { case (p, f) => dstFps.get(p) != Some(f) }.keys.toSeq.sorted
@@ -216,7 +229,11 @@ object Deliver {
         .escapePathName(p)
       fs.delete(new Path(dst, s"$partCol=$escaped"), true)
     }
-    (changed, stale, manifest(spark, dst, dstFormat))
+    // the returned report must attest the dst under the SAME typing rule
+    // the diff used — with inference back on, an all-numeric-string
+    // partition ("05" → int 5) would fingerprint differently from both
+    // the src frame and the next sync's diff (ADVICE r5)
+    (changed, stale, withPartitionInferenceOff(spark)(manifest(spark, dst, dstFormat)))
   }
 
   /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */

@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
   * the prepared corpus partitioned by split to OUTDIR, and print a
   * one-line JSON manifest (rows in/out, per-split counts).
   *
-  * Usage: graft.pipelines.CorpusPrepMain SRCDIR OUTDIR [stopK]
+  * Usage:
+  *   CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]]
+  *                  SRCDIR OUTDIR [stopK]
+  *
+  * `--pairs-artifact PATH` is the daily-refresh product flow (r5
+  * verdict item #1): the near-dup pair table lives at PATH as a
+  * corpus-stamped artifact; first run bootstraps it with a full build,
+  * `--refresh` merges in only the pairs touching docs above the stamped
+  * doc_id watermark (PairTable.refreshInPlace), and the prep then runs
+  * with every jaccard consumer short-circuited to the artifact and
+  * ships only the split partitions whose content moved. One command =
+  * day-2 ingest → incremental pair refresh → re-cluster/split → sync.
   */
 object CorpusPrepMain {
   /** Exposed for tests: run a prep delivery, return the manifest line. */
@@ -40,15 +51,72 @@ object CorpusPrepMain {
       spark, out, s"$dst/documents", "split", "parquet")
   }
 
+  /** The daily-refresh composition, end to end: ensure the pair
+    * artifact (bootstrap a full build when PATH does not exist yet),
+    * optionally refresh it incrementally against today's corpus
+    * (watermark rule — docs with doc_id above the stamped max are the
+    * new batch, so ingest must assign monotonically increasing ids),
+    * then run the partition-diff sync with the jaccard family served
+    * from the artifact. The three pieces — PairTable.updateIncremental,
+    * CorpusPrep, Deliver.syncPartitions — compose here into the one
+    * pipeline they exist for; DailyRefreshSpec pins the product
+    * invariants (delta pairs all touch the new batch, untouched split
+    * partitions stay byte-identical, output equal to a from-scratch
+    * prep). */
+  def refreshFlow(spark: SparkSession, src: String, dst: String,
+                  artifact: String, refresh: Boolean, stopK: Int = 5)
+      : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
+    val aPath = new org.apache.hadoop.fs.Path(artifact)
+    val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(aPath)) {
+      System.err.println(
+        s"[graft] CorpusPrepMain: bootstrapping pair artifact $artifact from $src")
+      PairTable.write(spark, src, artifact)
+    } else if (refresh) {
+      PairTable.refreshInPlace(spark, src, artifact)
+    } else {
+      // not refreshing: the artifact must already be stamped for THIS
+      // corpus or the consumers would fail mid-prep — surface the
+      // bootstrap-vs-use mistake before any work runs
+      val marker = PairTable.readCorpusMarker(spark, artifact)
+      require(marker == src,
+        s"pair artifact $artifact is stamped for corpus '$marker', not '$src' — " +
+        "pass --refresh to merge today's batch, or point at the right artifact")
+    }
+    val key = "spark.graft.pairs.artifact"
+    val prevConf = spark.conf.getOption(key)
+    spark.conf.set(key, artifact)
+    try sync(spark, src, dst, stopK)
+    finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private val Usage =
+    "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] SRCDIR OUTDIR [stopK]"
+
   def main(args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("--"))
-    // reject unknown flags instead of letting a typo ('--synk') fall
-    // through as a positional SRCDIR/OUTDIR — a misparsed OUTDIR is a
+    // sequential parse (not a startsWith partition): --pairs-artifact
+    // takes a value, and an unknown flag must fail loudly instead of
+    // falling through as a positional OUTDIR — a misparsed OUTDIR is a
     // mode(overwrite) write into the wrong directory
-    val unknown = flags.filterNot(_ == "--sync")
-    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(" ")}; " +
-      "usage: CorpusPrepMain [--sync] SRCDIR OUTDIR [stopK]")
-    require(pos.length >= 2, "usage: CorpusPrepMain [--sync] SRCDIR OUTDIR [stopK]")
+    var doSync = false; var refresh = false
+    var artifact: Option[String] = None
+    val pos = scala.collection.mutable.Buffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sync"    => doSync = true
+        case "--refresh" => refresh = true
+        case "--pairs-artifact" =>
+          require(i + 1 < args.length, s"--pairs-artifact needs a PATH; $Usage")
+          i += 1; artifact = Some(args(i))
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag $f; $Usage")
+        case p => pos += p
+      }
+      i += 1
+    }
+    require(pos.length >= 2 && pos.length <= 3, Usage)
+    require(!refresh || artifact.nonEmpty, s"--refresh requires --pairs-artifact; $Usage")
     val (src, dst) = (pos(0), pos(1))
     val stopK = pos.lift(2).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,13 +126,18 @@ object CorpusPrepMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def printSync(t: (Seq[String], Seq[String], graft.delivery.DeliveryReport)): Unit = {
+      val (changed, stale, rep) = t
+      println(s"""{"changed":[${changed.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""stale":[${stale.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
+    }
     try {
-      if (flags.contains("--sync")) {
-        val (changed, stale, rep) = sync(spark, src, dst, stopK)
-        println(s"""{"changed":[${changed.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""stale":[${stale.map("\"" + _ + "\"").mkString(",")}],""" +
-          s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
-      } else println(run(spark, src, dst, stopK))
+      artifact match {
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK))
+        case None if doSync => printSync(sync(spark, src, dst, stopK))
+        case None           => println(run(spark, src, dst, stopK))
+      }
     } finally spark.stop()
   }
 }

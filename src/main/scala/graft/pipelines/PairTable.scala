@@ -1,6 +1,7 @@
 package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The materialized near-dup pair artifact (llm_pair_table as a
   * persisted table) — the cross-run sharing story for the jaccard
@@ -15,6 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   spark.conf.set("spark.graft.pairs.artifact", "/artifacts/pairs")
   *   // every jaccardPairsUnsorted consumer now short-circuits to a
   *   // parquet read + jac-threshold + predicate filter
+  *   // day 2: new docs appended to the corpus dir →
+  *   PairTable.refreshInPlace(spark, sfDir, "/artifacts/pairs")
   * }}}
   *
   * The artifact is floored at jac ≥ 0.6 (Llm.PairTableFloor*), strictly
@@ -22,55 +25,76 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * its own table), so the re-applied threshold on read is lossless.
   * PropertySpec pins artifact-read ≡ recompute for both jaccard_pairs
   * and dedup_incremental.
+  *
+  * The builders pass `ignoreArtifact = true` to jaccardPairsUnsorted:
+  * with `spark.graft.pairs.artifact` set (the documented steady state)
+  * an unbypassed build would short-circuit to the stale table and
+  * updateIncremental would "refresh" the artifact from itself. Threaded
+  * as an explicit parameter, NOT a temporary conf unset — mutating the
+  * session-global conf around plan construction raced with concurrent
+  * query construction on the same SparkSession (ADVICE r5).
   */
 object PairTable {
 
   private val MarkerFile = "_graft_corpus"
+  private val WatermarkFile = "_graft_watermark"
 
-  /** The builders below must COMPUTE, never read the artifact back —
-    * with spark.graft.pairs.artifact set (the documented steady state),
-    * an un-bypassed build would short-circuit to the stale table and
-    * updateIncremental would "refresh" the artifact from itself. The
-    * conf is consulted at plan-CONSTRUCTION time, so unsetting it just
-    * around construction is sufficient and thread-visible state is
-    * restored before returning. */
-  private def bypassingArtifact[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.graft.pairs.artifact"
-    val prev = spark.conf.getOption(key)
-    prev.foreach(_ => spark.conf.unset(key))
-    try f finally prev.foreach(spark.conf.set(key, _))
+  private def fsFor(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmallFile(spark: SparkSession, dir: String, name: String,
+                             content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val os = fsFor(spark, p).create(p, true)
+    try os.write(content.getBytes("UTF-8")) finally os.close()
   }
 
-  /** Stamp the artifact with the corpus dir it was built from; the
-    * read path refuses to serve any other dir (the conf is
-    * session-global — without the stamp one artifact would silently
-    * answer for every dataset the session touches). Underscore-prefixed
-    * so parquet readers ignore it, like _SUCCESS. */
-  private def writeCorpusMarker(spark: SparkSession, out: String, corpus: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(out, MarkerFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
-    try os.write(corpus.getBytes("UTF-8")) finally os.close()
+  private def readSmallFile(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val in = fsFor(spark, p).open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Stamp the artifact with the corpus dir it was built from plus the
+    * doc_id watermark (max doc_id seen); the read path refuses to serve
+    * any other dir (the conf is session-global — without the stamp one
+    * artifact would silently answer for every dataset the session
+    * touches), and refreshInPlace uses the watermark as the default
+    * new-batch rule. Underscore-prefixed so parquet readers ignore
+    * them, like _SUCCESS. */
+  private def writeStamps(spark: SparkSession, out: String, corpus: String): Unit = {
+    writeSmallFile(spark, out, MarkerFile, corpus)
+    val wm = graft.Tables.documents(spark, corpus)
+      .agg(max("doc_id")).head().getLong(0)
+    writeSmallFile(spark, out, WatermarkFile, wm.toString)
   }
 
   /** The corpus dir an artifact was stamped with; fails loudly on an
     * unstamped directory (only PairTable-produced tables qualify). */
   def readCorpusMarker(spark: SparkSession, artifact: String): String = {
     val p = new org.apache.hadoop.fs.Path(artifact, MarkerFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
+    require(fsFor(spark, p).exists(p),
       s"$artifact has no $MarkerFile stamp — not a PairTable-written artifact")
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    readSmallFile(spark, artifact, MarkerFile)
+  }
+
+  /** The doc_id watermark stamped at write/refresh time: every corpus
+    * doc with doc_id > watermark arrived AFTER the artifact was built.
+    * Pre-watermark artifacts (none in this repo's history, but a
+    * foreign stamp could omit the file) fail loudly rather than guess. */
+  def readWatermark(spark: SparkSession, artifact: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(artifact, WatermarkFile)
+    require(fsFor(spark, p).exists(p),
+      s"$artifact has no $WatermarkFile stamp — rebuild with PairTable.write")
+    readSmallFile(spark, artifact, WatermarkFile).trim.toLong
   }
 
   /** The artifact frame (unsorted; jac ≥ 0.6), always computed fresh. */
   def build(spark: SparkSession, sfDir: String): DataFrame =
-    bypassingArtifact(spark) {
-      graft.queries.Llm.jaccardPairsUnsorted(
-        spark, sfDir, None,
-        graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
-    }
+    graft.queries.Llm.jaccardPairsUnsorted(
+      spark, sfDir, None,
+      graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen,
+      ignoreArtifact = true)
 
   /** Persist the artifact. Partitioned only by parquet row groups —
     * consumers filter on jac (min/max row-group pruning applies) and
@@ -78,19 +102,29 @@ object PairTable {
     * directory layout here. */
   def write(spark: SparkSession, sfDir: String, out: String): Unit = {
     build(spark, sfDir).write.mode("overwrite").parquet(out)
-    writeCorpusMarker(spark, out, sfDir)
+    writeStamps(spark, out, sfDir)
   }
 
   /** Incremental artifact refresh — the daily-batch shape: `prev` is
     * the pair table of yesterday's (immutable) corpus, `sfDir` now
-    * contains old + new docs, and `isNewAttr`/`isNewPred` identify the
-    * new batch (same CandPred contract as jaccardPairsUnsorted, e.g.
-    * the md5-bucket rule or a doc_id watermark). Only pairs with AT
-    * LEAST ONE new endpoint are computed — old-old pairs are exactly
-    * `prev`, because Jaccard between two docs depends only on the two
-    * docs, never on the rest of the corpus. The union is disjoint by
+    * contains old + new docs, and `isNewAttr` identifies the new batch
+    * (same CandPred contract as jaccardPairsUnsorted, e.g. the
+    * md5-bucket rule or a doc_id watermark). Only pairs with AT LEAST
+    * ONE new endpoint are computed — old-old pairs are exactly `prev`,
+    * because Jaccard between two docs depends only on the two docs,
+    * never on the rest of the corpus. The union is disjoint by
     * construction (every new pair has a new endpoint; no prev pair
     * does), so no dedup pass is needed.
+    *
+    * `prev` must carry the corpus stamp (fail-loudly guard): the read
+    * path already refuses unstamped artifacts, and without the same
+    * check here a foreign or hand-rolled parquet handed in as
+    * yesterday's table would be silently unioned and RE-STAMPED as a
+    * valid artifact for `sfDir` — laundered into exactly the trust the
+    * stamp system exists to protect (ADVICE r5). `out` must differ from
+    * `prev`: parquet reads are lazy, so an in-place overwrite would
+    * delete yesterday's files under the running union (use
+    * refreshInPlace for the tmp-and-swap form).
     *
     * Exactness contract (PairTableSpec pins all three clauses at the
     * 0.8 operator threshold): (1) the touching-new half of the merged
@@ -109,19 +143,46 @@ object PairTable {
                         prev: String, out: String,
                         isNewAttr: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : Unit = {
+    val prevCorpus = readCorpusMarker(spark, prev) // fail loudly on unstamped prev
+    require(out != prev,
+      s"updateIncremental cannot overwrite prev in place ($prev); " +
+      "write to a fresh path or use refreshInPlace")
     val touchingNew: graft.queries.Llm.CandPred = (isNewAttr,
       (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => a || b)
-    // bypassingArtifact: with the artifact conf pointing at `prev` (the
-    // steady state this method exists for), an un-bypassed call would
+    // ignoreArtifact: with the artifact conf pointing at `prev` (the
+    // steady state this method exists for), an unbypassed call would
     // filter YESTERDAY'S pairs by the new-endpoint rule — an empty
     // delta, a silently stale artifact
-    val fresh = bypassingArtifact(spark) {
-      graft.queries.Llm.jaccardPairsUnsorted(
-        spark, sfDir, Some(touchingNew),
-        graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen)
-    }
+    val fresh = graft.queries.Llm.jaccardPairsUnsorted(
+      spark, sfDir, Some(touchingNew),
+      graft.queries.Llm.PairTableFloorNum, graft.queries.Llm.PairTableFloorDen,
+      ignoreArtifact = true)
+    System.err.println(
+      s"[graft] PairTable.updateIncremental: merging prev artifact $prev " +
+      s"(corpus '$prevCorpus') with new-endpoint pairs of '$sfDir'")
     spark.read.parquet(prev).unionByName(fresh)
       .write.mode("overwrite").parquet(out)
-    writeCorpusMarker(spark, out, sfDir)
+    writeStamps(spark, out, sfDir)
+  }
+
+  /** Watermark-ruled in-place refresh — the composition point for the
+    * daily product flow (CorpusPrepMain --refresh): docs with doc_id
+    * above the stamped watermark are the new batch; the merged table is
+    * written to a `<artifact>.tmp-refresh` sibling and swapped in, so
+    * the lazily-read prev files are never overwritten mid-union and a
+    * crash leaves either the old or the new artifact, not a torn one.
+    * No-op-safe: an unchanged corpus yields an empty delta and the swap
+    * rewrites identical content. Single-writer by contract (one daily
+    * refresh job owns the artifact path; concurrent READERS are fine —
+    * they hold the old file listing or the new one). */
+  def refreshInPlace(spark: SparkSession, sfDir: String, artifact: String): Unit = {
+    val wm = readWatermark(spark, artifact)
+    val tmp = artifact + ".tmp-refresh"
+    updateIncremental(spark, sfDir, artifact, tmp, id => id > wm)
+    val aPath = new org.apache.hadoop.fs.Path(artifact)
+    val fs = fsFor(spark, aPath)
+    require(fs.delete(aPath, true), s"could not delete old artifact $artifact")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), aPath),
+      s"could not move refreshed artifact $tmp -> $artifact")
   }
 }

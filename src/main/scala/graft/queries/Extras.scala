@@ -124,11 +124,22 @@ object Extras {
   private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
     graft.functions.VectorExprs.register(s)
     val bits = annBits(s)
+    // Hyperplane k reads dim 8k+1, so `bits` needs embedding dim ≥
+    // 8·(bits−1)+1. Without this guard an out-of-range element_at turns
+    // bkt NULL (ANSI off) and the probe equi-join silently returns a
+    // near-empty ANN result instead of erroring (ADVICE r5). The guard
+    // is a codegen'd per-row 0 added into bkt that raises on the first
+    // too-short vector — no plan-build-time probe job.
+    val need = 8 * (bits - 1) + 1
+    val dimGuard = when(size(col("e")) >= need, lit(0)).otherwise(
+      raise_error(concat(
+        lit(s"spark.graft.ann.bits=$bits needs embedding dim >= $need, got "),
+        size(col("e")).cast("string"))).cast("int"))
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
       .withColumn("bkt",
-        (0 until bits).map(i =>
+        dimGuard + (0 until bits).map(i =>
           (element_at(col("e"), i * 8 + 1) > 0).cast("int") * lit(1 << (bits - 1 - i)))
           .reduce(_ + _))
   }

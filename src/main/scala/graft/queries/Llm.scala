@@ -147,6 +147,11 @@ object Llm {
       : org.apache.spark.sql.DataFrame =
     jaccardPairsUnsorted(s, d, None, 4, 5)
 
+  def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String,
+      candPred: Option[CandPred], thetaNum: Int, thetaDen: Int)
+      : org.apache.spark.sql.DataFrame =
+    jaccardPairsUnsorted(s, d, candPred, thetaNum, thetaDen, ignoreArtifact = false)
+
   /** Pair source without the final total order — consumers that only
     * need the pair SET (llm_dedup_cluster, CorpusPrep) skip the global
     * range-shuffle+sort of the full pair list (759k rows at sf0.1).
@@ -167,16 +172,24 @@ object Llm {
     *        candidates die here at θ=0.8). Integer cross-multiplication,
     *        not doubles: 0.8·5 in binary floating point is not exactly 4,
     *        and an exact-boundary pair (4/5 ratio, jac exactly 0.8) must
-    *        survive. */
+    *        survive.
+    * @param ignoreArtifact compute fresh even when
+    *        `spark.graft.pairs.artifact` is set — the parameter
+    *        pipelines.PairTable's builders thread instead of mutating
+    *        the session-global conf around plan construction (a
+    *        temporary unset raced with concurrent query construction on
+    *        the same session, ADVICE r5). */
   def jaccardPairsUnsorted(s: org.apache.spark.sql.SparkSession, d: String,
-      candPred: Option[CandPred], thetaNum: Int, thetaDen: Int)
+      candPred: Option[CandPred], thetaNum: Int, thetaDen: Int,
+      ignoreArtifact: Boolean)
       : org.apache.spark.sql.DataFrame = {
     val theta = thetaNum.toDouble / thetaDen
     // Artifact read path: a pre-built pair table (pipelines.PairTable,
     // floored at 0.6) short-circuits the whole candidate pipeline. The
     // threshold re-applies on read; the caller's θ must be ≥ the
     // artifact floor for this to be lossless (0.8 and 0.6 both are).
-    val artifact = s.conf.get("spark.graft.pairs.artifact", "")
+    val artifact =
+      if (ignoreArtifact) "" else s.conf.get("spark.graft.pairs.artifact", "")
     if (artifact.nonEmpty) {
       require(theta >= PairTableFloorNum.toDouble / PairTableFloorDen,
         s"pair-table artifact is floored at 0.6; cannot serve theta=$theta")
@@ -256,15 +269,17 @@ object Llm {
     // 64-bit mask and intersection is bit_count(a & b); general vocab →
     // sorted token arrays + native array_intersect. Same exact Jaccard
     // either way, so the oracle SQL is representation-independent.
-    // spark.graft.jaccard.setRepr ∈ {auto, bitmask, array}: "auto"
-    // probes the vocab size with an eager count at plan-build time —
-    // fine locally, but a 100 TB job should pin "array" (or "bitmask"
-    // for known-small vocabs) to avoid the extra scan.
+    // spark.graft.jaccard.setRepr ∈ {array (default), bitmask, auto}:
+    // "auto" probes the vocab size with an eager count at PLAN-BUILD
+    // time — an extra full token-stream scan, so it is opt-in for local
+    // exploration only; the default "array" keeps plan construction
+    // action-free (r5 verdict), and known-≤64-token vocabs can pin
+    // "bitmask" explicitly.
     lazy val useBitmask =
-      s.conf.get("spark.graft.jaccard.setRepr", "auto") match {
+      s.conf.get("spark.graft.jaccard.setRepr", "array") match {
         case "bitmask" => true
-        case "array"   => false
-        case _         => dfTok.count() <= 64
+        case "auto"    => dfTok.count() <= 64
+        case _         => false
       }
     // lazy: the "stream" intersect path below never touches per-doc sets,
     // so it must not pay the auto-mode vocab probe either

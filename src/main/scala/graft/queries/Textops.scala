@@ -170,19 +170,20 @@ object Textops {
       .select(col("doc_id").as("test_doc"), col("shg"))
     // df-cap: drop boilerplate shingles (train-df > maxDf) before the
     // join. The dropped set is small by construction (each member has
-    // > maxDf occurrences, so there are < |train|/maxDf of them) —
-    // counted eagerly for the log line; no broadcast hint on the
-    // anti-join (AQE broadcasts it while small, and at web scale a
-    // shuffled anti-join on shg is the correct fallback).
+    // > maxDf occurrences, so there are < |train|/maxDf of them) — no
+    // broadcast hint on the anti-join (AQE broadcasts it while small,
+    // and at web scale a shuffled anti-join on shg is the correct
+    // fallback). The no-silent-truncation census rides the MAIN job as
+    // an observe() metric logged on action completion — the r4/r5 eager
+    // count() here cost a separate job and a second materialization of
+    // the capped-shingle table per invocation (r5 verdict item #5).
     val maxDf = s.conf.get("spark.graft.contamination.maxDf",
       ContaminationMaxDf.toString).toLong
-    val dropped = graft.ops.Lineage.cut(
-      trainAll.groupBy("shg").agg(count(lit(1)).as("df"))
-        .where(col("df") > maxDf).select("shg"))
-    val nDropped = dropped.count()
-    if (nDropped > 0)
-      System.err.println(
-        s"[graft] llm_contamination: dropped $nDropped boilerplate shingle(s) with train-df > $maxDf")
+    graft.ops.Observed.ensureListener(s)
+    val dropped = trainAll.groupBy("shg").agg(count(lit(1)).as("df"))
+      .observe(s"graft.llm_contamination.boilerplate_shingles_train_df_gt_$maxDf",
+        count(when(col("df") > maxDf, true)).as("n_dropped"))
+      .where(col("df") > maxDf).select("shg")
     val train = trainAll.join(dropped, Seq("shg"), "left_anti")
     val testSize = test.groupBy("test_doc").agg(count(lit(1)).as("n_shingles"))
     test.join(train, "shg")
@@ -287,18 +288,25 @@ object Textops {
     * ≤ 2048 tokens; a doc's bin is the bin its START offset falls in
     * (greedy first-fit in stream order — the standard concat-packing a
     * GPT-style dataloader does, expressed as one running-sum window).
-    * Packing runs independently per (lang, shard-of-16): the md5 shard
-    * bounds every window partition at corpus_size/(langs·16) docs and
-    * makes the job embarrassingly parallel — at 100 TB raise the shard
-    * count with the corpus; each shard's packing is deterministic and
-    * independent, so the output is reproducible at any parallelism.
-    * Outputs (doc_id, lang, shard, n_tok, start_off, bin). */
+    * Packing runs independently per (lang, md5-shard): the shard bounds
+    * every window partition at corpus_size/(langs·shards) docs and makes
+    * the job embarrassingly parallel; each shard's packing is
+    * deterministic and independent, so the output is reproducible at any
+    * parallelism. The shard count is `spark.graft.pack.shards`; the
+    * DEFAULT (16) is the declared oracle contract (the SQL mirror pins
+    * the same literal), so overriding it departs from the oracle — at
+    * 100 TB raise it with the corpus to keep the per-partition sort
+    * bounded (QuerySemanticsSpec re-pins the packing invariants at a
+    * non-default width). Outputs (doc_id, lang, shard, n_tok,
+    * start_off, bin). */
   val llmPackSequences: Q = (s, d) => {
     val budget = 2048L
+    val shards = s.conf.get("spark.graft.pack.shards", "16").toInt
+    require(shards >= 1, s"spark.graft.pack.shards must be >= 1, got $shards")
     val docs = Tables.documents(s, d)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("shard",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long") % 16))
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10).cast("long") % shards))
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs

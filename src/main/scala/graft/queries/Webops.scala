@@ -23,6 +23,12 @@ object Webops {
   private val urlRe = "https?://[^ ]+"
   private val domRe = "https?://([^/ ]+)"
   private val tagRe = "<[^>]*>"
+  /** Trailing sentence punctuation is prose, not URL: `see
+    * https://a.com.` must yield domain `a.com`, not `a.com.` (r5 verdict
+    * item #4 — a real user grouping by domain hits the difference
+    * immediately). Applied as a second anchored regexp_replace on each
+    * extracted match — lookahead-free, so Java regex and RE2 agree. */
+  private val trailRe = "[.,);!?]+$"
 
   /** llm_url_extract — per-doc URL census: how many URLs, how many
     * distinct domains, and the lexicographically-first domain (a stable
@@ -34,6 +40,7 @@ object Webops {
     val docs = Tables.documents(s, d)
     val urls = docs
       .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("url", regexp_replace(col("url"), lit(trailRe), lit("")))
       .withColumn("domain", regexp_extract(col("url"), domRe, 1))
     val perDoc = urls.groupBy("doc_id")
       .agg(count(lit(1)).as("n_urls"),
@@ -82,16 +89,45 @@ object Webops {
           .otherwise(r4(col("n_ascii") * lit(1.0) / col("n_chars_txt"))))
       .orderBy("doc_id")
 
+  /** llm_domain_stats — per-domain corpus rollup: the grouping every
+    * web-pipeline quality filter runs on (block lists, per-site caps,
+    * source-mix reports). Each doc is attributed to its first_domain
+    * (the lexicographically-first of its trimmed URL domains, as
+    * llm_url_extract); docs without URLs land in the '<none>' bucket so
+    * the rollup always partitions the whole corpus. Reports docs, token
+    * sum, average tokens and distinct languages per domain. Scale: one
+    * per-doc bounded agg + one groupBy(domain) — shuffle width =
+    * distinct domains, never rows. */
+  val llmDomainStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val firstDom = docs
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("domain",
+        regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
+      .groupBy("doc_id").agg(min("domain").as("domain"))
+    docs.join(firstDom, Seq("doc_id"), "left")
+      .withColumn("domain", coalesce(col("domain"), lit("<none>")))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tok").as("n_tokens"),
+           r4(sum("n_tok") * lit(1.0) / count(lit(1))).as("avg_tok"),
+           countDistinct("lang").as("n_langs"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_url_extract"   -> llmUrlExtract,
     "llm_markup_strip"  -> llmMarkupStrip,
     "llm_charset_stats" -> llmCharsetStats,
+    "llm_domain_stats"  -> llmDomainStats,
   )
 
   val oracle: Map[String, String] = Map(
     "llm_url_extract" ->
       s"""WITH u AS (
-        | SELECT doc_id, unnest(regexp_extract_all(text, '$urlRe')) AS url
+        | SELECT doc_id,
+        |  regexp_replace(unnest(regexp_extract_all(text, '$urlRe')), '$trailRe', '') AS url
         | FROM documents),
         |pd AS (
         | SELECT doc_id, count(*) AS n_urls,
@@ -110,6 +146,24 @@ object Webops {
         | trim(regexp_replace(regexp_replace(text, '$tagRe', ' ', 'g'), '  +', ' ', 'g')) AS clean_text,
         | md5(trim(regexp_replace(regexp_replace(text, '$tagRe', ' ', 'g'), '  +', ' ', 'g'))) AS clean_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_domain_stats" ->
+      s"""WITH dt AS (
+        | SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id,
+        |  regexp_replace(unnest(regexp_extract_all(text, '$urlRe')), '$trailRe', '') AS url
+        | FROM documents),
+        |fd AS (
+        | SELECT doc_id, min(regexp_extract(url, '$domRe', 1)) AS domain
+        | FROM u GROUP BY doc_id)
+        |SELECT coalesce(fd.domain, '<none>') AS domain,
+        | count(*) AS n_docs,
+        | CAST(sum(dt.n_tok) AS BIGINT) AS n_tokens,
+        | ${r4Sql("sum(dt.n_tok) * 1.0 / count(*)")} AS avg_tok,
+        | count(DISTINCT dt.lang) AS n_langs
+        |FROM dt LEFT JOIN fd ON fd.doc_id = dt.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_charset_stats" ->
       s"""SELECT doc_id, lang,
         | CAST(length(text) AS BIGINT) AS n_chars_txt,
