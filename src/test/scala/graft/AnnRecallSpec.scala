@@ -74,4 +74,23 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     info(f"llm_embed_neardup multi-probe recall = $recall%.3f over ${brute.size} brute pairs")
     recall should be >= 0.50
   }
+
+  test("ann.bits wider than the embedding dim fails loudly instead of silently empty results") {
+    // hyperplane k reads dim 8k+1; on 4-dim vectors even the default 3
+    // bits (needs dim 17) must raise, not NULL-bucket into an empty
+    // probe join (ADVICE r5)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_dim").toString
+    Seq((1L, Array(1.0f, 0.5f, -0.25f, 0.125f), 0),
+        (2L, Array(-1.0f, 0.5f, 0.25f, -0.125f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[Exception] {
+      Extras.llmAnnIvf(spark, tmp).collect()
+    }
+    // the raise_error surfaces through Spark's job-failure wrapping
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    msgs should include("needs embedding dim >= 17, got 4")
+  }
 }

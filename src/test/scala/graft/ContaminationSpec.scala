@@ -66,4 +66,40 @@ class ContaminationSpec extends AnyFunSuite with Matchers with SparkFixture {
       }
     } finally spark.conf.unset("spark.graft.contamination.maxDf")
   }
+
+  test("dropped-shingle census rides the main job as an observe() metric, no extra count job") {
+    val (dir, _, _) = corpus
+    // capture the CollectMetrics result through the same listener
+    // channel Observed logs from — proves the census is attached to the
+    // query (zero extra jobs at plan-build time, r5 verdict item #5)
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.")) seen.put(name, row.getLong(0)) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.graft.contamination.maxDf", "50")
+    try {
+      // the metric arriving through observedMetrics IS the structural
+      // proof: a separate eager count() (the r4/r5 shape) would leave no
+      // CollectMetrics node in the query at all. Plan construction still
+      // runs the (by-design) eager Lineage.cut of the shingle stream —
+      // only the census job is gone.
+      val df = queries.Textops.llmContamination(spark, dir)
+      df.collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val key = seen.keySet().stream().filter(_.contains("llm_contamination")).findFirst()
+      key.isPresent shouldBe true
+      seen.get(key.get()) shouldBe 1L // exactly the boilerplate shingle dropped
+    } finally {
+      spark.conf.unset("spark.graft.contamination.maxDf")
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }

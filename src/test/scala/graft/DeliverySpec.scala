@@ -166,6 +166,28 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
       s"$tmp/dst", "parquet") shouldBe true
   }
 
+  test("syncPartitions manifest agrees with the diffing rule on all-numeric partition values") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("dlv_num").toString
+    // ONLY numeric strings: with type inference the dst would read back
+    // as int ("05" → 5) and the reported fingerprint would diverge from
+    // the src frame and from the string-normalized diff (ADVICE r5 —
+    // the hostile-values test above is saved by its non-numeric 'a b')
+    val rows = Seq((1L, "05"), (2L, "05"), (3L, "7"))
+    val src = rows.toDF("k", "part")
+    src.write.parquet(s"$tmp/src")
+    val (c1, _, r1) = Deliver.syncPartitions(spark, s"$tmp/src", s"$tmp/dst", "part")
+    c1.toSet shouldBe Set("05", "7")
+    // the report fingerprints dst under the SAME typing rule the diff
+    // used: partition values as the literal directory-name strings
+    r1.fingerprint shouldBe Deliver.fingerprint(src)
+    // idempotent: no churn, same report
+    val (c2, s2, r2) = Deliver.syncPartitions(spark, s"$tmp/src", s"$tmp/dst", "part")
+    c2 shouldBe empty
+    s2 shouldBe empty
+    r2.fingerprint shouldBe r1.fingerprint
+  }
+
   test("incremental delivery ships only the delta and is idempotent") {
     val tmp = Files.createTempDirectory("dlv").toString
     val orders = Tables.orders(spark, sfDir)

@@ -113,6 +113,29 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("llm_pack_sequences: spark.graft.pack.shards re-widens the packing; invariants hold at 5 shards") {
+    // the conf is the 100 TB knob (per-partition sort bound =
+    // corpus/(langs·shards)); the packing invariants must hold at any
+    // width, and the shard column must actually follow the conf
+    val key = "spark.graft.pack.shards"
+    spark.conf.set(key, "5")
+    try {
+      val out = queries.Textops.llmPackSequences(spark, sfDir).collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      out.map(_._2).toSet.subsetOf((0L until 5L).toSet) shouldBe true
+      out.map(_._2).toSet.size should be > 1 // really sharded, not all-zero
+      out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._3)
+        sorted.sliding(2).foreach {
+          case Array((_, _, _, nTok, off, _), (_, _, _, _, off2, _)) =>
+            off2 shouldBe off + nTok
+          case _ =>
+        }
+        sorted.foreach { case (_, _, _, _, off, bin) => bin shouldBe off / 2048 }
+      }
+    } finally spark.conf.unset(key)
+  }
+
   test("agg_approx_percentile is within 2% of the exact percentile per group") {
     // the sketch is engine-specific (no SQL oracle, like approx_distinct);
     // its semantics are pinned against the exact percentile instead

@@ -68,6 +68,57 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     n4.toDouble shouldBe (4.0 * n1 +- 0.05 * 4 * n1)
   }
 
+  test("round-5/6 per-doc operators scale row-exactly on dissimilar copies") {
+    // pack_sequences, url_extract and domain_stats are projection/window
+    // shapes — one output row per doc (or per domain bucket): any
+    // super-linear growth would mean an accidental join crept in
+    val p1 = queries.Textops.llmPackSequences(spark, dirs._1).count()
+    val p4 = queries.Textops.llmPackSequences(spark, dirs._2).count()
+    p4 shouldBe 4 * p1
+    val u1 = queries.Webops.llmUrlExtract(spark, dirs._1).count()
+    val u4 = queries.Webops.llmUrlExtract(spark, dirs._2).count()
+    u4 shouldBe 4 * u1
+    // the translated corpora are URL-free, so every doc lands in the
+    // '<none>' bucket on both sides — one row, 4× the docs inside it
+    val d1 = queries.Webops.llmDomainStats(spark, dirs._1).head()
+    val d4 = queries.Webops.llmDomainStats(spark, dirs._2).head()
+    d1.getString(0) shouldBe "<none>"
+    d4.getLong(1) shouldBe 4 * d1.getLong(1)
+    d4.getLong(2) shouldBe 4 * d1.getLong(2)
+  }
+
+  test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {
+    // x2 = x1 (copy c0, original ids) + a translated copy c1 with ids
+    // above x1's max: the watermark-ruled refresh must compute ONLY the
+    // new copy's intra-pairs (translation preserves jaccard structure,
+    // so the delta count equals x1's own pair count) and freeze the
+    // old-old half to the prior artifact byte-for-byte
+    val base = java.nio.file.Files.createTempDirectory("graft_lin_inc").toString
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    def copyDf(i: Int) = docs.select(
+      (col("doc_id") + lit(i * n)).as("doc_id"),
+      expr(s"array_join(transform(split(text, ' '), t -> concat('c$i', t)), ' ')").as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    copyDf(0).write.parquet(s"$base/x1/documents.parquet")
+    pipelines.PairTable.write(spark, s"$base/x1", s"$base/art")
+    val prev = spark.read.parquet(s"$base/art").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    prev.nonEmpty shouldBe true
+    val wm = pipelines.PairTable.readWatermark(spark, s"$base/art")
+    // grow the corpus in place and refresh through the watermark rule
+    copyDf(0).union(copyDf(1))
+      .write.mode("overwrite").parquet(s"$base/x1/documents.parquet")
+    pipelines.PairTable.refreshInPlace(spark, s"$base/x1", s"$base/art")
+    val merged = spark.read.parquet(s"$base/art").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oldOld = merged.filter { case (a, b, _) => a <= wm && b <= wm }
+    val delta = merged -- oldOld
+    oldOld shouldBe prev                  // yesterday's verdicts frozen
+    delta.size shouldBe prev.size         // exactly the copy's own pairs
+    delta.foreach { case (a, b, _) => math.max(a, b) should be > wm }
+  }
+
   test("large-star/small-star solves a 64-chain dup graph in O(log d) rounds (min-label would need 63)") {
     // the high-diameter case min-label propagation cannot afford: a
     // chain 0-1-2-…-63 has diameter 63, so min-label needs 63 rounds to

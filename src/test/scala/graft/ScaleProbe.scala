@@ -45,7 +45,13 @@ object ScaleProbe {
       "llm_minhash" -> queries.Sketches.llmMinhash,
       "llm_simhash" -> queries.Sketches.llmSimhash,
       "llm_jaccard_pairs" -> queries.Llm.llmJaccardPairs,
-      "llm_ngram_jaccard" -> queries.Textops.llmNgramJaccard)
+      "llm_ngram_jaccard" -> queries.Textops.llmNgramJaccard,
+      // round-5/6 additions: the windowed packer, the shingle-join
+      // decontaminator and the web projections must stay flat-per-row too
+      "llm_pack_sequences" -> queries.Textops.llmPackSequences,
+      "llm_contamination" -> queries.Textops.llmContamination,
+      "llm_url_extract" -> queries.Webops.llmUrlExtract,
+      "llm_domain_stats" -> queries.Webops.llmDomainStats)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)

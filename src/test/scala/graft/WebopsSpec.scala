@@ -61,6 +61,36 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
     r4row.getDouble(6) shouldBe 0.0
   }
 
+  test("trailing sentence punctuation is trimmed from urls and domains") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_trail").toString
+    Seq(
+      (0L, "see https://a.com. and then stop", "en", "w", 0L),
+      (1L, "(docs at https://b.io/path), right?", "en", "w", 0L),
+      (2L, "really? https://c.net/x?q=1!", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = queries.Webops.llmUrlExtract(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), Option(r.getString(4)))).toSeq
+    rows(0) shouldBe ((0L, 1L, Some("a.com")))   // not "a.com."
+    rows(1) shouldBe ((1L, 1L, Some("b.io")))    // "…/path)," trimmed
+    // the query string survives; only the trailing '!' goes
+    rows(2) shouldBe ((2L, 1L, Some("c.net")))
+  }
+
+  test("domain stats roll the corpus up by first_domain with a '<none>' bucket") {
+    val rows = queries.Webops.llmDomainStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    // doc 0 → a.example.com; doc 3 → '' (degenerate domain by contract);
+    // docs 1, 2, 4 have no URLs → '<none>'
+    rows.map(_._1) shouldBe Seq("", "<none>", "a.example.com")
+    val none = rows.find(_._1 == "<none>").get
+    none._2 shouldBe 3L // docs 1, 2, 4
+    none._4 shouldBe 1L // one lang
+    // every doc lands in exactly one bucket — the rollup partitions the corpus
+    rows.map(_._2).sum shouldBe 5L
+  }
+
   test("on the web-free fixture: zero urls, zero tags, strip is whitespace-identity") {
     queries.Webops.llmUrlExtract(spark, sfDir)
       .where(col("n_urls") =!= 0).count() shouldBe 0L
