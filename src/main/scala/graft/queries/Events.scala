@@ -158,8 +158,37 @@ object Events {
       .limit(20)
   }
 
+  /** ev_anomaly — hourly volume anomalies per event type: z-score of
+    * each hour's event count against that type's own hourly mean/stddev,
+    * hours with |z| ≥ 2 flagged. The ops-monitoring shape of an event
+    * pipeline (spike/drop detection) as pure relational algebra: one
+    * (type, hour) count agg, one tiny per-type stats agg broadcast back —
+    * no per-event window, shuffle width = types × hours, never rows.
+    * z is r4-rounded BEFORE thresholding so both engines flag the same
+    * boundary hours; a type with < 2 hours (sd NULL) or constant counts
+    * (sd = 0) defines z = 0 rather than inherit either engine's x/0. */
+  val evAnomaly: Q = (s, d) => {
+    // cut: the hourly frame (types × hours rows, tiny) feeds both the
+    // stats agg and the scoring join — without it each reference re-scans
+    // the full events table (the expensive subtree at scale)
+    val hourly = graft.ops.Lineage.cut(Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), epochS(col("window.start")).as("win_s"), col("n")))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp(col("n")).as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        when(col("sd").isNull || col("sd") === 0, lit(0.0))
+          .otherwise(r4((col("n") - col("mu")) / col("sd"))))
+      .where(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("win_s"), col("n"), col("z"))
+      .orderBy("event_type", "win_s")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_retention"      -> evRetention,
+    "ev_anomaly"        -> evAnomaly,
     "ev_user_path"      -> evUserPath,
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
@@ -234,6 +263,20 @@ object Events {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         | WHERE t2 IS NOT NULL GROUP BY e0, e1, e2)
         |ORDER BY n DESC, e0, e1, e2 LIMIT 20""".stripMargin,
+    "ev_anomaly" ->
+      s"""WITH hourly AS (
+        | SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_s,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |stats AS (
+        | SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM hourly GROUP BY 1)
+        |SELECT event_type, win_s, n, z FROM (
+        | SELECT h.event_type, h.win_s, h.n,
+        |  CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 0.0
+        |   ELSE ${r4Sql("(h.n - s.mu) / s.sd")} END AS z
+        | FROM hourly h JOIN stats s ON h.event_type = s.event_type)
+        |WHERE abs(z) >= 2.0
+        |ORDER BY event_type, win_s""".stripMargin,
     "ev_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
         |v AS (SELECT user_id, min(t) AS tv FROM e WHERE event_type = 'view' GROUP BY user_id),

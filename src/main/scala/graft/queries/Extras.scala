@@ -261,6 +261,36 @@ object Extras {
       .orderBy("rule")
   }
 
+  /** dq_histogram — fixed-bin value-distribution profile of
+    * o_totalprice: 20 bins of 25 000 over [0, 500 000) (the fixture
+    * domain, FIXTURES.md), top bin clamped so outliers land in bin 19
+    * instead of minting unbounded bin keys. Reports count, share, and
+    * cumulative share per bin — the data-profiling companion to
+    * dq_checks' rule report (the "did the delivered distribution move?"
+    * check of a delivery pipeline). Scale: one groupBy over ≤ 20 keys;
+    * the total and the cumulative run over the 20-row AGGREGATED frame
+    * (an unpartitioned window there is a 20-row sort, not the
+    * all-rows-to-one-task global window this repo bans on row frames). */
+  val dqHistogram: Q = (s, d) => {
+    val binW = 25000L
+    // cut: the ≤20-row bin frame feeds both the total and the output
+    val bins = graft.ops.Lineage.cut(
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / binW), lit(19L)).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n")))
+    val tot = bins.agg(sum("n").as("n_total"))
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum("n").over(wCum))
+      .select(
+        (col("bin") * binW).as("bin_lo"),
+        col("n"),
+        r4(col("n") * lit(1.0) / col("n_total")).as("pct"),
+        col("cum_n"),
+        r4(col("cum_n") * lit(1.0) / col("n_total")).as("cum_pct"))
+      .orderBy("bin_lo")
+  }
+
   /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
     * (o_orderkey) is unique so the selection is engine-deterministic. */
   val aggArgmax: Q = (s, d) =>
@@ -496,6 +526,7 @@ object Extras {
     "agg_argmax"        -> aggArgmax,
     "fn_bits"           -> fnBits,
     "dq_checks"         -> dqChecks,
+    "dq_histogram"      -> dqHistogram,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
@@ -623,6 +654,16 @@ object Extras {
         | o_orderkey >> 3 AS shr,
         | CAST(bit_count(o_orderkey) AS BIGINT) AS pop
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "dq_histogram" ->
+      s"""WITH bins AS (
+        | SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bin, count(*) AS n
+        | FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM bins)
+        |SELECT bin * 25000 AS bin_lo, n,
+        | ${r4Sql("n * 1.0 / n_total")} AS pct,
+        | CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        | ${r4Sql("sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n_total")} AS cum_pct
+        |FROM bins CROSS JOIN tot ORDER BY bin_lo""".stripMargin,
     "dq_checks" ->
       """SELECT rule, n_viol FROM (
         | SELECT 'null_orderkey' AS rule,

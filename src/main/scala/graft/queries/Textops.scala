@@ -318,7 +318,39 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_logprob_score — perplexity-proxy quality score (the CCNet-family
+    * cheap LM filter): train a corpus unigram LM with add-one smoothing,
+    * score each doc by its mean token cross-entropy −log2 p(t). Low
+    * scores = generic high-frequency text, high scores = rare-token /
+    * garbage tails — the standard first LM-quality gate before an
+    * expensive model-based one. Scale shape: one token-frequency shuffle
+    * (width = vocab), a 1-row totals broadcast, one token→tf rejoin
+    * (strategy left to Catalyst: broadcast while the vocab table fits
+    * the threshold, size-based shuffle join beyond — the vocab grows
+    * with the corpus, so it is never broadcast-FORCED here), one
+    * per-doc agg — never a per-doc LM object.
+    * Cross-engine floats: p(t) is an IEEE-exact division of integers
+    * < 2^53 (identical doubles both engines); log2 may differ in the
+    * last ulp between libm implementations, which the r4 on the per-doc
+    * MEAN collapses (same argument as llm_tfidf's log). */
+  val llmLogprobScore: Q = (s, d) => {
+    // the token stream feeds both the LM agg and the scoring join —
+    // materialize it once (Lineage.cut) instead of exploding docs twice
+    val tok = graft.ops.Lineage.cut(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t")))
+    val tf = tok.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val tot = tf.agg(sum("n_t").as("n_corpus"), count(lit(1)).as("v"))
+    tok.join(tf, "t")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tok"),
+           r4(avg(-log2((col("n_t") + 1.0) / (col("n_corpus") + col("v"))))).as("xent"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_logprob_score"  -> llmLogprobScore,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
@@ -329,6 +361,15 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_logprob_score" ->
+      s"""WITH tok AS (
+        | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, count(*) AS n_t FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus, count(*) AS v FROM tf)
+        |SELECT doc_id, lang, count(*) AS n_tok,
+        | ${r4Sql("avg(-log2((n_t + 1.0) / (n_corpus + v)))")} AS xent
+        |FROM tok JOIN tf USING (t) CROSS JOIN tot
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "llm_pack_sequences" ->
       """WITH t AS (
         | SELECT doc_id, lang,

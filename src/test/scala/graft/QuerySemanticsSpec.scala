@@ -136,6 +136,67 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("ev_anomaly flags exactly the synthesized spike hour; constant-rate types stay silent") {
+    // the oracle SQL shares the z-score formula, so it cannot catch a
+    // wrong formula — pin detection behavior on a corpus with a KNOWN
+    // anomaly instead (same discipline as the recall specs)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val base = 1700000000L // epoch seconds; ts column is long NANOS like the fixture
+    def rows(tpe: String, hour: Int, n: Int): Seq[(Long, Long, Long, String, Double, String)] =
+      (0 until n).map { i =>
+        val ts = (base + hour * 3600L + i * 7L) * 1000000000L
+        (hour * 1000L + i, ts, i.toLong % 13, tpe, 1.0, "{}")
+      }
+    val ev =
+      (0 until 50).flatMap(h => rows("spiky", h, if (h == 17) 50 else 5)) ++
+      (0 until 50).flatMap(h => rows("flat", h, 5))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.evAnomaly(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // flat: sd = 0 -> z defined 0 -> never flagged
+    out.count(_._1 == "flat") shouldBe 0
+    // spiky: exactly the injected hour, positive z
+    val spikes = out.filter(_._1 == "spiky")
+    spikes.map(_._2) shouldBe Array((base + 17 * 3600L) / 3600L * 3600L)
+    spikes.head._3 shouldBe 50L
+    spikes.head._4 should be > 2.0
+  }
+
+  test("llm_logprob_score ranks rare-token docs above common-token docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lp").toString
+    val docs = (0L until 40L).map(i => (i, "the quick brown fox", "en", "s", 0L)) ++
+      Seq((40L, "zyzzyva qoph xylem", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.Textops.llmLogprobScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    out(0L)._1 shouldBe 4L
+    out(40L)._1 shouldBe 3L
+    // every common doc scores the same; the rare doc scores strictly higher
+    (0L until 40L).map(out(_)._2).distinct.size shouldBe 1
+    out(40L)._2 should be > out(0L)._2
+  }
+
+  test("dq_histogram partitions all orders: counts sum to total, cumulative is monotone") {
+    val out = graft.queries.Extras.dqHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    val total = Tables.orders(spark, sfDir).count()
+    out.map(_._2).sum shouldBe total
+    out.last._4 shouldBe total
+    out.last._5 shouldBe 1.0 +- 0.001
+    out.foreach { case (lo, _, pct, _, _) =>
+      lo % 25000 shouldBe 0
+      pct should (be >= 0.0 and be <= 1.0)
+    }
+    out.map(_._4).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _ =>
+    }
+  }
+
   test("agg_approx_percentile is within 2% of the exact percentile per group") {
     // the sketch is engine-specific (no SQL oracle, like approx_distinct);
     // its semantics are pinned against the exact percentile instead
