@@ -78,6 +78,11 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     val u1 = queries.Webops.llmUrlExtract(spark, dirs._1).count()
     val u4 = queries.Webops.llmUrlExtract(spark, dirs._2).count()
     u4 shouldBe 4 * u1
+    // logprob_score: one row per doc; the LM itself is corpus-global but
+    // the output cardinality must stay exactly per-doc
+    val l1 = queries.Textops.llmLogprobScore(spark, dirs._1).count()
+    val l4 = queries.Textops.llmLogprobScore(spark, dirs._2).count()
+    l4 shouldBe 4 * l1
     // the translated corpora are URL-free, so every doc lands in the
     // '<none>' bucket on both sides — one row, 4× the docs inside it
     val d1 = queries.Webops.llmDomainStats(spark, dirs._1).head()

@@ -51,7 +51,8 @@ object ScaleProbe {
       "llm_pack_sequences" -> queries.Textops.llmPackSequences,
       "llm_contamination" -> queries.Textops.llmContamination,
       "llm_url_extract" -> queries.Webops.llmUrlExtract,
-      "llm_domain_stats" -> queries.Webops.llmDomainStats)
+      "llm_domain_stats" -> queries.Webops.llmDomainStats,
+      "llm_logprob_score" -> queries.Textops.llmLogprobScore)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)
