@@ -73,6 +73,38 @@ object Deliver {
       schema.filter(_ => dstFormat == "csv" || dstFormat == "json"), writeOptions)
   }
 
+  /** Bucketed delivery: write `src` as a BUCKETED managed table (bucket
+    * metadata lives in the catalog, not in the files — hence
+    * `saveAsTable`, not `save`). Every later equi-join or aggregation on
+    * the bucket key then reads each bucket pre-clustered, so two tables
+    * bucketed the same way sort-merge-join with NO Exchange on either
+    * side (pinned in PlanSpec "bucketed tables join without a shuffle").
+    * This is the co-located-join lever for repeated fact⋈fact work at
+    * 100 TB: pay one clustered write, and every downstream join or
+    * group-by on the key is shuffle-free. The bucket count is fixed at
+    * write time — size it so one bucket fits one task comfortably, and
+    * use the SAME count on both sides of an intended join. Returns the
+    * manifest computed from the table's storage location (same
+    * fingerprint semantics as every path-based delivery). */
+  def copyBucketed(spark: SparkSession, src: String, table: String,
+                   bucketCol: String, nBuckets: Int,
+                   srcFormat: String = "parquet",
+                   schema: Option[String] = None,
+                   readOptions: Map[String, String] = Map.empty): DeliveryReport = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val in = read(spark, src, srcFormat, schema, readOptions)
+    in.write.format("parquet").mode("overwrite")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+    manifest(spark, tableLocation(spark, table))
+  }
+
+  /** Storage directory of a catalog table (for manifest/verify of
+    * table-shaped deliveries). */
+  def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+
   /** Incremental delivery (distcp -update semantics, keyed): append to
     * `dst` only the `src` rows whose key is not yet present — an anti
     * join on the key column, so re-running after a partial/failed

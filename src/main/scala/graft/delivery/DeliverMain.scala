@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
   *     [--sync-partitions COL]   # partition-diff re-delivery instead of
   *                               # a full copy: rewrite changed partitions,
   *                               # delete stale ones (Deliver.syncPartitions)
+  *     [--bucket-by COL --buckets N]  # DST is a TABLE NAME: deliver as a
+  *                               # bucketed managed table so downstream
+  *                               # joins/aggs on COL are shuffle-free
+  *                               # (Deliver.copyBucketed; parquet only)
   *
   * Paths go through the Hadoop FileSystem API: file:/, hdfs://, s3a://
   * all behave identically.
@@ -28,7 +32,8 @@ object DeliverMain {
       readOptions: Map[String, String] = Map.empty,
       writeOptions: Map[String, String] = Map.empty,
       verify: Boolean = true,
-      syncPartitionCol: Option[String] = None)
+      syncPartitionCol: Option[String] = None,
+      bucketBy: Option[String] = None, buckets: Option[Int] = None)
 
   private def parse(argv: List[String]): Args = {
     def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -46,6 +51,8 @@ object DeliverMain {
       case "--write-option" :: v :: t => loop(t, acc.copy(writeOptions = acc.writeOptions + kv(v)))
       case "--no-verify" :: t         => loop(t, acc.copy(verify = false))
       case "--sync-partitions" :: v :: t => loop(t, acc.copy(syncPartitionCol = Some(v)))
+      case "--bucket-by" :: v :: t    => loop(t, acc.copy(bucketBy = Some(v)))
+      case "--buckets" :: v :: t      => loop(t, acc.copy(buckets = Some(v.toInt)))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     argv match {
@@ -61,18 +68,33 @@ object DeliverMain {
   /** Exposed for tests: run a delivery, return (report, verified). */
   def run(spark: SparkSession, argv: Array[String]): (DeliveryReport, Boolean) = {
     val a = parse(argv.toList)
-    val report = a.syncPartitionCol match {
-      case Some(c) =>
+    val report = (a.syncPartitionCol, a.bucketBy) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "--sync-partitions and --bucket-by are mutually exclusive")
+      case (Some(c), None) =>
         val (changed, stale, r) = Deliver.syncPartitions(
           spark, a.src, a.dst, c, a.srcFormat, a.dstFormat)
         System.err.println(
           s"[deliver] sync rewrote ${changed.size} partition(s), deleted ${stale.size}")
         r
-      case None => Deliver.copy(spark, a.src, a.dst, a.srcFormat, a.dstFormat,
-        a.schema, a.readOptions, a.writeOptions, a.partitionBy, a.repartition)
+      case (None, Some(bc)) =>
+        val n = a.buckets.getOrElse(throw new IllegalArgumentException(
+          "--bucket-by requires --buckets N"))
+        require(a.dstFormat == "parquet" && a.partitionBy.isEmpty,
+          "--bucket-by supports parquet tables without --partition-by")
+        Deliver.copyBucketed(spark, a.src, a.dst, bc, n,
+          a.srcFormat, a.schema, a.readOptions)
+      case (None, None) =>
+        Deliver.copy(spark, a.src, a.dst, a.srcFormat, a.dstFormat,
+          a.schema, a.readOptions, a.writeOptions, a.partitionBy, a.repartition)
     }
+    // bucketed dst is a table name — verify against its storage location
+    val (vDst, vFmt) =
+      if (a.bucketBy.isDefined) (Deliver.tableLocation(spark, a.dst), "parquet")
+      else (a.dst, a.dstFormat)
     val ok = !a.verify || Deliver.verifyDelivery(spark, a.src, a.srcFormat,
-      a.dst, a.dstFormat, a.schema, a.readOptions, a.writeOptions)
+      vDst, vFmt, a.schema, a.readOptions,
+      if (a.bucketBy.isDefined) Map.empty else a.writeOptions)
     (report, ok)
   }
 

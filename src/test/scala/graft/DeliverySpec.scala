@@ -237,6 +237,28 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     r2.fingerprint shouldBe r1.fingerprint
   }
 
+  test("DeliverMain CLI: --bucket-by delivers a verified bucketed table; --buckets required") {
+    try {
+      val (report, ok) = graft.delivery.DeliverMain.run(spark, Array(
+        s"$sfDir/orders.parquet", "dlv_orders_b",
+        "--bucket-by", "o_orderkey", "--buckets", "4"))
+      ok shouldBe true
+      report.rows shouldBe Tables.orders(spark, sfDir).count()
+      // delivered content is the source content (table-shaped dst)
+      report.fingerprint shouldBe
+        graft.delivery.Deliver.fingerprint(Tables.orders(spark, sfDir))
+      // the catalog holds the bucket spec (the property path-based copy
+      // cannot deliver; the exchange-free join it enables is pinned in
+      // PlanSpec "bucketed tables join without a shuffle")
+      spark.sql("DESCRIBE EXTENDED dlv_orders_b").collect()
+        .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n") should
+        include regex "Num Buckets\\s+4"
+      an[IllegalArgumentException] should be thrownBy
+        graft.delivery.DeliverMain.run(spark, Array(
+          s"$sfDir/orders.parquet", "dlv_orders_b2", "--bucket-by", "o_orderkey"))
+    } finally spark.sql("DROP TABLE IF EXISTS dlv_orders_b")
+  }
+
   test("DeliverMain CLI: parquet→csv with schema read-back verifies; bad flag rejected") {
     val tmp = Files.createTempDirectory("dlv").toString
     spark.read.parquet(s"$sfDir/orders.parquet")

@@ -52,10 +52,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     // the 100 TB lever for repeated fact-fact joins: bucket both sides on
     // the join key at write time, the join then needs NO Exchange
     val s = spark // warehouse dir is a static conf, set in SparkFixture
-    Tables.lineitem(s, sfDir).write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
-    Tables.orders(s, sfDir).write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_b")
+    // through the delivery surface, so the pinned plan is the one the
+    // product's bucketed delivery actually produces
+    graft.delivery.Deliver.copyBucketed(
+      s, s"$sfDir/lineitem.parquet", "li_b", "l_orderkey", 8)
+    graft.delivery.Deliver.copyBucketed(
+      s, s"$sfDir/orders.parquet", "o_b", "o_orderkey", 8)
     val thresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
