@@ -30,6 +30,11 @@ case class RetentionInc(cohort_day: Long, offset: Long)
   * (count per (e0,e1,e2) downstream; top-k is a query on the counts). */
 case class PathTrigram(e0: String, e1: String, e2: String)
 
+/** One closed hour per event type, emitted by `hourlyAnomaly` — the
+  * ONLINE twin of queries.Events.evAnomaly (z against stats of the hours
+  * closed so far; filter |z| ≥ 2 downstream for the alert stream). */
+case class HourFlag(event_type: String, win_s: Long, n: Long, z: Double)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -314,6 +319,67 @@ object EventStreams {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new PathTrigramProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ev_anomaly twin on transformWithState: ONLINE hourly volume anomaly
+    * detection per event type. State per type is five numbers — Welford
+    * running (count, mean, M2) over CLOSED hours plus the currently-open
+    * (hour, count) — so memory is O(event types), never O(hours). When a
+    * later hour's first event arrives, the open hour closes: its count is
+    * z-scored against the stats of the hours closed BEFORE it (the only
+    * stats an online detector can have — the batch ev_anomaly scores
+    * against full-corpus stats instead, so the parity pin in
+    * StreamingSpec uses a prefix-stats batch formulation), emitted, then
+    * folded into the running stats. z is r4-rounded like the batch op;
+    * fewer than 2 closed hours or sd = 0 defines z = 0.
+    *
+    * In-order caveat (same contract as funnelState/retentionIncrements):
+    * an event for an hour EARLIER than the open one cannot reopen a
+    * closed hour and is dropped; feeds are expected hour-ordered per
+    * type (a watermark upstream is what bounds that in production). */
+  class AnomalyProcessor extends StatefulProcessor[String, Ev, HourFlag] {
+    // (nClosed, mean, m2, openHour epoch-s — -1 when unset, openN)
+    @transient private var state: ValueState[(Long, Double, Double, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double, Double, Long, Long)](
+        "hourStats", Encoders.product[(Long, Double, Double, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[HourFlag] = {
+      var (nh, mean, m2, openHour, openN) =
+        if (state.exists()) state.get() else (0L, 0.0, 0.0, -1L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HourFlag]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val h = Math.floorDiv(e.ts.getTime, 3600000L) * 3600L
+        if (openHour < 0) { openHour = h; openN = 1 }
+        else if (h == openHour) openN += 1
+        else if (h > openHour) {
+          val z =
+            if (nh >= 2) {
+              val sd = math.sqrt(m2 / (nh - 1))
+              if (sd > 0) (openN - mean) / sd else 0.0
+            } else 0.0
+          // same engine-independent half-up rounding as Det.r4
+          out += HourFlag(key, openHour, openN, math.floor(z * 10000 + 0.5) / 10000)
+          nh += 1
+          val d = openN - mean
+          mean += d / nh
+          m2 += d * (openN - mean)
+          openHour = h; openN = 1
+        } // h < openHour: behind the open hour — dropped (in-order contract)
+      }
+      state.update((nh, mean, m2, openHour, openN))
+      out.iterator
+    }
+  }
+
+  /** ev_anomaly twin (see AnomalyProcessor). */
+  def hourlyAnomaly(events: Dataset[Ev]): Dataset[HourFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** ev_stateful twin: running per-user purchase count + cumulative value

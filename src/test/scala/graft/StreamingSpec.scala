@@ -343,4 +343,66 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
     got should equal(Seq((1L, 1L, 10.0), (2L, 1L, 11.0), (3L, 2L, 16.0), (4L, 0L, 2.0)))
   }
+
+  test("hourlyAnomaly matches a prefix-stats batch formulation across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // hour-ordered feed: type 'a' runs 5/hour with a 30-event spike in
+    // hour 6; type 'b' is constant (sd = 0 path). The online twin scores
+    // each hour against the hours closed BEFORE it, so the batch mirror
+    // uses a preceding-rows window, not full-corpus stats.
+    def hourEvs(tpe: String, hour: Int, n: Int, idBase: Long): Seq[Ev] =
+      (0 until n).map(i =>
+        Ev(idBase + hour * 100L + i, ts(hour * 60 + i % 60), i.toLong % 7, tpe, 1.0))
+    val rows = (0 until 10).flatMap { h =>
+      // 'a' baseline cycles 4/5/6 (nonzero variance — constant history
+      // would define every z as 0 and the spike would be invisible)
+      hourEvs("a", h, if (h == 6) 30 else 4 + h % 3, 0) ++ hourEvs("b", h, 4, 100000)
+    }
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    // transformWithState needs column families -> RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val stream = MemoryStream[Ev]
+      stream.addData(b1: _*)
+      val q = EventStreams.hourlyAnomaly(stream.toDS())
+        .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("anom")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+
+    val hourly = rows.toDF()
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_timestamp($"window.start").as("win_s"), $"n")
+    val w = Window.partitionBy("event_type").orderBy("win_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lastH = hourly.groupBy("event_type").agg(max("win_s").as("last_s"))
+    val expected = hourly
+      .withColumn("nh", count(lit(1)).over(w))
+      .withColumn("mu", avg("n").over(w))
+      .withColumn("sd", stddev_samp(col("n")).over(w))
+      .withColumn("z", when(col("nh") >= 2 && col("sd") > 0,
+        graft.ops.Det.r4((col("n") - col("mu")) / col("sd"))).otherwise(0.0))
+      .join(lastH, "event_type")
+      .where(col("win_s") < col("last_s")) // the open hour never closes in-stream
+      .select("event_type", "win_s", "n", "z")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+    streamed.map(t => (t._1, t._2, t._3)) shouldBe expected.map(t => (t._1, t._2, t._3))
+    streamed.zip(expected).foreach { case (s, e) => s._4 shouldBe e._4 +- 1e-9 }
+    // the spike hour is flagged online; the constant type never is
+    streamed.find(t => t._1 == "a" && t._3 == 30L).get._4 should be > 2.0
+    streamed.filter(_._1 == "b").foreach(_._4 shouldBe 0.0)
+  }
 }
