@@ -8,6 +8,10 @@ import graft.ops.Det._
   * individual operators in graft.queries, so a pipeline user can run the
   * whole prep as one call instead of wiring stages by hand:
   *
+  *   0. quality gate (optional) — drop docs whose unigram-LM mean
+  *                    cross-entropy exceeds `xentMax` (llm_logprob_score
+  *                    shape; the LM is trained on the INPUT corpus, so
+  *                    the gate is self-contained);
   *   1. clean      — strip the corpus top-K stopwords (Textops shape);
   *   2. exact dedup — keep the min-doc_id representative per sha256;
   *   3. near dedup  — jaccard ≥ θ pairs → bounded min-label clustering,
@@ -26,9 +30,22 @@ object CorpusPrep {
     * 0.8 behave as 0.8. */
   def run(spark: SparkSession, sfDir: String,
           stopK: Int = 5, jaccardTheta: Double = 0.8,
-          labelRounds: Int = 8): DataFrame = {
+          labelRounds: Int = 8, xentMax: Option[Double] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
-    val docs = graft.Tables.documents(spark, sfDir)
+    val docs0 = graft.Tables.documents(spark, sfDir)
+
+    // 0. optional LM-quality gate: drop garbage BEFORE any dedup work —
+    //    every downstream stage's shuffle width shrinks with the corpus.
+    //    Scored by llm_logprob_score itself so the gate and the query
+    //    can never drift apart. Note the near-dup pair source (stage 3)
+    //    still reads the full table; dropped docs fall out of the edge
+    //    set at the ids join, same as exact-dedup losers.
+    val docs = xentMax.fold(docs0) { m =>
+      docs0.join(
+        graft.queries.Textops.llmLogprobScore(spark, sfDir)
+          .where(col("xent") <= m).select("doc_id"),
+        "doc_id")
+    }
 
     // 1. clean: remove corpus top-K tokens (per-partition top-K + 1-row
     //    broadcast, same shape as llm_stopword_scrub)

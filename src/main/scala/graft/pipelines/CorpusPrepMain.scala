@@ -9,7 +9,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]]
-  *                  SRCDIR OUTDIR [stopK]
+  *                  [--xent-max V] SRCDIR OUTDIR [stopK]
+  *
+  * `--xent-max V` switches on the LM-quality gate (CorpusPrep stage 0):
+  * docs whose llm_logprob_score mean cross-entropy exceeds V are dropped
+  * before any dedup work.
   *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
@@ -22,9 +26,10 @@ import org.apache.spark.sql.SparkSession
   */
 object CorpusPrepMain {
   /** Exposed for tests: run a prep delivery, return the manifest line. */
-  def run(spark: SparkSession, src: String, dst: String, stopK: Int = 5): String = {
+  def run(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
+          xentMax: Option[Double] = None): String = {
     val in = graft.Tables.documents(spark, src).count()
-    val out = CorpusPrep.run(spark, src, stopK = stopK)
+    val out = CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax)
     // partition the delivered corpus by split so downstream training
     // readers prune train/val/test at the directory level
     out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
@@ -42,11 +47,13 @@ object CorpusPrepMain {
     * run into an empty OUTDIR delivers everything; a refresh that only
     * appends train-bucket docs rewrites only split=train
     * (CorpusPrepSpec pins this). Returns (changed, stale, manifest). */
-  def sync(spark: SparkSession, src: String, dst: String, stopK: Int = 5)
+  def sync(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
+           xentMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     // cut: syncPartitions executes its input twice (fingerprint +
     // rewrite) and the prep pipeline is the expensive part
-    val out = graft.ops.Lineage.cut(CorpusPrep.run(spark, src, stopK = stopK))
+    val out = graft.ops.Lineage.cut(
+      CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax))
     graft.delivery.Deliver.syncPartitions(
       spark, out, s"$dst/documents", "split", "parquet")
   }
@@ -64,7 +71,8 @@ object CorpusPrepMain {
     * partitions stay byte-identical, output equal to a from-scratch
     * prep). */
   def refreshFlow(spark: SparkSession, src: String, dst: String,
-                  artifact: String, refresh: Boolean, stopK: Int = 5)
+                  artifact: String, refresh: Boolean, stopK: Int = 5,
+                  xentMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     val aPath = new org.apache.hadoop.fs.Path(artifact)
     val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,12 +94,13 @@ object CorpusPrepMain {
     val key = "spark.graft.pairs.artifact"
     val prevConf = spark.conf.getOption(key)
     spark.conf.set(key, artifact)
-    try sync(spark, src, dst, stopK)
+    try sync(spark, src, dst, stopK, xentMax)
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   private val Usage =
-    "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] SRCDIR OUTDIR [stopK]"
+    "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
+    "[--xent-max V] SRCDIR OUTDIR [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
@@ -100,6 +109,7 @@ object CorpusPrepMain {
     // mode(overwrite) write into the wrong directory
     var doSync = false; var refresh = false
     var artifact: Option[String] = None
+    var xentMax: Option[Double] = None
     val pos = scala.collection.mutable.Buffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -109,6 +119,9 @@ object CorpusPrepMain {
         case "--pairs-artifact" =>
           require(i + 1 < args.length, s"--pairs-artifact needs a PATH; $Usage")
           i += 1; artifact = Some(args(i))
+        case "--xent-max" =>
+          require(i + 1 < args.length, s"--xent-max needs a value; $Usage")
+          i += 1; xentMax = Some(args(i).toDouble)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $f; $Usage")
         case p => pos += p
@@ -134,9 +147,9 @@ object CorpusPrepMain {
     }
     try {
       artifact match {
-        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK))
-        case None if doSync => printSync(sync(spark, src, dst, stopK))
-        case None           => println(run(spark, src, dst, stopK))
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax))
+        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax))
+        case None           => println(run(spark, src, dst, stopK, xentMax))
       }
     } finally spark.stop()
   }

@@ -133,4 +133,23 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .where(col("split") =!= col("expected"))
     bad.count() shouldBe 0L
   }
+
+  test("LM-quality gate (xentMax) drops high-xent docs before prep, deterministically") {
+    val scores = graft.queries.Textops.llmLogprobScore(spark, sfDir)
+      .select("doc_id", "xent").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val theta = scores.values.toSeq.sorted.apply(scores.size / 2) // corpus median
+    val gated = CorpusPrep.run(spark, sfDir, xentMax = Some(theta))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    gated should not be empty
+    // every survivor passed the gate
+    gated.foreach(id => scores(id) should be <= theta)
+    // the gate actually removed something relative to the ungated prep
+    val base = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    gated.size should be < base.size
+    // reproducible: the gate is a deterministic score threshold, not a sample
+    val again = CorpusPrep.run(spark, sfDir, xentMax = Some(theta))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    again shouldBe gated
+  }
 }
