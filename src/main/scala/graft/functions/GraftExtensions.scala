@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-deployable registration of the engine's custom Catalyst
+  * expressions (`public` Spark API: `spark.sql.extensions`).
+  *
+  * `VectorExprs.register` covers the in-process case (query bodies calling
+  * `expr("graft_dot(...)")` after an explicit register call); this class is
+  * the zero-code-change path for a cluster user: submitting with
+  *
+  *   --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * injects the same functions into every session built on that context, so
+  * plain `spark.sql("SELECT graft_dot(a, b) ...")` works from SQL-only
+  * clients (JDBC/Thrift, notebooks) with no `graft` import on the user
+  * side. Both paths share one canonical function table below — a function
+  * added here is automatically available to both.
+  *
+  * The injected builders construct codegen'd expressions (VectorExprs.scala)
+  * — no UDF wrapping, so SQL callers get the same whole-stage-codegen plans
+  * as the DataFrame API (PlanSpec pins the hot paths inside codegen).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  /** The canonical (name, info, builder) table — single source of truth
+    * for both the extension injection and the in-process temp-function
+    * registration (VectorExprs.register). */
+  val functions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("graft_agree",
+      new ExpressionInfo(classOf[ArrayAgreeCount].getName, "graft_agree"),
+      exprs => ArrayAgreeCount(exprs(0), exprs(1))),
+  )
+}

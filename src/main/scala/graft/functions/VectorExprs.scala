@@ -93,13 +93,14 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
 
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
-  * Column from a custom Expression. Idempotent. */
+  * Column from a custom Expression. Idempotent. The function table is
+  * shared with GraftExtensions (the `spark.sql.extensions` cluster path)
+  * so both registration routes always expose the same surface. */
 object VectorExprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_agree",
-      exprs => ArrayAgreeCount(exprs(0), exprs(1)), "built-in")
+    GraftExtensions.functions.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder(_), "built-in")
+    }
   }
 }

@@ -186,7 +186,38 @@ object Events {
       .orderBy("event_type", "win_s")
   }
 
+  /** ev_inter_arrival — per-type inter-arrival-gap profile (the event-
+    * pipeline health check beside ev_anomaly's volume z-scores: a rising
+    * p90 gap means a stalling producer even while hourly counts look
+    * fine). One lag window partitioned by event_type (partition width =
+    * rows/type, never the whole stream) + one bounded agg (rows = types).
+    * Cross-engine determinism: gaps are computed on EPOCH-SECOND
+    * truncated timestamps — `events.ts` is ns in the fixture and Spark
+    * reads µs, so sub-second gap math would diverge; truncation is
+    * monotone, so each engine's own ts sort yields the same per-type
+    * multiset of second-granularity gaps regardless of intra-second
+    * order, and avg/percentile/max over a multiset are order-free.
+    * avg_gap is an exact integer-sum division; percentiles interpolate
+    * over sorted integers (identical both engines, r4 for the division
+    * ulps). */
+  val evInterArrival: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"))
+      .withColumn("es", epochS(col("ts")))
+      .withColumn("gap", col("es") - lag("es", 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+           r4(sum("gap") / count(lit(1))).as("avg_gap"),
+           r4(expr("percentile(gap, 0.5)")).as("p50_gap"),
+           r4(expr("percentile(gap, 0.9)")).as("p90_gap"),
+           max("gap").as("max_gap"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_inter_arrival"  -> evInterArrival,
     "ev_retention"      -> evRetention,
     "ev_anomaly"        -> evAnomaly,
     "ev_user_path"      -> evUserPath,
@@ -263,6 +294,20 @@ object Events {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         | WHERE t2 IS NOT NULL GROUP BY e0, e1, e2)
         |ORDER BY n DESC, e0, e1, e2 LIMIT 20""".stripMargin,
+    "ev_inter_arrival" ->
+      s"""WITH g AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+        |     OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+        | FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        | ${r4Sql("sum(gap) * 1.0 / count(*)")} AS avg_gap,
+        | ${r4Sql("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)")} AS p50_gap,
+        | ${r4Sql("percentile_cont(0.9) WITHIN GROUP (ORDER BY gap)")} AS p90_gap,
+        | max(gap) AS max_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_anomaly" ->
       s"""WITH hourly AS (
         | SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_s,

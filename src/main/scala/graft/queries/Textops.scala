@@ -349,7 +349,66 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_entropy — per-doc token Shannon entropy and type census (the
+    * lexical-diversity quality signal: low entropy = boilerplate /
+    * repetition, high = diverse vocabulary; used alongside the repetition
+    * and logprob gates in C4/Gopher-style corpus filters). Computed as
+    * H = log2(n) − (Σ c·log2 c)/n over per-doc token counts — one
+    * explode + two aggs keyed by doc_id, no joins, shuffle width = docs.
+    * norm_entropy = H / log2(n_types) ∈ [0,1] (defined 0 for single-type
+    * docs rather than inherit either engine's x/0).
+    * Cross-engine floats: c and n are exact integers; log2 may differ in
+    * the last ulp between libm implementations, which the r4 on the
+    * per-doc result collapses (same argument as llm_logprob_score). */
+  val llmEntropy: Q = (s, d) => {
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+    val h = log2(col("n_tok")) - col("sclc") / col("n_tok")
+    tc.groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+           sum(col("c") * log2(col("c"))).as("sclc"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("n_types"),
+        r4(h).as("entropy"),
+        when(col("n_types") === 1, lit(0.0))
+          .otherwise(r4(h / log2(col("n_types")))).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** llm_mix_weights — temperature-scaled corpus mixing weights per
+    * language (the multilingual sampling step of XLM-R/mBERT-style
+    * training: q_l ∝ p_l^α with α = 0.5 upsamples rare languages without
+    * letting them dominate; weight = q/p is the per-doc sampling factor
+    * a dataloader applies). Pure two-level aggregation: one per-lang agg
+    * (shuffle width = langs), then totals computed by an unpartitioned
+    * window over the tiny aggregated frame — never a second pass over
+    * the corpus. Feeds llm_sample_balanced-style downsampling with
+    * principled rates instead of min-lang clamping.
+    * Cross-engine floats: shares are IEEE-exact divisions of exact
+    * integer sums; sqrt is IEEE-exact; only the Σ√p accumulation order
+    * differs between engines (ulps, collapsed by r4). */
+  val llmMixWeights: Q = (s, d) => {
+    val perLang = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tok"))
+    // whole-frame window over the per-lang frame (rows = distinct langs,
+    // bounded and tiny — never the corpus): totals without a self-join
+    val w = Window.partitionBy()
+    perLang
+      .withColumn("share", col("n_tok") / sum("n_tok").over(w))
+      .withColumn("scaled", sqrt(col("share")))
+      .withColumn("target_share", col("scaled") / sum("scaled").over(w))
+      .select(col("lang"), col("n_docs"), col("n_tok"),
+        r4(col("share")).as("share"),
+        r4(col("target_share")).as("target_share"),
+        r4(col("target_share") / col("share")).as("weight"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_entropy"        -> llmEntropy,
+    "llm_mix_weights"    -> llmMixWeights,
     "llm_logprob_score"  -> llmLogprobScore,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_ngram_jaccard"  -> llmNgramJaccard,
@@ -361,6 +420,35 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_entropy" ->
+      s"""WITH tc AS (
+        | SELECT doc_id, lang, t, count(*) AS c FROM (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        | GROUP BY 1, 2, 3),
+        |a AS (
+        | SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tok,
+        |  count(*) AS n_types, sum(c * log2(c)) AS sclc
+        | FROM tc GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tok, n_types,
+        | ${r4Sql("log2(n_tok) - sclc / n_tok")} AS entropy,
+        | CASE WHEN n_types = 1 THEN 0.0
+        |  ELSE ${r4Sql("(log2(n_tok) - sclc / n_tok) / log2(n_types)")} END AS norm_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "llm_mix_weights" ->
+      s"""WITH pl AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY 1),
+        |x AS (
+        | SELECT lang, n_docs, n_tok,
+        |  n_tok * 1.0 / sum(n_tok) OVER () AS share,
+        |  sqrt(n_tok * 1.0 / sum(n_tok) OVER ()) AS scaled
+        | FROM pl)
+        |SELECT lang, n_docs, n_tok,
+        | ${r4Sql("share")} AS share,
+        | ${r4Sql("scaled / sum(scaled) OVER ()")} AS target_share,
+        | ${r4Sql("(scaled / sum(scaled) OVER ()) / share")} AS weight
+        |FROM x ORDER BY lang""".stripMargin,
     "llm_logprob_score" ->
       s"""WITH tok AS (
         | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),

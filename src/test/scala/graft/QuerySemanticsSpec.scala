@@ -214,4 +214,63 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       math.abs(a90 - e90) / e90 should be <= 0.02
     }
   }
+
+  test("llm_entropy matches hand-computed values on known distributions") {
+    // the oracle SQL shares the H formula, so it cannot catch a wrong
+    // formula — pin against independently hand-computed entropies
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ent").toString
+    Seq(
+      (0L, "a a a a", "en", "s", 0L),       // single type: H = 0, norm defined 0
+      (1L, "a b c d", "en", "s", 0L),       // uniform over 4: H = 2, norm = 1
+      (2L, "a a a b", "en", "s", 0L))       // {3,1}: H = 2 - 3*log2(3)/4
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Textops.llmEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    out(0L) shouldBe ((4L, 1L, 0.0, 0.0))
+    out(1L) shouldBe ((4L, 4L, 2.0, 1.0))
+    val hMixed = 2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0 // 0.81127...
+    out(2L)._3 shouldBe (math.floor(hMixed * 10000 + 0.5) / 10000)
+    out(2L)._4 shouldBe (math.floor(hMixed * 10000 + 0.5) / 10000) // log2(2) = 1
+  }
+
+  test("llm_mix_weights upsamples the rare language with alpha=0.5 temperature") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    // en: 9 docs x 10 tokens = 90; xx: 1 doc x 10 tokens = 10
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = (0L until 9L).map(i => (i, ten, "en", "s", 0L)) :+ (9L, ten, "xx", "s", 0L)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Textops.llmMixWeights(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // p = (.9, .1) -> q ∝ (√.9, √.1) = (.75, .25) -> weights (.8333, 2.5)
+    out("en") shouldBe ((9L, 90L, 0.9, 0.75, 0.8333))
+    out("xx") shouldBe ((1L, 10L, 0.1, 0.25, 2.5))
+    // target shares always sum to 1 and preserve the size order
+    (out("en")._4 + out("xx")._4) shouldBe 1.0 +- 1e-4
+  }
+
+  test("ev_inter_arrival matches hand-computed gap profile; single-event types drop") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gap").toString
+    val base = 1700000000L
+    def ev(id: Long, tpe: String, offS: Long): (Long, Long, Long, String, Double, String) =
+      (id, (base + offS) * 1000000000L, 1L, tpe, 1.0, "{}")
+    Seq(ev(0, "t", 0), ev(1, "t", 10), ev(2, "t", 20), ev(3, "t", 100),
+        ev(4, "solo", 5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.evInterArrival(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    out.keySet shouldBe Set("t") // a single event has no gap
+    // gaps {10, 10, 80}: avg 33.3333, p50 10, p90 = 10 + 0.8*(80-10) = 66
+    out("t") shouldBe ((3L, 33.3333, 10.0, 66.0, 80L))
+  }
 }
