@@ -291,6 +291,41 @@ object Extras {
       .orderBy("bin_lo")
   }
 
+  /** dq_drift — distribution drift between two delivery versions as a
+    * per-bin Population Stability Index profile (the follow-up to
+    * dq_histogram's "did the distribution move?": HOW MUCH, and in which
+    * bins). Versions are the md5-bucket split this repo uses everywhere
+    * for reproducible membership (llm_split / llm_dedup_incremental
+    * convention: bucket(o_orderkey) < 80 = prev delivery, ≥ 80 = new),
+    * bins are dq_histogram's 20×25k grid. Shares are Laplace-smoothed
+    * ((n+1)/(N+20)) so psi = (p−q)·ln(p/q) is defined even for bins one
+    * side never hit; smoothed shares are exact integer divisions, so
+    * only ln's last ulp differs between engines (collapsed by r4).
+    * Scale: ONE pass over the fact table into a ≤20-key conditional agg
+    * — the version split costs no second scan. */
+  val dqDrift: Q = (s, d) => {
+    val binW = 25000L
+    val bins = graft.ops.Lineage.cut(
+      Tables.orders(s, d)
+        .select(
+          least(floor(col("o_totalprice") / binW), lit(19L)).cast("long").as("bin"),
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+            .cast("long") % 100 < 80).as("is_prev"))
+        .groupBy("bin")
+        .agg(sum(when(col("is_prev"), 1L).otherwise(0L)).as("n_prev"),
+             sum(when(!col("is_prev"), 1L).otherwise(0L)).as("n_new")))
+    val tot = bins.agg(sum("n_prev").as("tp"), sum("n_new").as("tn"))
+    val sp = (col("n_prev") + 1.0) / (col("tp") + 20.0)
+    val sn = (col("n_new") + 1.0) / (col("tn") + 20.0)
+    bins.crossJoin(broadcast(tot))
+      .select(
+        (col("bin") * binW).as("bin_lo"),
+        col("n_prev"), col("n_new"),
+        r4(sp).as("share_prev"), r4(sn).as("share_new"),
+        r4((sp - sn) * log(sp / sn)).as("psi"))
+      .orderBy("bin_lo")
+  }
+
   /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
     * (o_orderkey) is unique so the selection is engine-deterministic. */
   val aggArgmax: Q = (s, d) =>
@@ -527,6 +562,7 @@ object Extras {
     "fn_bits"           -> fnBits,
     "dq_checks"         -> dqChecks,
     "dq_histogram"      -> dqHistogram,
+    "dq_drift"          -> dqDrift,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
@@ -663,6 +699,22 @@ object Extras {
         | ${r4Sql("n * 1.0 / n_total")} AS pct,
         | CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
         | ${r4Sql("sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / n_total")} AS cum_pct
+        |FROM bins CROSS JOIN tot ORDER BY bin_lo""".stripMargin,
+    "dq_drift" ->
+      s"""WITH b AS (
+        | SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bin,
+        |  (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80) AS is_prev
+        | FROM orders),
+        |bins AS (
+        | SELECT bin,
+        |  CAST(sum(CASE WHEN is_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_prev,
+        |  CAST(sum(CASE WHEN NOT is_prev THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        | FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_prev) AS BIGINT) AS tp, CAST(sum(n_new) AS BIGINT) AS tn FROM bins)
+        |SELECT bin * 25000 AS bin_lo, n_prev, n_new,
+        | ${r4Sql("(n_prev + 1.0) / (tp + 20.0)")} AS share_prev,
+        | ${r4Sql("(n_new + 1.0) / (tn + 20.0)")} AS share_new,
+        | ${r4Sql("((n_prev + 1.0) / (tp + 20.0) - (n_new + 1.0) / (tn + 20.0)) * ln(((n_prev + 1.0) / (tp + 20.0)) / ((n_new + 1.0) / (tn + 20.0)))")} AS psi
         |FROM bins CROSS JOIN tot ORDER BY bin_lo""".stripMargin,
     "dq_checks" ->
       """SELECT rule, n_viol FROM (

@@ -406,7 +406,49 @@ object Textops {
       .orderBy("lang")
   }
 
+  /** llm_span_dedup — substring-level duplication signal (the Lee et al.
+    * "Deduplicating Training Data" shape, bucketed not suffix-array):
+    * documents are cut into NON-overlapping 16-token chunks (overlap
+    * would double-count tokens in the fraction), chunks are md5-keyed,
+    * and a chunk is duplicated iff its hash occurs in ≥ 2 DISTINCT
+    * documents. Per doc: chunk/token census, duplicated-token fraction,
+    * and a flag at dup_frac ≥ 0.5 — thresholded on exact integers
+    * (2·dup_tok ≥ n_tok), so no rounding-boundary divergence.
+    * Complements the set-similarity family: token-set Jaccard
+    * (llm_jaccard_pairs) is order-free, trigram Jaccard
+    * (llm_ngram_jaccard) is order-sensitive but still whole-doc — this
+    * catches LOCALIZED verbatim reuse (a copied paragraph inside an
+    * otherwise-novel doc) that whole-doc scores dilute below threshold.
+    * Scale shape: explode → one hash groupBy (width = distinct chunks,
+    * uniform md5 keys) → one rejoin (strategy Catalyst's — the chunk
+    * table grows with the corpus, never broadcast-forced) → per-doc agg. */
+  val llmSpanDedup: Q = (s, d) => {
+    // cut: the chunk stream feeds both the cross-doc census and the
+    // rejoin — materialize once instead of re-exploding the corpus
+    val chunks = graft.ops.Lineage.cut(
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("i", explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / 16).cast("int"))))
+        .select(col("doc_id"), col("lang"),
+          size(expr("slice(toks, i * 16 + 1, 16)")).cast("long").as("c_ntok"),
+          md5(array_join(expr("slice(toks, i * 16 + 1, 16)"), " ").cast("binary")).as("h")))
+    val hd = chunks.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    chunks.join(hd, "h")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum("c_ntok").as("n_tok"),
+           sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+           sum(when(col("nd") >= 2, col("c_ntok")).otherwise(0L)).as("dup_tok"))
+      .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_tok"),
+        col("n_dup_chunks"), col("dup_tok"),
+        r4(col("dup_tok") * lit(1.0) / col("n_tok")).as("dup_frac"),
+        (col("dup_tok") * lit(2) >= col("n_tok")).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_span_dedup"     -> llmSpanDedup,
     "llm_entropy"        -> llmEntropy,
     "llm_mix_weights"    -> llmMixWeights,
     "llm_logprob_score"  -> llmLogprobScore,
@@ -420,6 +462,23 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_span_dedup" ->
+      s"""WITH c AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(l[i * 16 + 1 : i * 16 + 16]) AS BIGINT) AS c_ntok,
+        |  md5(array_to_string(l[i * 16 + 1 : i * 16 + 16], ' ')) AS h
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS l,
+        |        unnest(generate_series(0, (len(string_split(text, ' ')) - 1) // 16)) AS i
+        |       FROM documents)),
+        |hd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1)
+        |SELECT doc_id, lang, count(*) AS n_chunks,
+        | CAST(sum(c_ntok) AS BIGINT) AS n_tok,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        | CAST(sum(CASE WHEN nd >= 2 THEN c_ntok ELSE 0 END) AS BIGINT) AS dup_tok,
+        | ${r4Sql("sum(CASE WHEN nd >= 2 THEN c_ntok ELSE 0 END) * 1.0 / sum(c_ntok)")} AS dup_frac,
+        | (sum(CASE WHEN nd >= 2 THEN c_ntok ELSE 0 END) * 2 >= sum(c_ntok)) AS flagged
+        |FROM c JOIN hd USING (h)
+        |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     "llm_entropy" ->
       s"""WITH tc AS (
         | SELECT doc_id, lang, t, count(*) AS c FROM (

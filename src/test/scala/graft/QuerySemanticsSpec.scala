@@ -273,4 +273,56 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     // gaps {10, 10, 80}: avg 33.3333, p50 10, p90 = 10 + 0.8*(80-10) = 66
     out("t") shouldBe ((3L, 33.3333, 10.0, 66.0, 80L))
   }
+
+  test("llm_span_dedup flags localized verbatim reuse, not novel text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    def toks(pfx: String, a: Int, b: Int) = (a until b).map(i => s"$pfx$i").mkString(" ")
+    val shared = toks("w", 0, 16)
+    Seq(
+      (0L, shared + " " + toks("w", 16, 32), "en", "s", 0L), // half reused
+      (1L, shared + " " + toks("x", 0, 16), "en", "s", 0L),  // same first chunk
+      (2L, toks("y", 0, 32), "en", "s", 0L),                 // fully novel
+      (3L, toks("z", 0, 16), "en", "s", 0L),                 // exact pair ...
+      (4L, toks("z", 0, 16), "en", "s", 0L))                 // ... fully duplicated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Textops.llmSpanDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7))))
+      .toMap
+    out(0L) shouldBe ((2L, 32L, 1L, 16L, 0.5, true))  // exactly the shared chunk
+    out(1L) shouldBe ((2L, 32L, 1L, 16L, 0.5, true))
+    out(2L) shouldBe ((2L, 32L, 0L, 0L, 0.0, false))  // novel text untouched
+    out(3L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))  // exact dup: frac 1
+    out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
+  }
+
+  test("dq_drift psi matches an independent Scala recomputation on a forced drift") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // membership is the repo's md5-bucket rule — compute it here with
+    // Spark's md5 (fixed public function; the formula under test is PSI)
+    val keys = (0L until 200L).toDF("o_orderkey")
+      .withColumn("is_prev",
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100 < 80))
+    val P = keys.where(col("is_prev")).count()
+    val N = 200L - P
+    // prev rows -> bin 0 (price 10), new rows -> bin 1 (price 30000)
+    keys.withColumn("o_totalprice", when(col("is_prev"), 10.0).otherwise(30000.0))
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def psi(np: Long, nn: Long): Double = {
+      val sp = (np + 1.0) / (P + 20.0); val sn = (nn + 1.0) / (N + 20.0)
+      (sp - sn) * math.log(sp / sn)
+    }
+    val out = queries.Extras.dqDrift(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    out.keySet shouldBe Set(0L, 25000L)
+    out(0L) shouldBe ((P, 0L, r4d(psi(P, 0L))))
+    out(25000L) shouldBe ((0L, N, r4d(psi(0L, N))))
+    out(0L)._3 should be > 1.0 // total shift = severe drift, loudly positive
+  }
 }

@@ -90,6 +90,24 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     d1.getString(0) shouldBe "<none>"
     d4.getLong(1) shouldBe 4 * d1.getLong(1)
     d4.getLong(2) shouldBe 4 * d1.getLong(2)
+    // entropy: per-doc, and translation (a token bijection) preserves
+    // each doc's count distribution, so the ENTROPY VALUES themselves
+    // must survive the copy — not just the row count
+    val e1 = queries.Textops.llmEntropy(spark, dirs._1)
+      .select("entropy").collect().map(_.getDouble(0)).sorted
+    val e4 = queries.Textops.llmEntropy(spark, dirs._2)
+      .select("entropy").collect().map(_.getDouble(0)).sorted
+    e4.length shouldBe 4 * e1.length
+    e4.toSeq shouldBe (e1 ++ e1 ++ e1 ++ e1).sorted.toSeq
+    // span_dedup: copies are mutually dissimilar (translated chunks
+    // can't collide across copies), so per-copy dup structure repeats
+    // exactly — dup row counts scale linearly, never quadratically
+    val s1 = queries.Textops.llmSpanDedup(spark, dirs._1)
+    val s4 = queries.Textops.llmSpanDedup(spark, dirs._2)
+    s4.count() shouldBe 4 * s1.count()
+    val sd1 = s1.agg(sum("n_dup_chunks")).head.getLong(0)
+    val sd4 = s4.agg(sum("n_dup_chunks")).head.getLong(0)
+    sd4 shouldBe 4 * sd1
   }
 
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {

@@ -52,7 +52,9 @@ object ScaleProbe {
       "llm_contamination" -> queries.Textops.llmContamination,
       "llm_url_extract" -> queries.Webops.llmUrlExtract,
       "llm_domain_stats" -> queries.Webops.llmDomainStats,
-      "llm_logprob_score" -> queries.Textops.llmLogprobScore)
+      "llm_logprob_score" -> queries.Textops.llmLogprobScore,
+      "llm_entropy" -> queries.Textops.llmEntropy,
+      "llm_span_dedup" -> queries.Textops.llmSpanDedup)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)
