@@ -16,6 +16,10 @@ import graft.ops.Det._
   *   2. exact dedup — keep the min-doc_id representative per sha256;
   *   3. near dedup  — jaccard ≥ θ pairs → bounded min-label clustering,
   *                    keep the min-doc_id representative per cluster;
+  *   3.5 span gate (optional) — keep-one span dedup among survivors:
+  *                    drop docs whose foreign-owned duplicated-chunk
+  *                    token fraction reaches `spanDupMax`
+  *                    (llm_span_dedup shape, min-doc_id ownership);
   *   4. split      — reproducible md5-bucket train/val/test assignment.
   *
   * Returns the surviving documents with (clean_text, cluster, split)
@@ -30,7 +34,8 @@ object CorpusPrep {
     * 0.8 behave as 0.8. */
   def run(spark: SparkSession, sfDir: String,
           stopK: Int = 5, jaccardTheta: Double = 0.8,
-          labelRounds: Int = 8, xentMax: Option[Double] = None): DataFrame = {
+          labelRounds: Int = 8, xentMax: Option[Double] = None,
+          spanDupMax: Option[Double] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -119,8 +124,41 @@ object CorpusPrep {
       .join(reps.select(col("doc_id"), lit(1).as("is_rep")), Seq("doc_id"), "left")
       .where(col("is_rep") === 1).drop("is_rep")
 
+    // 3.5 (optional) keep-one span dedup among the SURVIVORS: cut each
+    //     surviving doc into llm_span_dedup's non-overlapping 16-token
+    //     chunks; a chunk instance is FOREIGN-duplicated iff the minimum
+    //     surviving doc_id containing that chunk hash is a different
+    //     doc. Docs whose foreign-duplicated token fraction reaches
+    //     `spanDupMax` are dropped — the Lee et al. "remove the
+    //     duplicate occurrence" rule at doc granularity: the earliest
+    //     copy always survives (its own chunks are self-owned), later
+    //     mostly-copied docs go. Running AFTER near-dedup means whole-doc
+    //     dups are already collapsed; this stage catches the localized
+    //     verbatim reuse (templates, quoted paragraphs) that whole-doc
+    //     Jaccard dilutes. Same scale shape as llm_span_dedup: one hash
+    //     groupBy + one rejoin + a per-doc agg.
+    val spanGated = spanDupMax.fold(nearDeduped) { m =>
+      val chunks = graft.ops.Lineage.cut(
+        nearDeduped
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("i", explode(sequence(lit(0),
+            floor((size(col("toks")) - 1) / 16).cast("int"))))
+          .select(col("doc_id"),
+            size(expr("slice(toks, i * 16 + 1, 16)")).cast("long").as("c_ntok"),
+            md5(array_join(expr("slice(toks, i * 16 + 1, 16)"), " ").cast("binary")).as("h")))
+      val owner = chunks.groupBy("h").agg(min("doc_id").as("own"))
+      val keep = chunks.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(sum("c_ntok").as("n_tok"),
+             sum(when(col("own") < col("doc_id"), col("c_ntok")).otherwise(0L))
+               .as("foreign_tok"))
+        .where(col("foreign_tok") * lit(1.0) / col("n_tok") < m)
+        .select("doc_id")
+      nearDeduped.join(keep, "doc_id")
+    }
+
     // 4. reproducible split (md5 bucket of doc_id — llm_split shape)
-    nearDeduped
+    spanGated
       .withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
       .withColumn("split",

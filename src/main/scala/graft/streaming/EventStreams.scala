@@ -35,6 +35,12 @@ case class PathTrigram(e0: String, e1: String, e2: String)
   * closed so far; filter |z| ≥ 2 downstream for the alert stream). */
 case class HourFlag(event_type: String, win_s: Long, n: Long, z: Double)
 
+/** One running-gap update per event, emitted by `interArrival` — the
+  * ONLINE twin of queries.Events.evInterArrival (avg/max profile; the
+  * batch percentiles have no O(1) streaming state). */
+case class GapUpdate(event_id: Long, event_type: String, gap: Long,
+                     n_gaps: Long, avg_gap: Double, max_gap: Long)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -372,6 +378,55 @@ object EventStreams {
       state.update((nh, mean, m2, openHour, openN))
       out.iterator
     }
+  }
+
+  /** Per-type running gap stats on transformWithState — ONLINE twin of
+    * queries.Events.evInterArrival. State is 4 longs per event type
+    * (last epoch-second, gap count, gap sum, gap max) — O(types), never
+    * O(events); each arriving event emits its own gap against the
+    * previous one plus the running avg/max. The batch operator's
+    * percentiles are deliberately absent: they have no O(1) streaming
+    * state, and the declared online surface is the avg/max profile
+    * (a quantile sketch would be the agg_approx_percentile path).
+    * Gaps use the same epoch-second truncation as the batch twin;
+    * rows behind the last seen second are dropped (in-order contract,
+    * as AnomalyProcessor). */
+  class GapProcessor extends StatefulProcessor[String, Ev, GapUpdate] {
+    // (lastEs — -1 when unset, nGaps, sumGap, maxGap)
+    @transient private var state: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long, Long, Long)](
+        "gapStats", Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[GapUpdate] = {
+      var (lastEs, n, sumG, maxG) =
+        if (state.exists()) state.get() else (-1L, 0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapUpdate]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val es = Math.floorDiv(e.ts.getTime, 1000L)
+        if (lastEs < 0) lastEs = es
+        else if (es >= lastEs) {
+          val g = es - lastEs
+          n += 1; sumG += g; maxG = math.max(maxG, g)
+          // same engine-independent half-up rounding as Det.r4
+          out += GapUpdate(e.event_id, key, g, n,
+            math.floor(sumG * 1.0 / n * 10000 + 0.5) / 10000, maxG)
+          lastEs = es
+        } // es < lastEs: behind the last seen second — dropped
+      }
+      state.update((lastEs, n, sumG, maxG))
+      out.iterator
+    }
+  }
+
+  /** ev_inter_arrival twin (see GapProcessor). */
+  def interArrival(events: Dataset[Ev]): Dataset[GapUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new GapProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** ev_anomaly twin (see AnomalyProcessor). */

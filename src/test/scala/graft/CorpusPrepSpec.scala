@@ -152,4 +152,25 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     again shouldBe gated
   }
+
+  test("span-dup gate (spanDupMax) drops later mostly-copied docs, keeps the earliest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_spangate").toString
+    def toks(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    val shared = toks("w", 0, 16)
+    Seq(
+      (0L, shared + " " + toks("a", 0, 16), "en", "s", 0L), // owns the shared chunk
+      (1L, shared + " " + toks("b", 0, 16), "en", "s", 0L), // half foreign-owned
+      (2L, toks("c", 0, 32), "en", "s", 0L))                // fully novel
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // pairwise token-set jaccard is 16/48 ≈ 0.33 — far below the near-dup
+    // floor, so WITHOUT the gate all three survive the whole prep...
+    CorpusPrep.run(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+    // ...and the gate at 0.5 drops exactly the later half-copied doc:
+    // doc 1's shared chunk is owned by doc 0 (min doc_id), 16/32 ≥ 0.5
+    CorpusPrep.run(spark, dir, spanDupMax = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
+  }
 }

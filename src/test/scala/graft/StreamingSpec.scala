@@ -405,4 +405,53 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     streamed.find(t => t._1 == "a" && t._3 == 30L).get._4 should be > 2.0
     streamed.filter(_._1 == "b").foreach(_._4 shouldBe 0.0)
   }
+
+  test("interArrival matches a running-prefix batch formulation across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 'a': irregular cadence (minutes 0,1,3,10,30); 'b': constant 5-min
+    val rows =
+      Seq(0, 1, 3, 10, 30).zipWithIndex.map { case (m, i) =>
+        Ev(i.toLong, ts(m), 1L, "a", 1.0) } ++
+      (0 until 6).map(i => Ev(100L + i, ts(i * 5), 2L, "b", 1.0))
+    val (b1, b2) = rows.sortBy(_.ts.getTime).splitAt(rows.size / 2)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val stream = MemoryStream[Ev]
+      stream.addData(b1: _*)
+      val q = EventStreams.interArrival(stream.toDS())
+        .writeStream.format("memory").queryName("gaps").outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("gaps").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                   r.getDouble(4), r.getLong(5)))
+        .sortBy(_._1)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = rows.toDF()
+      .withColumn("es", unix_timestamp($"ts"))
+      .withColumn("gap", $"es" - lag("es", 1).over(w))
+      .where($"gap".isNotNull)
+      .withColumn("n_gaps", count(lit(1)).over(wCum))
+      .withColumn("avg_gap", graft.ops.Det.r4(sum("gap").over(wCum) / count(lit(1)).over(wCum)))
+      .withColumn("max_gap", max("gap").over(wCum))
+      .select("event_id", "event_type", "gap", "n_gaps", "avg_gap", "max_gap")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    streamed shouldBe expected
+    // spot-check the irregular type's final profile: gaps 60,120,420,1200
+    val aLast = streamed.filter(_._2 == "a").last
+    (aLast._4, aLast._5, aLast._6) shouldBe ((4L, 450.0, 1200L))
+  }
 }
