@@ -33,4 +33,41 @@ object Validate {
       .agg(count(lit(1)).as("n_viol"))
       .select(lit(rule).as("rule"), $"n_viol")
   }
+
+  /** Distribution-drift profile between two deliveries of the same
+    * dataset (yesterday's table vs today's): per-bin Population
+    * Stability Index over a fixed-width histogram of `valueCol` — the
+    * delivery-surface form of queries.Extras.dqDrift, which derives its
+    * two versions from an md5 split of ONE table; here they are two real
+    * frames. Shares are Laplace-smoothed ((n+1)/(N+nBins)) so bins one
+    * delivery never hits stay defined; psi = (p−q)·ln(p/q) per bin
+    * (sum the column for the headline number; |total| ≳ 0.2 is the
+    * classic "investigate" threshold). Identical frames report exactly
+    * 0.0 per bin — equal counts make the smoothed shares equal before
+    * rounding. Scale: one pass over each frame (tagged union → a single
+    * ≤nBins-key conditional agg), no joins wider than a 1-row totals
+    * broadcast. */
+  def driftReport(prev: DataFrame, cur: DataFrame, valueCol: String,
+                  binW: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    def binned(df: DataFrame, tag: Int) =
+      df.select(
+        least(floor(col(valueCol) / binW), lit(nBins - 1L)).cast("long").as("bin"),
+        lit(tag).as("src"))
+    val bins = binned(prev, 0).unionAll(binned(cur, 1))
+      .groupBy("bin")
+      .agg(sum(when(col("src") === 0, 1L).otherwise(0L)).as("n_prev"),
+           sum(when(col("src") === 1, 1L).otherwise(0L)).as("n_new"))
+    val tot = bins.agg(sum("n_prev").as("tp"), sum("n_new").as("tn"))
+    val sp = (col("n_prev") + 1.0) / (col("tp") + nBins.toDouble)
+    val sn = (col("n_new") + 1.0) / (col("tn") + nBins.toDouble)
+    bins.crossJoin(broadcast(tot))
+      .select(
+        (col("bin") * binW).as("bin_lo"),
+        col("n_prev"), col("n_new"),
+        graft.ops.Det.r4(sp).as("share_prev"),
+        graft.ops.Det.r4(sn).as("share_new"),
+        graft.ops.Det.r4((sp - sn) * log(sp / sn)).as("psi"))
+      .orderBy("bin_lo")
+  }
 }

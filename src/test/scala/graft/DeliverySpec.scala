@@ -274,4 +274,30 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     an[IllegalArgumentException] should be thrownBy
       graft.delivery.DeliverMain.run(spark, Array("a", "b", "--bogus"))
   }
+
+  test("driftReport: identical deliveries score exactly zero; a shift is loud and hand-checkable") {
+    import spark.implicits._
+    import graft.delivery.Validate
+    val prev = (0 until 100).map(_ => 10.0) ++ (0 until 100).map(_ => 35.0)
+    val same = prev.toDF("v")
+    // identical frames: equal counts per bin -> smoothed shares equal
+    // BEFORE rounding -> psi exactly 0.0 in every bin
+    Validate.driftReport(same, same, "v", 25.0, 4).collect()
+      .foreach(_.getDouble(5) shouldBe 0.0)
+    // shift half the mass from bin 0 to bin 2: psi matches an
+    // independent Scala recomputation with the same smoothing
+    val cur = ((0 until 50).map(_ => 10.0) ++ (0 until 100).map(_ => 35.0) ++
+      (0 until 50).map(_ => 60.0)).toDF("v")
+    val out = Validate.driftReport(same, cur, "v", 25.0, 4).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    def psi(np: Long, nn: Long): Double = {
+      val sp = (np + 1.0) / 204.0; val sn = (nn + 1.0) / 204.0
+      math.floor((sp - sn) * math.log(sp / sn) * 10000 + 0.5) / 10000
+    }
+    out(0.0) shouldBe ((100L, 50L, psi(100L, 50L)))
+    out(25.0) shouldBe ((100L, 100L, 0.0))
+    out(50.0) shouldBe ((0L, 50L, psi(0L, 50L)))
+    out(0.0)._3 should be > 0.0
+    out(50.0)._3 should be > 0.0
+  }
 }
