@@ -197,6 +197,59 @@ object Extras {
       .orderBy("vid_a", "vid_b")
   }
 
+  /** llm_semdedup — semantic dedup over embeddings (the SemDeDup shape,
+    * Abbas et al. 2023: cluster the embedding space coarsely, then dedup
+    * WITHIN each cluster by cosine). The cluster here is the IVF
+    * sign-bucket coarse quantizer this repo's whole ANN family uses (a
+    * deterministic k-means stand-in — no iterative centroid fitting, so
+    * the operator is one declarative self-join both engines agree on).
+    * Declared semantics: a vector is a duplicate iff SOME lower-id
+    * vector in the SAME cell reaches rounded cosine ≥ 0.35 (the
+    * fixture's near-dup floor, as llm_embed_neardup); dup_of = the
+    * minimum such neighbour, keep = no such neighbour. Judged against
+    * ALL lower-id cell-mates, not only kept ones — no sequential greedy
+    * chain, so the result is order-free and embarrassingly parallel per
+    * cell. Scale: pair generation is an equi-join on the cell key;
+    * within-cell quadratic IS the SemDeDup design — raise
+    * spark.graft.ann.bits with the corpus so cell occupancy (N/2^bits)
+    * stays at the candidate budget, exactly the ann_ivf story. */
+  val llmSemdedup: Q = (s, d) => {
+    val v = bucketed(s, d)
+    val a = v.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"), col("bkt"))
+    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"),
+                     col("bkt"))
+    val dups = a.join(b, Seq("bkt")).where(col("vid_b") < col("vec_id"))
+      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .where(col("cos") >= 0.35)
+      .groupBy("vec_id").agg(min("vid_b").as("dup_of"))
+    v.select(col("vec_id"), col("bkt").cast("int").as("bkt"))
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull.cast("long"))
+      .orderBy("vec_id")
+  }
+
+  /** llm_ann_stats — ANN index health profile: occupancy per coarse-
+    * quantizer cell (count, share of the corpus, id range). The
+    * operational check behind every IVF deployment: probe cost is
+    * nprobe·occupancy, so a skewed cell histogram — not average
+    * occupancy — is what blows the candidate budget; this report is
+    * what you read before raising spark.graft.ann.bits. Scale: one
+    * groupBy over ≤ 2^bits keys; the total and shares run over the
+    * aggregated ≤ 2^bits-row frame, never a second corpus pass. */
+  val llmAnnStats: Q = (s, d) => {
+    val cells = graft.ops.Lineage.cut(
+      bucketed(s, d)
+        .groupBy(col("bkt").cast("int").as("bkt"))
+        .agg(count(lit(1)).as("n_vecs"),
+             min("vec_id").as("min_vid"), max("vec_id").as("max_vid")))
+    val tot = cells.agg(sum("n_vecs").as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bkt"), col("n_vecs"),
+        r4(col("n_vecs") * lit(1.0) / col("n_total")).as("share"),
+        col("min_vid"), col("max_vid"))
+      .orderBy("bkt")
+  }
+
   /** agg_pivot — long→wide reshaping: per-user event counts, one column
     * per event type (domain pinned: FIXTURES.md). Fixed pivot values keep
     * the plan a single pass (no distinct-values pre-query). */
@@ -570,6 +623,8 @@ object Extras {
     "llm_fingerprint"   -> llmFingerprint,
     "llm_ann_ivf"       -> llmAnnIvf,
     "llm_embed_neardup" -> llmEmbedNeardup,
+    "llm_semdedup"      -> llmSemdedup,
+    "llm_ann_stats"     -> llmAnnStats,
     "agg_pivot"         -> aggPivot,
     "agg_unpivot"       -> aggUnpivot,
   )
@@ -805,6 +860,26 @@ object Extras {
         |  ON bit_count(xor((${bktSql("a")}), (${bktSql("b")}))) <= 1
         |   AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.35 ORDER BY vid_a, vid_b""".stripMargin,
+    "llm_semdedup" ->
+      s"""WITH dups AS (
+        | SELECT a.vec_id AS vid, min(b.vec_id) AS dup_of
+        | FROM embeddings a JOIN embeddings b
+        |  ON (${bktSql("a")}) = (${bktSql("b")}) AND b.vec_id < a.vec_id
+        | WHERE $cosSql >= 0.35
+        | GROUP BY a.vec_id)
+        |SELECT e.vec_id, CAST(${bktSql("e")} AS INT) AS bkt, d.dup_of,
+        | CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM embeddings e LEFT JOIN dups d ON d.vid = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    "llm_ann_stats" ->
+      s"""WITH cells AS (
+        | SELECT CAST(${bktSql("e")} AS INT) AS bkt, count(*) AS n_vecs,
+        |  min(e.vec_id) AS min_vid, max(e.vec_id) AS max_vid
+        | FROM embeddings e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM cells)
+        |SELECT bkt, n_vecs, ${r4Sql("n_vecs * 1.0 / n_total")} AS share,
+        | min_vid, max_vid
+        |FROM cells CROSS JOIN tot ORDER BY bkt""".stripMargin,
     "agg_pivot" ->
       """SELECT user_id,
         | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

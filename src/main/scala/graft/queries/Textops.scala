@@ -447,7 +447,38 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_gopher_rules — the Gopher/Dolma-family document-shape quality
+    * gate: per doc, the three cheap structural rules those filters run
+    * before any model-based scoring — token count in [50, 100 000],
+    * mean word length in [3, 10], fraction of words containing an
+    * alphabetic character ≥ 0.8 (canonical Gopher bounds, kept as
+    * declared; the ~25-token fixtures fail the length rule by design —
+    * QuerySemanticsSpec pins pass/fail variance on synthesized docs).
+    * Rule comparisons run on the r4-ROUNDED features, so the emitted
+    * flags never disagree with the emitted feature values across
+    * engines. Scale shape: a PURE codegen'd projection — the word-length
+    * sum and alpha census are higher-order functions over the split
+    * array (aggregate/filter), so the whole gate is one shuffle-free
+    * full-corpus pass, the only shape a 100 TB pre-filter can afford
+    * (contrast the explode + agg ops, which pay a doc-keyed shuffle). */
+  val llmGopherRules: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("avg_wlen",
+        r4(expr("aggregate(toks, 0L, (a, x) -> a + length(x))") * lit(1.0) / col("n_tok")))
+      .withColumn("frac_alpha",
+        r4(size(expr("filter(toks, x -> x rlike '[a-zA-Z]')")) * lit(1.0) / col("n_tok")))
+      .withColumn("ok_ntok", col("n_tok").between(50L, 100000L).cast("long"))
+      .withColumn("ok_wlen", col("avg_wlen").between(3.0, 10.0).cast("long"))
+      .withColumn("ok_alpha", (col("frac_alpha") >= 0.8).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("avg_wlen"),
+        col("frac_alpha"), col("ok_ntok"), col("ok_wlen"), col("ok_alpha"),
+        (col("ok_ntok") + col("ok_wlen") + col("ok_alpha") === 3).cast("long").as("pass"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "llm_gopher_rules"   -> llmGopherRules,
     "llm_span_dedup"     -> llmSpanDedup,
     "llm_entropy"        -> llmEntropy,
     "llm_mix_weights"    -> llmMixWeights,
@@ -462,6 +493,21 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_gopher_rules" ->
+      s"""WITH f AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(l) AS BIGINT) AS n_tok,
+        |  ${r4Sql("list_sum(list_transform(l, x -> length(x))) * 1.0 / len(l)")} AS avg_wlen,
+        |  ${r4Sql("len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(l)")} AS frac_alpha
+        | FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents))
+        |SELECT doc_id, lang, n_tok, avg_wlen, frac_alpha,
+        | CAST(n_tok BETWEEN 50 AND 100000 AS BIGINT) AS ok_ntok,
+        | CAST(avg_wlen BETWEEN 3.0 AND 10.0 AS BIGINT) AS ok_wlen,
+        | CAST(frac_alpha >= 0.8 AS BIGINT) AS ok_alpha,
+        | CAST(CAST(n_tok BETWEEN 50 AND 100000 AS INT)
+        |  + CAST(avg_wlen BETWEEN 3.0 AND 10.0 AS INT)
+        |  + CAST(frac_alpha >= 0.8 AS INT) = 3 AS BIGINT) AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
     "llm_span_dedup" ->
       s"""WITH c AS (
         | SELECT doc_id, lang,

@@ -116,11 +116,48 @@ object Webops {
       .orderBy("domain")
   }
 
+  /** Canonicalization chain for llm_url_dedup, applied to an extracted
+    * (trail-trimmed) URL. Each pattern matches at most ONCE per string
+    * (anchored, or `.*$`-consuming), so Spark's replace-all and a
+    * replace-first engine agree: lowercase → strip fragment/query
+    * (`[?#].*$`) → strip scheme → strip leading `www.` → strip trailing
+    * slash runs. All lookahead-free (Java regex ≡ RE2). */
+  private def canonUrl(u: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(u), lit("[?#].*$"), lit("")),
+          lit("^https?://"), lit("")),
+        lit("^www\\."), lit("")),
+      lit("/+$"), lit(""))
+
+  /** llm_url_dedup — canonical-URL dedup: the crawl-level dedup that
+    * runs BEFORE any content comparison (two fetches of one page differ
+    * in boilerplate and timestamps, but their URLs canonicalize
+    * identically — scheme, case, www., query/fragment and trailing
+    * slashes are presentation, not identity). Each doc is keyed by the
+    * lexicographically-first of its canonicalized URLs (the stable
+    * representative, as llm_url_extract's first_domain); output is one
+    * row per canonical key: keeper = min doc_id, doc count. URL-free
+    * docs cannot URL-collide and don't key. Scale: codegen'd regex
+    * projection + two bounded aggs — shuffle width = distinct canonical
+    * URLs, never rows×rows. */
+  val llmUrlDedup: Q = (s, d) => {
+    val urls = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("curl", canonUrl(regexp_replace(col("url"), lit(trailRe), lit(""))))
+    urls.groupBy("doc_id").agg(min("curl").as("url_key"))
+      .groupBy("url_key")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("url_key")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_url_extract"   -> llmUrlExtract,
     "llm_markup_strip"  -> llmMarkupStrip,
     "llm_charset_stats" -> llmCharsetStats,
     "llm_domain_stats"  -> llmDomainStats,
+    "llm_url_dedup"     -> llmUrlDedup,
   )
 
   val oracle: Map[String, String] = Map(
@@ -164,6 +201,16 @@ object Webops {
         | count(DISTINCT dt.lang) AS n_langs
         |FROM dt LEFT JOIN fd ON fd.doc_id = dt.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_url_dedup" ->
+      s"""WITH u AS (
+        | SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |   lower(regexp_replace(unnest(regexp_extract_all(text, '$urlRe')), '$trailRe', '')),
+        |   '[?#].*$$', ''), '^https?://', ''), '^www\\.', ''), '/+$$', '') AS curl
+        | FROM documents),
+        |pd AS (SELECT doc_id, min(curl) AS url_key FROM u GROUP BY doc_id)
+        |SELECT url_key, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM pd GROUP BY url_key ORDER BY url_key""".stripMargin,
     "llm_charset_stats" ->
       s"""SELECT doc_id, lang,
         | CAST(length(text) AS BIGINT) AS n_chars_txt,

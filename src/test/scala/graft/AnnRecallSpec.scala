@@ -75,6 +75,66 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     recall should be >= 0.50
   }
 
+  test("llm_semdedup drops exactly the later copy of a near-parallel pair and keeps orthogonal vectors") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semdedup").toString
+    // 64-dim like the fixture. v2 = 1.2·v1 (cos exactly 1, same sign
+    // bucket by construction); v3 flips the bucket-defining dims and is
+    // near-orthogonal to both (cos ≈ -0.03).
+    val v1 = Array.tabulate(64)(i => if (i % 2 == 0) 0.1f else -0.05f)
+    val v2 = v1.map(_ * 1.2f)
+    val v3 = Array.tabulate(64)(i => if (i < 32) -0.1f else 0.08f)
+    Seq((1L, v1, 0), (2L, v2, 0), (3L, v3, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val rows = Extras.llmSemdedup(spark, tmp).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    rows shouldBe Seq((1L, None, 1L), (2L, Some(1L), 0L), (3L, None, 1L))
+  }
+
+  test("llm_semdedup on the fixture: every drop is justified by a true lower-id near neighbour") {
+    graft.functions.VectorExprs.register(spark)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
+    val a = v.select(col("vec_id").as("vid_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"))
+    // vectors with SOME lower-id brute-force cos>=0.35 neighbour: the
+    // only legitimate drop candidates (the cell restriction may keep
+    // more, never drop more)
+    val droppable = a.crossJoin(b).where(col("vid_a") < col("vid_b"))
+      .withColumn("cos",
+        graft.ops.Det.r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .where(col("cos") >= 0.35)
+      .select("vid_b").collect().map(_.getLong(0)).toSet
+    val dropped = Extras.llmSemdedup(spark, sfDir)
+      .where(col("keep") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    (dropped.map(_._1).toSet -- droppable) shouldBe empty
+    // dup_of is always an earlier doc — the earliest copy can never drop
+    dropped.foreach { case (vid, dupOf) => assert(dupOf < vid) }
+  }
+
+  test("llm_ann_stats: cells partition the corpus, shares sum to 1, counts match a recount") {
+    val stats = Extras.llmAnnStats(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val n = Tables.embeddings(spark, sfDir).count()
+    stats.map(_._2).sum shouldBe n
+    math.abs(stats.map(_._3).sum - 1.0) should be <= 8e-4 // r4 per cell
+    all(stats.map(_._1)) should (be >= 0 and be < 8)
+    // independent recount of the 3-bit sign bucket
+    val recount = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .select((
+        (element_at(col("e"), 1) > 0).cast("int") * 4 +
+        (element_at(col("e"), 9) > 0).cast("int") * 2 +
+        (element_at(col("e"), 17) > 0).cast("int")).as("bkt"))
+      .groupBy("bkt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    stats.map(t => t._1 -> t._2).toMap shouldBe recount
+  }
+
   test("ann.bits wider than the embedding dim fails loudly instead of silently empty results") {
     // hyperplane k reads dim 8k+1; on 4-dim vectors even the default 3
     // bits (needs dim 17) must raise, not NULL-bucket into an empty

@@ -298,6 +298,31 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
   }
 
+  test("llm_gopher_rules gates each canonical rule independently, boundaries inclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    Seq(
+      (0L, Seq.fill(60)("spark").mkString(" "), "en", "g", 0L),        // all rules pass
+      (1L, Seq.fill(10)("spark").mkString(" "), "en", "g", 0L),        // too short
+      (2L, Seq.fill(60)("abcdefghijkl").mkString(" "), "en", "g", 0L), // words too long (12)
+      (3L, Seq.fill(60)("12345").mkString(" "), "en", "g", 0L),        // no alpha words
+      (4L, Seq.fill(50)("abc").mkString(" "), "en", "g", 0L),          // BOTH boundaries: 50 tok, wlen 3.0
+      (5L, (Seq.fill(48)("word") ++ Seq.fill(12)("123")).mkString(" "), "en", "g", 0L)) // alpha exactly 0.8
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Textops.llmGopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    out(0L) shouldBe ((60L, 5.0, 1.0, 1L, 1L, 1L, 1L))
+    out(1L) shouldBe ((10L, 5.0, 1.0, 0L, 1L, 1L, 0L)) // fails ONLY length
+    out(2L) shouldBe ((60L, 12.0, 1.0, 1L, 0L, 1L, 0L)) // fails ONLY word length
+    out(3L) shouldBe ((60L, 5.0, 0.0, 1L, 1L, 0L, 0L)) // fails ONLY alpha
+    out(4L) shouldBe ((50L, 3.0, 1.0, 1L, 1L, 1L, 1L)) // 50 tokens and wlen 3.0 are IN
+    out(5L) shouldBe ((60L, 3.8, 0.8, 1L, 1L, 1L, 1L)) // alpha 0.8 is IN
+  }
+
   test("dq_drift psi matches an independent Scala recomputation on a forced drift") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString

@@ -108,6 +108,15 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     val sd1 = s1.agg(sum("n_dup_chunks")).head.getLong(0)
     val sd4 = s4.agg(sum("n_dup_chunks")).head.getLong(0)
     sd4 shouldBe 4 * sd1
+    // gopher_rules: pure per-doc projection; every copy's prefix is the
+    // same 2 chars ('c0'…'c3'), so word lengths — and therefore the rule
+    // verdicts — repeat exactly per copy: pass count scales with rows
+    val g1 = queries.Textops.llmGopherRules(spark, dirs._1)
+    val g4 = queries.Textops.llmGopherRules(spark, dirs._2)
+    g4.count() shouldBe 4 * g1.count()
+    g4.agg(sum("pass")).head.getLong(0) shouldBe 4 * g1.agg(sum("pass")).head.getLong(0)
+    // url_dedup: translated corpora are URL-free — no accidental keys
+    queries.Webops.llmUrlDedup(spark, dirs._2).count() shouldBe 0L
   }
 
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {

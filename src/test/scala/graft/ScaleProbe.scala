@@ -54,7 +54,11 @@ object ScaleProbe {
       "llm_domain_stats" -> queries.Webops.llmDomainStats,
       "llm_logprob_score" -> queries.Textops.llmLogprobScore,
       "llm_entropy" -> queries.Textops.llmEntropy,
-      "llm_span_dedup" -> queries.Textops.llmSpanDedup)
+      "llm_span_dedup" -> queries.Textops.llmSpanDedup,
+      // round-6 sixth pass: the shuffle-free rule gate and the canon-URL
+      // dedup (URL-free fixture → 0 rows, but the projection still scans)
+      "llm_gopher_rules" -> queries.Textops.llmGopherRules,
+      "llm_url_dedup" -> queries.Webops.llmUrlDedup)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)

@@ -91,6 +91,30 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows.map(_._2).sum shouldBe 5L
   }
 
+  test("url dedup folds scheme/case/www/query/fragment/trailing-slash variants into one key") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_udup").toString
+    Seq(
+      (0L, "ref https://www.Site.com/Page/?utm=1 end", "en", "w", 0L),
+      (1L, "see http://site.com/page#frag now", "en", "w", 0L),
+      (2L, "at https://site.com/page/", "en", "w", 0L),
+      (3L, "other https://site.com/other", "en", "w", 0L),
+      (4L, "no urls here", "en", "w", 0L),
+      (5L, "two https://zz.org/a and https://aa.org/b", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = queries.Webops.llmUrlDedup(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 0/1/2 canonicalize to the same key (case, www., ?query,
+    // #fragment, trailing slash are presentation); keeper = min doc_id.
+    // doc 5 is keyed by the lexicographic MIN of its two canon URLs.
+    // doc 4 has no URL → cannot URL-collide → absent.
+    rows shouldBe Seq(
+      ("aa.org/b", 5L, 1L),
+      ("site.com/other", 3L, 1L),
+      ("site.com/page", 0L, 3L))
+  }
+
   test("on the web-free fixture: zero urls, zero tags, strip is whitespace-identity") {
     queries.Webops.llmUrlExtract(spark, sfDir)
       .where(col("n_urls") =!= 0).count() shouldBe 0L
