@@ -216,7 +216,36 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** ev_active_users — daily actives + trailing-7-day actives per
+    * observed day (DAU / WAU and their ratio, the stickiness report
+    * every product pipeline publishes). Relational rolling-distinct:
+    * the distinct (user, day) frame is computed ONCE, then each active
+    * user-day covers the seven report days [day, day+6] via a bounded
+    * explode — WAU of a day = distinct covering users. The 7× fan-out
+    * runs on the already-distinct user-DAY frame (users × days rows),
+    * never on raw events, and the inner join back to DAU keeps only
+    * observed days. A per-day distinct-over-range window would instead
+    * drag every event into one range frame per day — this shape is the
+    * one that survives a year of events at 100 TB. */
+  val evActiveUsers: Q = (s, d) => {
+    // cut: the distinct user-day frame feeds DAU, the coverage fan-out
+    // and (via the join) the observed-day restriction — one distinct
+    // shuffle instead of three
+    val ud = graft.ops.Lineage.cut(
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("asof", explode(expr("sequence(day, date_add(day, 6))")))
+      .groupBy(col("asof").as("day")).agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        r4(col("dau") * lit(1.0) / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_active_users"   -> evActiveUsers,
     "ev_inter_arrival"  -> evInterArrival,
     "ev_retention"      -> evRetention,
     "ev_anomaly"        -> evAnomaly,
@@ -231,6 +260,18 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_active_users" ->
+      s"""WITH ud AS (
+        | SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        |cov AS (
+        | SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |    CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM ud),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cov GROUP BY day)
+        |SELECT d.day, d.dau, w.wau, ${r4Sql("d.dau * 1.0 / w.wau")} AS stickiness
+        |FROM dau d JOIN wau w ON w.day = d.day ORDER BY d.day""".stripMargin,
     "ev_tumbling" ->
       s"""SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS win_s, event_type,
         | count(*) AS n, ${r4Sql("sum(value)")} AS sum_value

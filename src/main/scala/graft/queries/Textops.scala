@@ -477,7 +477,35 @@ object Textops {
         (col("ok_ntok") + col("ok_wlen") + col("ok_alpha") === 3).cast("long").as("pass"))
       .orderBy("doc_id")
 
+  /** llm_top_ngrams — corpus-level top-20 word trigrams with doc reach
+    * (occurrence count + distinct docs containing each): the boilerplate
+    * DISCOVERY report — llm_span_dedup and llm_contamination act on
+    * duplication once known; this is how the repeated passages are found
+    * and eyeballed in the first place (headers, license blurbs, nav
+    * text all surface here). Trigrams via a higher-order transform over
+    * the split array — no per-doc window, no posexplode+lag shuffle;
+    * the only shuffle is the count agg (width = distinct trigrams,
+    * md5-uniform keys) and the top-20 is TakeOrderedAndProject
+    * (per-partition top-k, 20-row driver merge — never a global sort).
+    * Ties broken by the ngram string, so the cut is engine-exact. */
+  val llmTopNgrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      // sequence(1, n-2) DESCENDS when n < 3 (Spark generates [1, 0]) —
+      // the guard keeps the transform domain well-formed, and <3-token
+      // docs have no trigrams anyway
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+        "element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))"))
+        .as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "llm_top_ngrams"     -> llmTopNgrams,
     "llm_gopher_rules"   -> llmGopherRules,
     "llm_span_dedup"     -> llmSpanDedup,
     "llm_entropy"        -> llmEntropy,
@@ -493,6 +521,14 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_top_ngrams" ->
+      """SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+        | SELECT doc_id,
+        |  unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+        |          for i in generate_series(1, len(l) - 2)]) AS ngram
+        | FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        | WHERE len(l) >= 3)
+        |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
     "llm_gopher_rules" ->
       s"""WITH f AS (
         | SELECT doc_id, lang,

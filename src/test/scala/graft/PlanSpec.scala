@@ -140,6 +140,26 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("llm_semdedup joins on the IVF cell — no cartesian product") {
+    val plan = planOf(queries.Extras.llmSemdedup(spark, sfDir))
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("llm_gopher_rules is a shuffle-free single-pass projection") {
+    // the whole gate must compile to scan → project → sort (the output
+    // order): any Exchange means the higher-order-function formulation
+    // regressed into an explode+agg shape. The final orderBy's range
+    // shuffle is the ONLY allowed exchange.
+    val plan = planOf(queries.Textops.llmGopherRules(spark, sfDir))
+    plan should not include "hashpartitioning"
+  }
+
+  test("llm_top_ngrams global top-20 compiles to TakeOrderedAndProject") {
+    planOf(queries.Textops.llmTopNgrams(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

@@ -298,6 +298,26 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
   }
 
+  test("ev_active_users computes DAU and trailing-7-day WAU on a known user-day grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dau").toString
+    val day0 = 1700006400L // 2023-11-15 00:00 UTC; add noon offset below
+    def at(dayOff: Int, user: Long, id: Long) =
+      (id, (day0 + dayOff * 86400L + 43200L) * 1000000000L, user, "view", 1.0, "{}")
+    // users 1-3 on day 0; user 1 again on day 1; user 4 alone on day 10
+    // (outside every earlier 7-day window)
+    Seq(at(0, 1L, 0L), at(0, 2L, 1L), at(0, 3L, 2L), at(0, 1L, 3L), // dup user-day collapses
+        at(1, 1L, 4L), at(10, 4L, 5L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.evActiveUsers(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    out shouldBe Seq(
+      ("2023-11-15", 3L, 3L, 1.0),    // WAU = {1,2,3}
+      ("2023-11-16", 1L, 3L, 0.3333), // day-1 window still sees all three
+      ("2023-11-25", 1L, 1L, 1.0))    // day 10: only user 4 in [day4, day10]
+  }
+
   test("llm_gopher_rules gates each canonical rule independently, boundaries inclusive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
