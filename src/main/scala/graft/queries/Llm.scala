@@ -348,6 +348,73 @@ object Llm {
       .where(col("jac") >= theta)
   }
 
+  /** llm_containment — asymmetric near-containment pairs: the dedup axis
+    * Jaccard cannot see. A short doc quoted whole inside a long one has
+    * tiny Jaccard (the union is the long doc) but containment
+    * |A∩B|/min(|A|,|B|) ≈ 1 — this finds subset dups, full quotes and
+    * wrapped reposts at θ = 0.9 within a language.
+    *
+    * Candidate generation is the textbook PREFIX FILTER (the AllPairs/
+    * PPJoin family), not rarity blocking: jaccard's 4-rarest-token
+    * blocks need BOTH docs to pick a shared block token, which a
+    * contained-doc pair systematically fails (the container's rarest
+    * tokens are exactly the ones OUTSIDE the contained doc). Instead
+    * each doc probes with its (nt div 10 + 1) globally-rarest tokens
+    * against the FULL token stream: if containment of the smaller set
+    * truly reaches 0.9, at most floor(0.1·nt) of its tokens lie outside
+    * the other doc, so by pigeonhole at least one probe token hits —
+    * candidate generation is LOSSLESS at the exact threshold (the
+    * boundary band the r4 rounding admits below 0.9 inherits the same
+    * integer-exact prefix rule in the oracle SQL, so the engines agree
+    * row-for-row). Prefix size and the final filter are integer/
+    * r4-exact; df ties break on the token string.
+    *
+    * Scale: the probe join is an equi-join on (token, lang); per-cell
+    * input is bounded by `spark.graft.contamination.maxDf`-style df cap
+    * `spark.graft.containment.maxDf` (default 1000, mirrored literally
+    * in the oracle SQL — probe tokens are rare-first by construction,
+    * so the cap only touches docs whose entire vocabulary is common,
+    * the boilerplate llm_exact_dedup removes first). Scoring reuses the
+    * jaccard family's interned-long sorted-set arrays + array_intersect
+    * through two merge-hinted equi-joins. Never consults the pair-table
+    * artifact (it stores jaccard at a 0.6 floor — a different metric). */
+  val llmContainment: Q = (s, d) => {
+    val maxDf = s.conf.get("spark.graft.containment.maxDf", "1000").toInt
+    // one distinct token-stream materialization feeds df, per-doc sizes,
+    // the probe/index sides and the set aggregation (jaccard discipline)
+    val tok = graft.ops.Lineage.cut(tokens(s, d).distinct())
+    val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val tokDf = tok.join(dfTok, "token").join(ntDf, "doc_id")
+      .where(col("df") <= maxDf)
+    val wRare = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    val probe = tokDf
+      .withColumn("rn", row_number().over(wRare))
+      .where(col("rn") <= expr("(nt div 10) + 1"))
+      .select(col("doc_id").as("pid"), col("lang"), col("token"), col("nt").as("nt_p"))
+    val index = tokDf
+      .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
+    val cand = probe.join(index, Seq("token", "lang"))
+      .where(col("pid") =!= col("iid"))
+      .select(
+        least(col("pid"), col("iid")).as("doc_a"),
+        greatest(col("pid"), col("iid")).as("doc_b"),
+        when(col("pid") < col("iid"), col("nt_p")).otherwise(col("nt_i")).as("na"),
+        when(col("pid") < col("iid"), col("nt_i")).otherwise(col("nt_p")).as("nb"))
+      .distinct()
+    val sets = tok.groupBy("doc_id")
+      .agg(array_sort(collect_set(xxhash64(col("token")))).as("m"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb")).hint("merge"), "doc_b")
+      .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+      .select(col("doc_a"), col("doc_b"),
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("small_doc"),
+        r4(col("ni") * lit(1.0) / least(col("na"), col("nb"))).as("containment"))
+      .where(col("containment") >= 0.9)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** llm_multimodal_schema — the multimodal column model: pack rows into
     * typed struct columns (content/meta), operate on nested fields, unpack.
     * Oracle checks the flat equivalents (schema plumbing is Spark-side;
@@ -390,6 +457,7 @@ object Llm {
     "llm_tfidf"             -> llmTfidf,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
     "llm_pair_table"        -> llmPairTable,
+    "llm_containment"       -> llmContainment,
     "llm_multimodal_schema" -> llmMultimodalSchema,
   )
 
@@ -457,6 +525,37 @@ object Llm {
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
     "llm_pair_table"    -> jaccardPairsSql("0.6"),
+    "llm_containment" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |td AS (
+        | SELECT t.doc_id, t.lang, t.token, d.df, s.nt
+        | FROM tok t JOIN dfr d ON d.token = t.token JOIN sz s ON s.doc_id = t.doc_id
+        | WHERE d.df <= 1000),
+        |probe AS (
+        | SELECT doc_id AS pid, lang, token, nt AS nt_p FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn FROM td)
+        | WHERE rn <= nt // 10 + 1),
+        |cand AS (
+        | SELECT DISTINCT
+        |  least(p.pid, i.doc_id) AS doc_a, greatest(p.pid, i.doc_id) AS doc_b,
+        |  CASE WHEN p.pid < i.doc_id THEN p.nt_p ELSE i.nt END AS na,
+        |  CASE WHEN p.pid < i.doc_id THEN i.nt ELSE p.nt_p END AS nb
+        | FROM probe p JOIN td i ON i.token = p.token AND i.lang = p.lang
+        |  AND i.doc_id <> p.pid),
+        |inter AS (
+        | SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS ni
+        | FROM cand c
+        |  JOIN tok ta ON ta.doc_id = c.doc_a
+        |  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
+        | GROUP BY c.doc_a, c.doc_b, c.na, c.nb)
+        |SELECT doc_a, doc_b, small_doc, containment FROM (
+        | SELECT doc_a, doc_b,
+        |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS small_doc,
+        |  ${r4Sql("ni * 1.0 / least(na, nb)")} AS containment
+        | FROM inter)
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "llm_multimodal_schema" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

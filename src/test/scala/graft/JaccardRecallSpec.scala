@@ -33,6 +33,40 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  /** Unblocked all-pairs exact containment ≥ θ of the smaller set within
+    * lang — the truth the prefix filter must not lose. */
+  private def containmentTruth(theta: Double): Set[(Long, Long)] = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+    val sets = tok.groupBy("doc_id", "lang").agg(collect_set("token").as("s"))
+    val a = sets.select(col("doc_id").as("da"), col("lang").as("la"), col("s").as("sa"))
+    val b = sets.select(col("doc_id").as("db"), col("lang").as("lb"), col("s").as("sb"))
+    a.join(b, col("la") === col("lb") && col("da") < col("db"))
+      .withColumn("ni", expr("size(array_intersect(sa, sb))"))
+      .withColumn("c", graft.ops.Det.r4(
+        expr("ni * 1.0 / least(size(sa), size(sb))")))
+      .where(col("c") >= theta)
+      .select("da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("llm_containment prefix filter has FULL recall vs all-pairs containment truth") {
+    // the pigeonhole argument (≤ floor(0.1·nt) tokens of a truly-0.9-
+    // contained set lie outside the partner, prefix probes floor+1) is
+    // exact for true containment ≥ 0.9 — measured recall must be 1.0;
+    // the r4 boundary band below 0.9 could in principle slip the prefix,
+    // so compare against the SAME r4-rounded truth and report any gap
+    val truth = containmentTruth(0.9)
+    val blocked = Llm.llmContainment(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    truth.nonEmpty shouldBe true
+    (blocked -- truth) shouldBe empty // prefix filter never invents pairs
+    val recall = (truth & blocked).size.toDouble / truth.size
+    info(f"llm_containment prefix-filter recall = $recall%.4f over ${truth.size} truth pairs")
+    recall shouldBe 1.0
+  }
+
   test("llm_jaccard_pairs 4-rarest-token blocking has FULL recall vs all-pairs truth") {
     val truth = allPairsTruth(0.8)
     val blocked = Llm.llmJaccardPairs(spark, sfDir)

@@ -298,6 +298,25 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
   }
 
+  test("llm_containment finds subset dups that whole-doc jaccard cannot see") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    def toks(pfx: String, a: Int, b: Int) = (a until b).map(i => s"$pfx$i").mkString(" ")
+    Seq(
+      (0L, toks("w", 0, 10), "en", "s", 0L),                        // fully inside doc 1
+      (1L, toks("w", 0, 10) + " " + toks("x", 0, 20), "en", "s", 0L), // the container
+      (2L, toks("y", 0, 10), "en", "s", 0L),                        // novel
+      (3L, toks("w", 0, 10), "de", "s", 0L))                        // same text, other lang
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Llm.llmContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // jaccard of the (0,1) pair is 10/30 = 0.33 — far below every
+    // jaccard floor; containment of the smaller set is exactly 1.0.
+    // the de copy must NOT pair (containment is within-language).
+    out shouldBe Seq((0L, 1L, 0L, 1.0))
+  }
+
   test("ev_active_users computes DAU and trailing-7-day WAU on a known user-day grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dau").toString
