@@ -20,6 +20,9 @@ import graft.ops.Det._
   *                    drop docs whose foreign-owned duplicated-chunk
   *                    token fraction reaches `spanDupMax`
   *                    (llm_span_dedup shape, min-doc_id ownership);
+  *   3.7 containment gate (optional) — drop docs whose token set is
+  *                    `containMax`-contained in a LARGER surviving doc
+  *                    (llm_containment shape: prefix-filter candidates);
   *   4. split      — reproducible md5-bucket train/val/test assignment.
   *
   * Returns the surviving documents with (clean_text, cluster, split)
@@ -35,7 +38,8 @@ object CorpusPrep {
   def run(spark: SparkSession, sfDir: String,
           stopK: Int = 5, jaccardTheta: Double = 0.8,
           labelRounds: Int = 8, xentMax: Option[Double] = None,
-          spanDupMax: Option[Double] = None): DataFrame = {
+          spanDupMax: Option[Double] = None,
+          containMax: Option[Double] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -157,8 +161,58 @@ object CorpusPrep {
       nearDeduped.join(keep, "doc_id")
     }
 
+    // 3.7 (optional) keep-the-container containment gate among the
+    //     remaining survivors: drop any doc whose token SET is
+    //     `containMax`-contained in a LARGER surviving doc
+    //     (llm_containment's prefix-filter candidates — lossless at the
+    //     true threshold by pigeonhole; equal-size ties keep the min
+    //     doc_id, though at jaccardTheta = 0.8 equal-size near-identical
+    //     sets are already collapsed by stage 3: jac ≥ 0.9n/1.1n >
+    //     0.8). Relational, not greedy-chained — judged against all
+    //     surviving partners, the llm_semdedup discipline. Catches the
+    //     subset dups (full quotes, wrapped reposts) that whole-doc
+    //     jaccard union-dilutes and the span gate misses under shifted
+    //     chunk alignment. Runs on RAW text, like stage 3 — cleaning
+    //     must not change identity.
+    val contGated = containMax.fold(spanGated) { m =>
+      val maxDf = spark.conf.get("spark.graft.containment.maxDf", "1000").toInt
+      val tokC = graft.ops.Lineage.cut(
+        spanGated.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token")).distinct())
+      val dfTok = tokC.groupBy("token").agg(count(lit(1)).as("df"))
+      val ntDf = tokC.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val tokDf = tokC.join(dfTok, "token").join(ntDf, "doc_id")
+        .where(col("df") <= maxDf)
+      val wRare = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("token"))
+      val probe = tokDf.withColumn("rn", row_number().over(wRare))
+        .where(col("rn") <= expr("(nt div 10) + 1"))
+        .select(col("doc_id").as("pid"), col("lang"), col("token"), col("nt").as("nt_p"))
+      val index = tokDf
+        .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
+      val cand = probe.join(index, Seq("token", "lang"))
+        .where(col("pid") =!= col("iid"))
+        .select(least(col("pid"), col("iid")).as("doc_a"),
+                greatest(col("pid"), col("iid")).as("doc_b"),
+                when(col("pid") < col("iid"), col("nt_p")).otherwise(col("nt_i")).as("na"),
+                when(col("pid") < col("iid"), col("nt_i")).otherwise(col("nt_p")).as("nb"))
+        .distinct()
+      val sets = tokC.groupBy("doc_id")
+        .agg(array_sort(collect_set(xxhash64(col("token")))).as("mset"))
+      val losers = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("mset").as("ma")).hint("merge"), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("mset").as("mb")).hint("merge"), "doc_b")
+        .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+        .where(r4(col("ni") * lit(1.0) / least(col("na"), col("nb"))) >= m)
+        .select(when(col("na") < col("nb"), col("doc_a"))
+          .when(col("nb") < col("na"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      spanGated.join(losers, Seq("doc_id"), "left_anti")
+    }
+
     // 4. reproducible split (md5 bucket of doc_id — llm_split shape)
-    spanGated
+    contGated
       .withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
       .withColumn("split",

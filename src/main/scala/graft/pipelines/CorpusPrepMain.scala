@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]]
-  *                  [--xent-max V] [--span-dup-max F] SRCDIR OUTDIR [stopK]
+  *                  [--xent-max V] [--span-dup-max F] [--contain-max F]
+  *                  SRCDIR OUTDIR [stopK]
   *
   * `--xent-max V` switches on the LM-quality gate (CorpusPrep stage 0):
   * docs whose llm_logprob_score mean cross-entropy exceeds V are dropped
@@ -18,6 +19,10 @@ import org.apache.spark.sql.SparkSession
   * `--span-dup-max F` switches on the keep-one span-dedup gate (stage
   * 3.5): survivors whose foreign-owned duplicated-chunk token fraction
   * reaches F are dropped (the earliest copy always survives).
+  *
+  * `--contain-max F` switches on the containment gate (stage 3.7):
+  * survivors whose token set is F-contained in a larger surviving doc
+  * are dropped (the container survives; llm_containment shape).
   *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
@@ -32,10 +37,11 @@ object CorpusPrepMain {
   /** Exposed for tests: run a prep delivery, return the manifest line. */
   def run(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
           xentMax: Option[Double] = None,
-          spanDupMax: Option[Double] = None): String = {
+          spanDupMax: Option[Double] = None,
+          containMax: Option[Double] = None): String = {
     val in = graft.Tables.documents(spark, src).count()
     val out = CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-      spanDupMax = spanDupMax)
+      spanDupMax = spanDupMax, containMax = containMax)
     // partition the delivered corpus by split so downstream training
     // readers prune train/val/test at the directory level
     out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
@@ -55,13 +61,14 @@ object CorpusPrepMain {
     * (CorpusPrepSpec pins this). Returns (changed, stale, manifest). */
   def sync(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
            xentMax: Option[Double] = None,
-           spanDupMax: Option[Double] = None)
+           spanDupMax: Option[Double] = None,
+           containMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     // cut: syncPartitions executes its input twice (fingerprint +
     // rewrite) and the prep pipeline is the expensive part
     val out = graft.ops.Lineage.cut(
       CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-        spanDupMax = spanDupMax))
+        spanDupMax = spanDupMax, containMax = containMax))
     graft.delivery.Deliver.syncPartitions(
       spark, out, s"$dst/documents", "split", "parquet")
   }
@@ -81,7 +88,8 @@ object CorpusPrepMain {
   def refreshFlow(spark: SparkSession, src: String, dst: String,
                   artifact: String, refresh: Boolean, stopK: Int = 5,
                   xentMax: Option[Double] = None,
-                  spanDupMax: Option[Double] = None)
+                  spanDupMax: Option[Double] = None,
+                  containMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     val aPath = new org.apache.hadoop.fs.Path(artifact)
     val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -103,13 +111,13 @@ object CorpusPrepMain {
     val key = "spark.graft.pairs.artifact"
     val prevConf = spark.conf.getOption(key)
     spark.conf.set(key, artifact)
-    try sync(spark, src, dst, stopK, xentMax, spanDupMax)
+    try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax)
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   private val Usage =
     "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
-    "[--xent-max V] [--span-dup-max F] SRCDIR OUTDIR [stopK]"
+    "[--xent-max V] [--span-dup-max F] [--contain-max F] SRCDIR OUTDIR [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
@@ -120,6 +128,7 @@ object CorpusPrepMain {
     var artifact: Option[String] = None
     var xentMax: Option[Double] = None
     var spanDupMax: Option[Double] = None
+    var containMax: Option[Double] = None
     val pos = scala.collection.mutable.Buffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -135,6 +144,9 @@ object CorpusPrepMain {
         case "--span-dup-max" =>
           require(i + 1 < args.length, s"--span-dup-max needs a value; $Usage")
           i += 1; spanDupMax = Some(args(i).toDouble)
+        case "--contain-max" =>
+          require(i + 1 < args.length, s"--contain-max needs a value; $Usage")
+          i += 1; containMax = Some(args(i).toDouble)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $f; $Usage")
         case p => pos += p
@@ -160,9 +172,9 @@ object CorpusPrepMain {
     }
     try {
       artifact match {
-        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax))
-        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax))
-        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax))
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax))
+        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax))
+        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax))
       }
     } finally spark.stop()
   }

@@ -173,4 +173,24 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     CorpusPrep.run(spark, dir, spanDupMax = Some(0.5))
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
   }
+
+  test("containment gate (containMax) drops the contained doc, keeps the container") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_contgate").toString
+    def toks(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (0L, toks("w", 0, 10) + " " + toks("x", 0, 20), "en", "s", 0L), // the container
+      (1L, toks("w", 0, 10), "en", "s", 0L),                        // fully inside doc 0
+      (2L, toks("y", 0, 10), "en", "s", 0L))                        // novel
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // jaccard(0,1) = 10/30 ≈ 0.33 and no 16-token chunk aligns — neither
+    // the near-dedup stage nor the span gate sees the quote...
+    CorpusPrep.run(spark, dir, spanDupMax = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+    // ...the containment gate drops exactly the CONTAINED doc (not the
+    // container, though it has the smaller id — keep-the-container rule)
+    CorpusPrep.run(spark, dir, containMax = Some(0.9))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
+  }
 }

@@ -117,6 +117,14 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     g4.agg(sum("pass")).head.getLong(0) shouldBe 4 * g1.agg(sum("pass")).head.getLong(0)
     // url_dedup: translated corpora are URL-free — no accidental keys
     queries.Webops.llmUrlDedup(spark, dirs._2).count() shouldBe 0L
+    // containment: copies are mutually dissimilar (no cross-copy shared
+    // tokens), so the prefix-filter candidate set — and the pair count —
+    // must repeat exactly per copy; super-linear growth would mean the
+    // probe join leaked across copies
+    val c1 = queries.Llm.llmContainment(spark, dirs._1).count()
+    val c4 = queries.Llm.llmContainment(spark, dirs._2).count()
+    c1 should be > 0L
+    c4 shouldBe 4 * c1
   }
 
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {

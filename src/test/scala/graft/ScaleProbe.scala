@@ -58,7 +58,10 @@ object ScaleProbe {
       // round-6 sixth pass: the shuffle-free rule gate and the canon-URL
       // dedup (URL-free fixture → 0 rows, but the projection still scans)
       "llm_gopher_rules" -> queries.Textops.llmGopherRules,
-      "llm_url_dedup" -> queries.Webops.llmUrlDedup)
+      "llm_url_dedup" -> queries.Webops.llmUrlDedup,
+      // round-6 eighth pass: prefix-filter containment + trigram census
+      "llm_containment" -> queries.Llm.llmContainment,
+      "llm_top_ngrams" -> queries.Textops.llmTopNgrams)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)
