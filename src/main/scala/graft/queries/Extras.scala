@@ -379,6 +379,50 @@ object Extras {
       .orderBy("bin_lo")
   }
 
+  /** dq_profile — per-column completeness/cardinality profile of the
+    * orders delivery (the summary report every delivery tool prints
+    * before handoff): rows, nulls, exact distincts, and domain bounds
+    * per column — numeric bounds as r4 doubles, string bounds verbatim
+    * (each type keeps its own min/max columns so no engine-specific
+    * number→string formatting ever reaches the output). Scale: ONE scan;
+    * the multiple exact count-distincts compile to Spark's Expand (one
+    * pass, 5× width) — the standard cost of an exact profile; the
+    * approximate path at extreme scale is agg_approx_distinct's. The
+    * five aggregated metrics rows are reshaped driver-free from the
+    * single cut 1-row frame. */
+  val dqProfile: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ strCols).flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))
+      } ++
+      numCols.flatMap { c =>
+        Seq(r4(min(col(c)).cast("double")).as(s"min_$c"),
+            r4(max(col(c)).cast("double")).as(s"max_$c"))
+      } ++
+      strCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+      }
+    // cut: the 1-row metrics frame feeds one select per profiled column
+    val m = graft.ops.Lineage.cut(o.agg(aggs.head, aggs.tail: _*))
+    val rows = numCols.map { c =>
+      m.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      m.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str"))
+    }
+    rows.reduce(_ union _).orderBy("col_name")
+  }
+
   /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
     * (o_orderkey) is unique so the selection is engine-deterministic. */
   val aggArgmax: Q = (s, d) =>
@@ -616,6 +660,7 @@ object Extras {
     "dq_checks"         -> dqChecks,
     "dq_histogram"      -> dqHistogram,
     "dq_drift"          -> dqDrift,
+    "dq_profile"        -> dqProfile,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
@@ -771,6 +816,36 @@ object Extras {
         | ${r4Sql("(n_new + 1.0) / (tn + 20.0)")} AS share_new,
         | ${r4Sql("((n_prev + 1.0) / (tp + 20.0) - (n_new + 1.0) / (tn + 20.0)) * ln(((n_prev + 1.0) / (tp + 20.0)) / ((n_new + 1.0) / (tn + 20.0)))")} AS psi
         |FROM bins CROSS JOIN tot ORDER BY bin_lo""".stripMargin,
+    "dq_profile" ->
+      s"""WITH m AS (
+        | SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ok,
+        |  count(DISTINCT o_orderkey) AS nd_ok,
+        |  ${r4Sql("CAST(min(o_orderkey) AS DOUBLE)")} AS min_ok, ${r4Sql("CAST(max(o_orderkey) AS DOUBLE)")} AS max_ok,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ck,
+        |  count(DISTINCT o_custkey) AS nd_ck,
+        |  ${r4Sql("CAST(min(o_custkey) AS DOUBLE)")} AS min_ck, ${r4Sql("CAST(max(o_custkey) AS DOUBLE)")} AS max_ck,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tp,
+        |  count(DISTINCT o_totalprice) AS nd_tp,
+        |  ${r4Sql("min(o_totalprice)")} AS min_tp, ${r4Sql("max(o_totalprice)")} AS max_tp,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_os,
+        |  count(DISTINCT o_orderstatus) AS nd_os,
+        |  min(o_orderstatus) AS min_os, max(o_orderstatus) AS max_os,
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_op,
+        |  count(DISTINCT o_orderpriority) AS nd_op,
+        |  min(o_orderpriority) AS min_op, max(o_orderpriority) AS max_op
+        | FROM orders)
+        |SELECT col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str FROM (
+        | SELECT 'o_orderkey' AS col_name, n_rows, null_ok AS n_null, nd_ok AS n_distinct,
+        |  min_ok AS min_num, max_ok AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM m
+        | UNION ALL SELECT 'o_custkey', n_rows, null_ck, nd_ck, min_ck, max_ck, NULL, NULL FROM m
+        | UNION ALL SELECT 'o_totalprice', n_rows, null_tp, nd_tp, min_tp, max_tp, NULL, NULL FROM m
+        | UNION ALL SELECT 'o_orderstatus', n_rows, null_os, nd_os,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_os, max_os FROM m
+        | UNION ALL SELECT 'o_orderpriority', n_rows, null_op, nd_op,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_op, max_op FROM m)
+        |ORDER BY col_name""".stripMargin,
     "dq_checks" ->
       """SELECT rule, n_viol FROM (
         | SELECT 'null_orderkey' AS rule,

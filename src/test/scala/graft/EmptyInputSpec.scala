@@ -37,7 +37,13 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "llm_embed_neardup", "llm_tfidf", "llm_lang_id", "llm_quality_score",
     "llm_stopword_scrub", "llm_chunk", "llm_dedup_cluster", "llm_split",
     "llm_multimodal_stats", "llm_repetition", "llm_dedup_incremental", "llm_pii_scrub",
-    "llm_pack_sequences", "llm_url_extract")
+    "llm_pack_sequences", "llm_url_extract",
+    // round-6 additions (incl. every operator with a window/probe join
+    // or a stats broadcast that could misbehave on zero rows)
+    "llm_domain_stats", "ev_anomaly", "llm_logprob_score", "dq_histogram",
+    "llm_entropy", "llm_mix_weights", "ev_inter_arrival", "llm_span_dedup",
+    "dq_drift", "llm_semdedup", "llm_ann_stats", "llm_url_dedup",
+    "llm_gopher_rules", "llm_top_ngrams", "ev_active_users", "llm_containment")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
