@@ -34,6 +34,50 @@ object Validate {
       .select(lit(rule).as("rule"), $"n_viol")
   }
 
+  /** Per-column completeness/cardinality profile of a delivered frame:
+    * rows, nulls, exact distincts, and domain bounds per column — the
+    * summary a delivery prints before handoff, and the cheap equality
+    * witness between a source and its delivered copy (profile(src) ==
+    * profile(dst) catches dropped rows, nulled columns and truncated
+    * domains in one ≤(cols)-row compare). Numeric bounds emit as
+    * r4-rounded doubles, string bounds verbatim, each type in its own
+    * min/max columns — a unified VARCHAR column would pull
+    * engine-specific number formatting into any cross-engine compare
+    * (queries.Extras.dqProfile is the oracle-checked twin on orders).
+    * Scale: ONE scan; the exact multi-distinct compiles to Spark's
+    * Expand (len(numCols)+len(strCols) × width) — the declared profile
+    * cost; at extreme scale swap in approx_count_distinct. */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty, "profile needs at least one column")
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+      (numCols ++ strCols).flatMap { c =>
+        Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+            countDistinct(col(c)).as(s"nd_$c"))
+      } ++
+      numCols.flatMap { c =>
+        Seq(graft.ops.Det.r4(min(col(c)).cast("double")).as(s"min_$c"),
+            graft.ops.Det.r4(max(col(c)).cast("double")).as(s"max_$c"))
+      } ++
+      strCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+      }
+    // cut: the 1-row metrics frame feeds one select per profiled column
+    val m = graft.ops.Lineage.cut(df.agg(aggs.head, aggs.tail: _*))
+    val rows = numCols.map { c =>
+      m.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
+        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+    } ++ strCols.map { c =>
+      m.select(lit(c).as("col_name"), col("n_rows"),
+        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str"))
+    }
+    rows.reduce(_ unionAll _).orderBy("col_name")
+  }
+
   /** Distribution-drift profile between two deliveries of the same
     * dataset (yesterday's table vs today's): per-bin Population
     * Stability Index over a fixed-width histogram of `valueCol` — the

@@ -384,44 +384,15 @@ object Extras {
     * before handoff): rows, nulls, exact distincts, and domain bounds
     * per column — numeric bounds as r4 doubles, string bounds verbatim
     * (each type keeps its own min/max columns so no engine-specific
-    * number→string formatting ever reaches the output). Scale: ONE scan;
-    * the multiple exact count-distincts compile to Spark's Expand (one
-    * pass, 5× width) — the standard cost of an exact profile; the
-    * approximate path at extreme scale is agg_approx_distinct's. The
-    * five aggregated metrics rows are reshaped driver-free from the
-    * single cut 1-row frame. */
-  val dqProfile: Q = (s, d) => {
-    val o = Tables.orders(s, d)
-    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
-    val strCols = Seq("o_orderstatus", "o_orderpriority")
-    val aggs =
-      Seq(count(lit(1)).as("n_rows")) ++
-      (numCols ++ strCols).flatMap { c =>
-        Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
-            countDistinct(col(c)).as(s"nd_$c"))
-      } ++
-      numCols.flatMap { c =>
-        Seq(r4(min(col(c)).cast("double")).as(s"min_$c"),
-            r4(max(col(c)).cast("double")).as(s"max_$c"))
-      } ++
-      strCols.flatMap { c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
-      }
-    // cut: the 1-row metrics frame feeds one select per profiled column
-    val m = graft.ops.Lineage.cut(o.agg(aggs.head, aggs.tail: _*))
-    val rows = numCols.map { c =>
-      m.select(lit(c).as("col_name"), col("n_rows"),
-        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
-        lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
-    } ++ strCols.map { c =>
-      m.select(lit(c).as("col_name"), col("n_rows"),
-        col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
-        lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
-        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str"))
-    }
-    rows.reduce(_ union _).orderBy("col_name")
-  }
+    * number→string formatting ever reaches the output). The query is
+    * delivery.Validate.profile applied to orders — the same call a
+    * delivery job runs on BOTH sides of a copy as a cheap equality
+    * witness (DeliverySpec pins profile(src) == profile(delivered)).
+    * Scale notes live on Validate.profile (one Expand-compiled scan). */
+  val dqProfile: Q = (s, d) =>
+    graft.delivery.Validate.profile(Tables.orders(s, d),
+      numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority"))
 
   /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
     * (o_orderkey) is unique so the selection is engine-deterministic. */

@@ -99,7 +99,35 @@ object Scans {
       .orderBy("p_type")
   }
 
+  /** source_text — raw-text ingest, the native LLM-corpus delivery
+    * format (one document per line). Roundtrip: documents →
+    * TAB-delimited lines (`doc_id \t lang \t text`; the fixture text is
+    * single-line and tab-free — the documented contract of any
+    * line-oriented corpus format) → `spark.read.text` → limit-3 split →
+    * per-lang aggregate. The oracle aggregates the ORIGINAL table, so
+    * token and char sums prove the text hop lossless, the same upgrade
+    * as source_csv/orc. Scale: the text source splits by line across
+    * executors like every Hadoop FileSystem format. */
+  val sourceText: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_text").toString
+    Tables.documents(s, d)
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+      .write.mode("overwrite").text(s"$tmp/docs")
+    s.read.text(s"$tmp/docs")
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+              element_at(col("p"), 2).as("lang"),
+              element_at(col("p"), 3).as("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(split(col("text"), " "))).as("n_tok"),
+           sum(length(col("text"))).as("sum_chars"),
+           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_text"      -> sourceText,
     "scan_parquet"     -> scanParquet,
     "scan_pruned"      -> scanPruned,
     "sink_parquet"     -> sinkParquet,
@@ -110,6 +138,12 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_text" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "scan_parquet" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "scan_pruned" ->

@@ -504,7 +504,34 @@ object Textops {
       .orderBy(col("n").desc, col("ngram"))
       .limit(20)
 
+  /** llm_code_detect — heuristic code-vs-prose gate (the corpus-routing
+    * step every mixed crawl runs: code goes to the code pipeline, prose
+    * to the text one). STRUCTURAL signals only — symbol density and
+    * identifier-convention hits (camelCase, snake_case), never a keyword
+    * list (keywords are language- and corpus-biased; braces and
+    * identifiers are not). All counts are codegen'd regexp_count on
+    * lookahead-free classes (Java regex ≡ RE2); the ratio compares
+    * r4-rounded so the flag never disagrees with the emitted value.
+    * Fixture prose is symbol-free (rails only); QuerySemanticsSpec pins
+    * detection on synthesized code/prose docs. One shuffle-free
+    * projection — the routing-gate shape, like llm_gopher_rules. */
+  val llmCodeDetect: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_txt"),
+        regexp_count(col("text"), lit("[{}()\\[\\];=<>]")).cast("long").as("n_sym"),
+        regexp_count(col("text"), lit("[a-z][A-Z]")).cast("long").as("n_camel"),
+        regexp_count(col("text"), lit("[a-z]_[a-z]")).cast("long").as("n_snake"))
+      .withColumn("sym_ratio",
+        when(col("n_chars_txt") === 0, lit(0.0))
+          .otherwise(r4(col("n_sym") * lit(1.0) / col("n_chars_txt"))))
+      .withColumn("is_code",
+        (col("sym_ratio") >= 0.02 || col("n_camel") >= 2 || col("n_snake") >= 2)
+          .cast("long"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "llm_code_detect"    -> llmCodeDetect,
     "llm_top_ngrams"     -> llmTopNgrams,
     "llm_gopher_rules"   -> llmGopherRules,
     "llm_span_dedup"     -> llmSpanDedup,
@@ -521,6 +548,21 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_code_detect" ->
+      s"""SELECT doc_id, lang, n_chars_txt, n_sym, n_camel, n_snake,
+        | CASE WHEN n_chars_txt = 0 THEN 0.0
+        |  ELSE ${r4Sql("n_sym * 1.0 / n_chars_txt")} END AS sym_ratio,
+        | CAST((CASE WHEN n_chars_txt = 0 THEN 0.0
+        |   ELSE ${r4Sql("n_sym * 1.0 / n_chars_txt")} END) >= 0.02
+        |  OR n_camel >= 2 OR n_snake >= 2 AS BIGINT) AS is_code
+        |FROM (
+        | SELECT doc_id, lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars_txt,
+        |  CAST(len(regexp_extract_all(text, '[{}()\\[\\];=<>]')) AS BIGINT) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS BIGINT) AS n_camel,
+        |  CAST(len(regexp_extract_all(text, '[a-z]_[a-z]')) AS BIGINT) AS n_snake
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "llm_top_ngrams" ->
       """SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
         | SELECT doc_id,

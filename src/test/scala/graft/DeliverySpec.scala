@@ -23,6 +23,21 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
       s"$tmp/li", "parquet") shouldBe true
   }
 
+  test("Validate.profile is an equality witness across a delivered copy") {
+    val tmp = Files.createTempDirectory("dlv_prof").toString
+    Deliver.copy(spark, s"$sfDir/orders.parquet", s"$tmp/o",
+      partitionBy = Seq("o_orderstatus"))
+    def prof(path: String) = graft.delivery.Validate.profile(
+      spark.read.parquet(path),
+      numCols = Seq("o_orderkey", "o_totalprice"),
+      strCols = Seq("o_orderpriority")).collect().toSeq
+    prof(s"$tmp/o") should equal(prof(s"$sfDir/orders.parquet"))
+    // ...and it catches a truncated delivery in the n_rows/bounds row
+    spark.read.parquet(s"$sfDir/orders.parquet").limit(100)
+      .write.parquet(s"$tmp/trunc")
+    prof(s"$tmp/trunc") should not equal prof(s"$sfDir/orders.parquet")
+  }
+
   test("fingerprint is layout- and order-insensitive but content-sensitive") {
     val df = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")

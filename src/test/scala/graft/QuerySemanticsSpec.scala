@@ -298,6 +298,28 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
   }
 
+  test("llm_code_detect routes code-shaped docs by structure, not keywords") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_code").toString
+    Seq(
+      (0L, "plain prose about data and tables flowing nicely along", "en", "c", 0L),
+      (1L, "x = compute(a, b); if (x > 0) { emit(x); }", "en", "c", 0L), // symbol-dense
+      (2L, "the getUserName and setUserAge helpers parseJson deeply", "en", "c", 0L), // camelCase
+      (3L, "call snake_case and other_name then third_ident now", "en", "c", 0L), // snake_case
+      (4L, "", "en", "c", 0L)) // empty: ratio defined 0.0, not x/0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = queries.Textops.llmCodeDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(7))))
+      .toMap
+    out(0L)._4 shouldBe 0L                    // prose stays prose
+    out(1L)._4 shouldBe 1L                    // braces/parens/semicolons
+    out(1L)._1 should be >= 8L
+    out(2L) shouldBe ((0L, 5L, 0L, 1L))       // tU rN / tU rA / eJ camel hits
+    out(3L) shouldBe ((0L, 0L, 3L, 1L))       // three snake_case hits
+    out(4L)._4 shouldBe 0L
+  }
+
   test("llm_containment finds subset dups that whole-doc jaccard cannot see") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
