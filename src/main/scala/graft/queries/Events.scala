@@ -244,7 +244,31 @@ object Events {
       .orderBy("day")
   }
 
+  /** ev_attribution — last-touch attribution: every purchase is credited
+    * to the user's most recent PRECEDING non-purchase event (the
+    * marketing-analytics standard; first-touch is the symmetric
+    * first-value). One per-user window with a conditional
+    * last(..., ignoreNulls) over the preceding frame — no self-join, no
+    * per-user collect; partition width = events/user. Purchases with no
+    * preceding touch credit '<none>' (the direct bucket), so the report
+    * always partitions all purchases. Report: purchases and value per
+    * crediting event type. */
+  val evAttribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("<none>")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"), r4(sum("value")).as("sum_value"))
+      .orderBy("touch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_attribution"    -> evAttribution,
     "ev_active_users"   -> evActiveUsers,
     "ev_inter_arrival"  -> evInterArrival,
     "ev_retention"      -> evRetention,
@@ -260,6 +284,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_attribution" ->
+      s"""WITH t AS (
+        | SELECT event_type, value,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        | FROM events)
+        |SELECT coalesce(touch, '<none>') AS touch, count(*) AS n_purchases,
+        | ${r4Sql("sum(value)")} AS sum_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_active_users" ->
       s"""WITH ud AS (
         | SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

@@ -339,6 +339,24 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out shouldBe Seq((0L, 1L, 0L, 1.0))
   }
 
+  test("ev_attribution credits each purchase to the latest preceding non-purchase touch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    val base = 1700000000L
+    def ev(id: Long, user: Long, off: Int, tpe: String, v: Double) =
+      (id, (base + off) * 1000000000L, user, tpe, v, "{}")
+    Seq(
+      ev(0, 1, 0, "view", 0), ev(1, 1, 10, "click", 0), ev(2, 1, 20, "purchase", 10),
+      ev(3, 2, 0, "purchase", 5), // no preceding touch → '<none>'
+      // a preceding PURCHASE is never a touch: both purchases credit the click
+      ev(4, 3, 0, "click", 0), ev(5, 3, 10, "purchase", 1), ev(6, 3, 20, "purchase", 2))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Events.evAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    out shouldBe Seq(("<none>", 1L, 5.0), ("click", 3L, 13.0))
+  }
+
   test("ev_active_users computes DAU and trailing-7-day WAU on a known user-day grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dau").toString
