@@ -41,6 +41,11 @@ case class HourFlag(event_type: String, win_s: Long, n: Long, z: Double)
 case class GapUpdate(event_id: Long, event_type: String, gap: Long,
                      n_gaps: Long, avg_gap: Double, max_gap: Long)
 
+/** One row per (user, day) FIRST activity, emitted by `dailyFirstSeen` —
+  * the deduplicated activity stream the online DAU/WAU reports count
+  * over (the ONLINE feeder of queries.Events.evActiveUsers). */
+case class DayActive(user_id: Long, day_s: Long)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -427,6 +432,50 @@ object EventStreams {
     import spark.implicits._
     events.groupByKey(_.event_type)
       .transformWithState(new GapProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ONLINE active-users feeder — the streaming side of
+    * queries.Events.evActiveUsers. Keyed by USER (never by day: a
+    * day-keyed distinct funnels the whole stream through one state
+    * partition); state per user is ONE long (last emitted UTC day), so
+    * memory is O(users) regardless of event volume. Each user's first
+    * event of a new day emits one DayActive row: the output is the
+    * activity stream DEDUPLICATED to one row per (user, day), and DAU
+    * is a stateless per-day count over it — StreamingSpec pins count
+    * parity with the batch DAU. Trailing-7-day WAU online = a sliding
+    * count-distinct over this reduced stream (users × days rows, not
+    * events); the exact windowed form stays the batch twin's job.
+    * In-order caveat (the funnelState/AnomalyProcessor contract): an
+    * event for a day EARLIER than the user's last emitted day is
+    * dropped, not re-emitted — per-user day order is what the upstream
+    * watermark bounds in production. */
+  class DailyFirstSeenProcessor extends StatefulProcessor[Long, Ev, DayActive] {
+    @transient private var lastDay: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastDay = getHandle.getValueState[Long](
+        "lastDay", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[DayActive] = {
+      var last = if (lastDay.exists()) lastDay.get() else Long.MinValue
+      val out = scala.collection.mutable.ArrayBuffer.empty[DayActive]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val day = Math.floorDiv(e.ts.getTime, 86400000L) * 86400L
+        if (day > last) { out += DayActive(key, day); last = day }
+        // day <= last: same day already emitted, or behind it (in-order contract)
+      }
+      lastDay.update(last)
+      out.iterator
+    }
+  }
+
+  /** ev_active_users online feeder (see DailyFirstSeenProcessor). */
+  def dailyFirstSeen(events: Dataset[Ev]): Dataset[DayActive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new DailyFirstSeenProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** ev_anomaly twin (see AnomalyProcessor). */

@@ -406,6 +406,50 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     streamed.filter(_._1 == "b").foreach(_._4 shouldBe 0.0)
   }
 
+  test("dailyFirstSeen deduplicates to one row per user-day; counts match batch DAU") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1 active on days 0,0,0,1 (three same-day events dedupe);
+    // user 2 on days 0,2; user 3 on day 2 only — split mid-day so the
+    // dedup state must carry across microbatches
+    def at(id: Long, user: Long, day: Int, hour: Int) =
+      Ev(id, new java.sql.Timestamp((1700000000L + day * 86400L + hour * 3600L) * 1000L),
+         user, "view", 1.0)
+    val rows = Seq(
+      at(0, 1, 0, 1), at(1, 1, 0, 5), at(2, 2, 0, 3), at(3, 1, 0, 9),
+      at(4, 1, 1, 2), at(5, 2, 2, 4), at(6, 3, 2, 6))
+    val (b1, b2) = rows.splitAt(3) // user 1's third day-0 event lands in batch 2
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val streamed = try {
+      val stream = MemoryStream[Ev]
+      stream.addData(b1: _*)
+      val q = EventStreams.dailyFirstSeen(stream.toDS())
+        .writeStream.format("memory").queryName("dau").outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("dau").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // exactly one row per (user, day)
+    streamed shouldBe streamed.distinct.sorted
+    // per-day counts over the reduced stream == batch DAU (keyed by the
+    // ISO day string — the UTC-explicit meeting point of the stream's
+    // epoch-second day and the batch op's DateType day)
+    val streamedDau = streamed.groupBy(t => java.time.LocalDate.ofEpochDay(t._2 / 86400).toString)
+      .view.mapValues(_.size.toLong).toMap
+    val d = java.nio.file.Files.createTempDirectory("graft_dau_b").toString
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batchDau = queries.Events.evActiveUsers(spark, d).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    batchDau shouldBe streamedDau
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
