@@ -130,6 +130,56 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("llm_containment equals the all-pairs oracle on generated corpora with forced subsets") {
+    import spark.implicits._
+    // random corpora with PLANTED subset structure (random pairs alone
+    // rarely reach 0.9 containment): for each seed, 8-14 random docs
+    // over a 40-token vocab across two languages, plus a superset of
+    // doc 0's token set in doc 0's language. The operator's
+    // prefix-filter candidates must reproduce the unblocked all-pairs
+    // truth EXACTLY — pairs, small_doc attribution and rounded scores.
+    val vocab = (0 until 40).map(i => s"t$i")
+    val genCorpus: Gen[Seq[(Long, String, String)]] = for {
+      nDocs <- Gen.choose(8, 14)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.choose(3, 20)
+        toks <- Gen.pick(n, vocab)
+        lang <- Gen.oneOf("en", "de")
+      } yield (lang, toks.toSeq))
+      extraA <- Gen.pick(6, vocab)
+    } yield {
+      val base = docs.zipWithIndex.map { case ((lang, toks), i) =>
+        (i.toLong, lang, toks.mkString(" ")) }
+      val d0 = docs.head._2.toSet
+      val sup = (d0 ++ extraA).toSeq // ⊇ doc 0, same lang → containment 1.0
+      base ++ Seq((100L, docs.head._1, sup.mkString(" ")))
+    }
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    (1 to 5).foreach { i =>
+      genCorpus.apply(Gen.Parameters.default, Seed(420L + i)).foreach { corpus =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_contprop$i").toString
+        corpus.map { case (id, lang, text) => (id, text, lang, "p", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        // unblocked all-pairs truth in plain Scala
+        val sets = corpus.map { case (id, lang, text) =>
+          (id, lang, text.split(" ").toSet) }
+        val expected = (for {
+          (a, la, sa) <- sets; (b, lb, sb) <- sets
+          if a < b && la == lb
+          ni = (sa & sb).size
+          c = r4d(ni.toDouble / math.min(sa.size, sb.size))
+          if c >= 0.9
+        } yield (a, b, if (sa.size <= sb.size) a else b, c)).toSet
+        val got = queries.Llm.llmContainment(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(got == expected, s"seed ${420 + i}: got $got expected $expected")
+        // the planted superset pair is always found with containment 1.0
+        assert(expected.exists(t => t._1 == 0L && t._2 == 100L && t._4 == 1.0))
+      }
+    }
+  }
+
   test("large-star/small-star labels equal union-find components on random graphs") {
     import spark.implicits._
     val genGraph: Gen[List[(Long, Long)]] = for {
