@@ -268,6 +268,33 @@ object Deliver {
     (changed, stale, withPartitionInferenceOff(spark)(manifest(spark, dst, dstFormat)))
   }
 
+  /** Retention enforcement on a partitioned delivery (the vacuum step of
+    * a dated delivery: drop `day=…` partitions older than the retention
+    * window): delete dst partitions whose STRING value fails `keep`,
+    * returning the pruned values sorted. `dryRun = true` lists what
+    * would go without touching the filesystem — run it first in any
+    * scheduled job. Same inference-off string typing and Hive path
+    * escaping as syncPartitions, so "05" or "a b" delete the directory
+    * that actually exists; the distinct-values collect is bounded by the
+    * partition count, like the sync's fingerprint map. */
+  def prunePartitions(spark: SparkSession, dst: String, partCol: String,
+                      keep: String => Boolean, dstFormat: String = "parquet",
+                      dryRun: Boolean = false): Seq[String] = {
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dst))) return Seq.empty
+    val values = withPartitionInferenceOff(spark) {
+      read(spark, dst, dstFormat).select(col(partCol).cast("string")).distinct()
+        .collect().map(r => Option(r.getString(0)).getOrElse(NullPartition)).toSeq.sorted
+    }
+    val doomed = values.filterNot(keep)
+    if (!dryRun) doomed.foreach { p =>
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(p)
+      fs.delete(new Path(dst, s"$partCol=$escaped"), true)
+    }
+    doomed
+  }
+
   /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */
   def manifest(spark: SparkSession, path: String, format: String = "parquet",
                schema: Option[String] = None,

@@ -52,7 +52,9 @@ object Validate {
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
       (numCols ++ strCols).flatMap { c =>
-        Seq(sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        // sum over zero rows is NULL — an EMPTY table has 0 nulls, and
+        // the profile must stay well-typed on it (EmptyInputSpec)
+        Seq(coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"null_$c"),
             countDistinct(col(c)).as(s"nd_$c"))
       } ++
       numCols.flatMap { c =>

@@ -38,6 +38,28 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     prof(s"$tmp/trunc") should not equal prof(s"$sfDir/orders.parquet")
   }
 
+  test("prunePartitions enforces retention: dry-run lists, real run deletes only failing partitions") {
+    val tmp = Files.createTempDirectory("dlv_prune").toString
+    Deliver.copy(spark, s"$sfDir/orders.parquet", s"$tmp/o",
+      partitionBy = Seq("o_orderstatus"))
+    val before = spark.read.parquet(s"$tmp/o").count()
+    val fCount = spark.read.parquet(s"$tmp/o")
+      .where(col("o_orderstatus") === "F").count()
+    // dry run: reports the doomed partition, filesystem untouched
+    Deliver.prunePartitions(spark, s"$tmp/o", "o_orderstatus",
+      keep = _ != "F", dryRun = true) shouldBe Seq("F")
+    spark.read.parquet(s"$tmp/o").count() shouldBe before
+    // real run: exactly the F partition gone, survivors intact
+    Deliver.prunePartitions(spark, s"$tmp/o", "o_orderstatus",
+      keep = _ != "F") shouldBe Seq("F")
+    val after = spark.read.parquet(s"$tmp/o")
+    after.count() shouldBe before - fCount
+    after.where(col("o_orderstatus") === "F").count() shouldBe 0L
+    // idempotent: nothing left to prune
+    Deliver.prunePartitions(spark, s"$tmp/o", "o_orderstatus",
+      keep = _ != "F") shouldBe empty
+  }
+
   test("fingerprint is layout- and order-insensitive but content-sensitive") {
     val df = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")

@@ -43,11 +43,27 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "llm_domain_stats", "ev_anomaly", "llm_logprob_score", "dq_histogram",
     "llm_entropy", "llm_mix_weights", "ev_inter_arrival", "llm_span_dedup",
     "dq_drift", "llm_semdedup", "llm_ann_stats", "llm_url_dedup",
-    "llm_gopher_rules", "llm_top_ngrams", "ev_active_users", "llm_containment")
+    "llm_gopher_rules", "llm_top_ngrams", "ev_active_users", "llm_containment",
+    "ev_attribution", "source_text", "llm_code_detect")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
       SparkEntry.queries(name)(spark, emptyDir).count() shouldBe 0L
+    }
+  }
+
+  test("dq_profile of an empty table is the well-defined 5-row zero profile") {
+    // a profile is a statement ABOUT the table, so an empty input yields
+    // one row per profiled column (n_rows 0, zero nulls/distincts, NULL
+    // bounds) — not an empty frame
+    val rows = SparkEntry.queries("dq_profile")(spark, emptyDir).collect()
+    rows.length shouldBe 5
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L // n_rows
+      r.getLong(2) shouldBe 0L // n_null
+      r.getLong(3) shouldBe 0L // n_distinct
+      r.isNullAt(4) shouldBe true; r.isNullAt(5) shouldBe true
+      r.isNullAt(6) shouldBe true; r.isNullAt(7) shouldBe true
     }
   }
 }
