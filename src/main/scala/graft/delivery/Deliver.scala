@@ -295,6 +295,13 @@ object Deliver {
     doomed
   }
 
+  /** Manifest under the partition-typing rule the sync/prune surfaces
+    * use (directory-name strings, no type re-inference) — the form to
+    * report after partition-level mutation of `path`. */
+  def manifestTyped(spark: SparkSession, path: String,
+                    format: String = "parquet"): DeliveryReport =
+    withPartitionInferenceOff(spark)(manifest(spark, path, format))
+
   /** Manifest of a delivered directory: rows, files, bytes, fingerprint. */
   def manifest(spark: SparkSession, path: String, format: String = "parquet",
                schema: Option[String] = None,

@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   *     [--sync-partitions COL]   # partition-diff re-delivery instead of
   *                               # a full copy: rewrite changed partitions,
   *                               # delete stale ones (Deliver.syncPartitions)
+  *     [--prune-before V [--prune-dry-run]]  # retention, only with
+  *                               # --sync-partitions: after the sync is
+  *                               # verified, delete partitions with value
+  *                               # < V (string order — dated day=YYYY-MM-DD
+  *                               # partitions sort correctly); the printed
+  *                               # manifest reflects the post-prune state,
+  *                               # `verified` attests the pre-retention sync
   *     [--bucket-by COL --buckets N]  # DST is a TABLE NAME: deliver as a
   *                               # bucketed managed table so downstream
   *                               # joins/aggs on COL are shuffle-free
@@ -33,7 +40,8 @@ object DeliverMain {
       writeOptions: Map[String, String] = Map.empty,
       verify: Boolean = true,
       syncPartitionCol: Option[String] = None,
-      bucketBy: Option[String] = None, buckets: Option[Int] = None)
+      bucketBy: Option[String] = None, buckets: Option[Int] = None,
+      pruneBefore: Option[String] = None, pruneDryRun: Boolean = false)
 
   private def parse(argv: List[String]): Args = {
     def kv(s: String): (String, String) = s.split("=", 2) match {
@@ -53,6 +61,8 @@ object DeliverMain {
       case "--sync-partitions" :: v :: t => loop(t, acc.copy(syncPartitionCol = Some(v)))
       case "--bucket-by" :: v :: t    => loop(t, acc.copy(bucketBy = Some(v)))
       case "--buckets" :: v :: t      => loop(t, acc.copy(buckets = Some(v.toInt)))
+      case "--prune-before" :: v :: t => loop(t, acc.copy(pruneBefore = Some(v)))
+      case "--prune-dry-run" :: t     => loop(t, acc.copy(pruneDryRun = true))
       case other :: _ => throw new IllegalArgumentException(s"unknown arg: $other")
     }
     argv match {
@@ -95,7 +105,21 @@ object DeliverMain {
     val ok = !a.verify || Deliver.verifyDelivery(spark, a.src, a.srcFormat,
       vDst, vFmt, a.schema, a.readOptions,
       if (a.bucketBy.isDefined) Map.empty else a.writeOptions)
-    (report, ok)
+    // retention runs AFTER the delivery is verified: `verified` attests
+    // the sync against src; the manifest reflects what retention left
+    a.pruneBefore match {
+      case None => (report, ok)
+      case Some(v) =>
+        val c = a.syncPartitionCol.getOrElse(throw new IllegalArgumentException(
+          "--prune-before requires --sync-partitions COL"))
+        val pruned = Deliver.prunePartitions(spark, a.dst, c, _ >= v,
+          a.dstFormat, a.pruneDryRun)
+        System.err.println(s"[deliver] retention${if (a.pruneDryRun) " (dry run)" else ""}: " +
+          s"${pruned.size} partition(s) before '$v': ${pruned.mkString(",")}")
+        val post = if (a.pruneDryRun || pruned.isEmpty) report
+                   else Deliver.manifestTyped(spark, a.dst, a.dstFormat)
+        (post, ok)
+    }
   }
 
   def main(argv: Array[String]): Unit = {

@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
-import graft.delivery.Deliver
+import graft.delivery.{Deliver, DeliverMain}
 
 /** Delivery surface: copy/manifest/verify across formats and layouts
   * (the Spark-native distcp+transform, SURVEY.md §0/§1.3). */
@@ -58,6 +58,27 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     // idempotent: nothing left to prune
     Deliver.prunePartitions(spark, s"$tmp/o", "o_orderstatus",
       keep = _ != "F") shouldBe empty
+  }
+
+  test("DeliverMain CLI: --sync-partitions with --prune-before enforces retention post-verify") {
+    val tmp = Files.createTempDirectory("dlv_pruncli").toString
+    // the status partitions sort F < O < P; retention keeps >= 'O'
+    val (r, ok) = DeliverMain.run(spark, Array(
+      s"$sfDir/orders.parquet", s"$tmp/o",
+      "--sync-partitions", "o_orderstatus", "--prune-before", "O"))
+    ok shouldBe true // verification attests the pre-retention sync
+    val left = spark.read.parquet(s"$tmp/o")
+    left.where(col("o_orderstatus") === "F").count() shouldBe 0L
+    left.select("o_orderstatus").distinct().collect()
+      .map(_.getString(0)).sorted shouldBe Array("O", "P")
+    // the printed manifest reflects the post-prune state
+    r.rows shouldBe left.count()
+    // dry run leaves the delivery whole
+    val tmp2 = Files.createTempDirectory("dlv_pruncli2").toString
+    val (r2, _) = DeliverMain.run(spark, Array(
+      s"$sfDir/orders.parquet", s"$tmp2/o",
+      "--sync-partitions", "o_orderstatus", "--prune-before", "O", "--prune-dry-run"))
+    r2.rows shouldBe Tables.orders(spark, sfDir).count()
   }
 
   test("fingerprint is layout- and order-insensitive but content-sensitive") {
