@@ -349,6 +349,43 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_bigram_score — second-order LM quality score, the KenLM-family
+    * upgrade of llm_logprob_score's unigram gate: corpus bigram LM with
+    * add-1 smoothing, P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V) with V = the
+    * corpus unigram vocabulary; per-doc mean −log2 P over its n−1
+    * bigrams (<2-token docs have no transitions and drop). What it
+    * catches that the unigram gate provably cannot: a shuffled
+    * word-salad doc has the SAME token multiset — identical unigram
+    * xent — but unseen transitions, so its bigram xent spikes
+    * (QuerySemanticsSpec pins exactly that separation). Scale shape:
+    * one bigram-frequency shuffle (width = distinct bigrams), a 1-row
+    * (V, totals) broadcast, one bigram→count rejoin (strategy
+    * Catalyst's — the bigram table grows with the corpus, never
+    * broadcast-forced), one per-doc agg. Bigrams via a higher-order
+    * transform, no per-doc window. */
+  val llmBigramScore: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+    // cut: the bigram stream feeds the LM agg, the w1 margin and the
+    // scoring join — materialize once instead of exploding thrice
+    val bg = graft.ops.Lineage.cut(docs
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+        "struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+           r4(avg(-log2((col("c12") + 1.0) / (col("c1") + col("v"))))).as("xent2"))
+      .orderBy("doc_id")
+  }
+
   /** llm_entropy — per-doc token Shannon entropy and type census (the
     * lexical-diversity quality signal: low entropy = boilerplate /
     * repetition, high = diverse vocabulary; used alongside the repetition
@@ -531,6 +568,7 @@ object Textops {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "llm_bigram_score"   -> llmBigramScore,
     "llm_code_detect"    -> llmCodeDetect,
     "llm_top_ngrams"     -> llmTopNgrams,
     "llm_gopher_rules"   -> llmGopherRules,
@@ -548,6 +586,20 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_bigram_score" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        | SELECT doc_id, lang, l[i] AS w1, l[i + 1] AS w2
+        | FROM (SELECT doc_id, lang, l, unnest(generate_series(1, len(l) - 1)) AS i
+        |       FROM d WHERE len(l) >= 2)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(l) AS t FROM d))
+        |SELECT bg.doc_id, bg.lang, count(*) AS n_bigrams,
+        | ${r4Sql("avg(-log2((c12.c12 + 1.0) / (c1.c1 + v.v)))")} AS xent2
+        |FROM bg JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+        | JOIN c1 ON c1.w1 = bg.w1, v
+        |GROUP BY bg.doc_id, bg.lang ORDER BY bg.doc_id""".stripMargin,
     "llm_code_detect" ->
       s"""SELECT doc_id, lang, n_chars_txt, n_sym, n_camel, n_snake,
         | CASE WHEN n_chars_txt = 0 THEN 0.0

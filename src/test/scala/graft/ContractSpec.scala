@@ -16,8 +16,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 120
-    SparkEntry.oracleSql.size shouldBe 116
+    SparkEntry.queries.size shouldBe 121
+    SparkEntry.oracleSql.size shouldBe 117
   }
 
   test("no duplicate keys across query modules (Map ++ would silently drop one)") {

@@ -298,6 +298,28 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(4L) shouldBe ((1L, 16L, 1L, 16L, 1.0, true))
   }
 
+  test("llm_bigram_score flags shuffled word salad that the unigram gate provably cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    val phrase = "w0 w1 w2 w3 w0 w1 w2 w3" // ordered, repeated transitions
+    val salad = "w3 w1 w0 w2 w2 w0 w3 w1"  // SAME token multiset, scrambled
+    val docs = (0L until 20L).map(i => (i, phrase, "en", "s", 0L)) :+
+      ((20L, salad, "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // unigram xent is blind here: every doc has the identical token
+    // multiset, so the unigram gate scores all 21 docs the same...
+    val uni = queries.Textops.llmLogprobScore(spark, dir).collect()
+      .map(_.getDouble(3)).distinct
+    uni.length shouldBe 1
+    // ...while the bigram gate puts the salad doc strictly on top
+    val bi = queries.Textops.llmBigramScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val phraseScores = (0L until 20L).map(bi)
+    phraseScores.distinct.length shouldBe 1
+    bi(20L) should be > phraseScores.head
+  }
+
   test("llm_code_detect routes code-shaped docs by structure, not keywords") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_code").toString
