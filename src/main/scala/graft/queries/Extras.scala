@@ -394,6 +394,57 @@ object Extras {
       numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
       strCols = Seq("o_orderstatus", "o_orderpriority"))
 
+  /** dq_referential — FK-graph integrity AND coverage profile over the
+    * whole star schema: for each of the seven declared child→parent
+    * relations, the orphan census (child keys with no parent — the
+    * delivery-breaks-joins check) plus the inverse coverage census
+    * (parents no child references — the generator-skew / dead-dimension
+    * check dq_checks' two orphan rules don't express). One row per
+    * relation; shares defined 0.0 on empty sides rather than inherit
+    * either engine's x/0 (zero-row hardening convention).
+    *
+    * Scale: per relation one child⋈distinct-parent-keys left join
+    * (shuffle on the FK — broadcast when the dimension fits, Catalyst's
+    * call) and one parent⋈distinct-child-keys left join; all verdicts
+    * are aggregates, so nothing per-row ever reaches the driver and the
+    * seven 1-row frames union for free. */
+  val dqReferential: Q = (s, d) => {
+    import org.apache.spark.sql.DataFrame
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val ckeys = child.select(col(ck).cast("long").as("k"))
+      val pkeys = parent.select(col(pk).cast("long").as("k")).distinct()
+      val childStats = ckeys
+        .join(pkeys.withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+             coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L)).as("n_orphan"))
+      val parentStats = pkeys
+        .join(ckeys.distinct().withColumn("ref", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_parent"),
+             coalesce(sum(when(col("ref").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_parent_hit"))
+      childStats.crossJoin(parentStats).select(
+        lit(name).as("relation"),
+        col("n_child"), col("n_orphan"),
+        when(col("n_child") === 0, lit(0.0))
+          .otherwise(r4(col("n_orphan") * lit(1.0) / col("n_child"))).as("orphan_share"),
+        col("n_parent"), col("n_parent_hit"),
+        when(col("n_parent") === 0, lit(0.0))
+          .otherwise(r4(col("n_parent_hit") * lit(1.0) / col("n_parent"))).as("coverage"))
+    }
+    val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+    Seq(
+      rel("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      rel("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      rel("lineitem->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+      rel("lineitem->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+      rel("nation->region", n, "n_regionkey", Tables.region(s, d), "r_regionkey"),
+      rel("orders->customer", o, "o_custkey", c, "c_custkey"),
+      rel("supplier->nation", Tables.supplier(s, d), "s_nationkey", n, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("relation")
+  }
+
   /** agg_argmax — max_by/min_by (argmax) per priority; the ordering key
     * (o_orderkey) is unique so the selection is engine-deterministic. */
   val aggArgmax: Q = (s, d) =>
@@ -632,6 +683,7 @@ object Extras {
     "dq_histogram"      -> dqHistogram,
     "dq_drift"          -> dqDrift,
     "dq_profile"        -> dqProfile,
+    "dq_referential"    -> dqReferential,
     "win_percent"       -> winPercent,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
@@ -682,7 +734,37 @@ object Extras {
     s"l$i AS (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM edges e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
   }.mkString(",\n")
 
+  /** One dq_referential relation block — child orphan census × parent
+    * coverage census, mirroring `rel` in dqReferential exactly. */
+  private def refRelSql(name: String, child: String, ck: String,
+                        parent: String, pk: String): String =
+    s"""SELECT '$name' AS relation, cs.n_child, cs.n_orphan,
+       | CASE WHEN cs.n_child = 0 THEN 0.0
+       |  ELSE ${r4Sql("cs.n_orphan * 1.0 / cs.n_child")} END AS orphan_share,
+       | ps.n_parent, ps.n_parent_hit,
+       | CASE WHEN ps.n_parent = 0 THEN 0.0
+       |  ELSE ${r4Sql("ps.n_parent_hit * 1.0 / ps.n_parent")} END AS coverage
+       |FROM
+       | (SELECT count(*) AS n_child,
+       |   CAST(coalesce(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphan
+       |  FROM $child ch LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON p.k = ch.$ck) cs
+       |CROSS JOIN
+       | (SELECT count(*) AS n_parent,
+       |   CAST(coalesce(sum(CASE WHEN c2.k IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_parent_hit
+       |  FROM (SELECT DISTINCT $pk AS k FROM $parent) p
+       |  LEFT JOIN (SELECT DISTINCT $ck AS k FROM $child) c2 ON c2.k = p.k) ps""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dq_referential" ->
+      Seq(
+        refRelSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        refRelSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        refRelSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        refRelSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        refRelSql("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        refRelSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        refRelSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relation"),
     "llm_dedup_incremental" ->
       s"""WITH $jaccardCtes,
         |bk AS (SELECT doc_id,

@@ -333,7 +333,14 @@ object Textops {
     * < 2^53 (identical doubles both engines); log2 may differ in the
     * last ulp between libm implementations, which the r4 on the per-doc
     * MEAN collapses (same argument as llm_tfidf's log). */
-  val llmLogprobScore: Q = (s, d) => {
+  val llmLogprobScore: Q = (s, d) => unigramXent(s, d).orderBy("doc_id")
+
+  /** Unordered per-doc unigram cross-entropy — the shared scoring frame
+    * behind llm_logprob_score (which totally orders it) and
+    * llm_ccnet_bucket (which re-aggregates it; inheriting a global sort
+    * there would pay a range-partition exchange the bucketing immediately
+    * re-shuffles away). */
+  private def unigramXent(s: org.apache.spark.sql.SparkSession, d: String) = {
     // the token stream feeds both the LM agg and the scoring join —
     // materialize it once (Lineage.cut) instead of exploding docs twice
     val tok = graft.ops.Lineage.cut(
@@ -346,7 +353,42 @@ object Textops {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tok"),
            r4(avg(-log2((col("n_t") + 1.0) / (col("n_corpus") + col("v"))))).as("xent"))
-      .orderBy("doc_id")
+  }
+
+  /** llm_ccnet_bucket — CCNet-style per-language perplexity bucketing:
+    * split each language's docs into head / middle / tail terciles of
+    * the unigram xent (llm_logprob_score's gate) and report each
+    * bucket's census — the standard corpus-quality partition CCNet
+    * ships to training (head = most-fluent third, tail = the third a
+    * cheap LM finds surprising). Bucket names sort in quality order by
+    * construction (head < middle < tail lexicographically), so the
+    * total order doubles as the quality order.
+    *
+    * Scale shape — cutoffs, NOT ntile: a per-lang ntile window funnels
+    * each language (half the corpus) through ONE task's sort; instead
+    * the tercile cutoffs are a 2-doubles-per-lang aggregate broadcast
+    * back for a codegen'd comparison — at 100 TB swap the exact
+    * `percentile` for `approx_percentile` (same plan, sketch-sized agg
+    * state) and the bucketing pass is unchanged. Cutoffs are r4-rounded
+    * before thresholding (ev_anomaly / gopher_rules convention) so the
+    * bucket verdicts never disagree with the emitted xents and the two
+    * engines' last-ulp interpolation noise cannot flip a verdict. */
+  val llmCcnetBucket: Q = (s, d) => {
+    val scored = unigramXent(s, d)
+    val cuts = scored.groupBy("lang").agg(
+      r4(expr("percentile(xent, cast(1 as double) / 3)")).as("t1"),
+      r4(expr("percentile(xent, cast(2 as double) / 3)")).as("t2"))
+    scored.join(broadcast(cuts), "lang")
+      .withColumn("bucket",
+        when(col("xent") <= col("t1"), lit("head"))
+          .when(col("xent") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           r4(avg("xent")).as("avg_xent"),
+           min("xent").as("min_xent"),
+           max("xent").as("max_xent"))
+      .orderBy("lang", "bucket")
   }
 
   /** llm_bigram_score — second-order LM quality score, the KenLM-family
@@ -576,6 +618,7 @@ object Textops {
     "llm_entropy"        -> llmEntropy,
     "llm_mix_weights"    -> llmMixWeights,
     "llm_logprob_score"  -> llmLogprobScore,
+    "llm_ccnet_bucket"   -> llmCcnetBucket,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
@@ -684,6 +727,26 @@ object Textops {
         | ${r4Sql("scaled / sum(scaled) OVER ()")} AS target_share,
         | ${r4Sql("(scaled / sum(scaled) OVER ()) / share")} AS weight
         |FROM x ORDER BY lang""".stripMargin,
+    "llm_ccnet_bucket" ->
+      s"""WITH tok AS (
+        | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),
+        |tf AS (SELECT t, count(*) AS n_t FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_corpus, count(*) AS v FROM tf),
+        |sc AS (
+        | SELECT doc_id, lang, ${r4Sql("avg(-log2((n_t + 1.0) / (n_corpus + v)))")} AS xent
+        | FROM tok JOIN tf USING (t) CROSS JOIN tot GROUP BY doc_id, lang),
+        |cuts AS (
+        | SELECT lang,
+        |  ${r4Sql("quantile_cont(xent, CAST(1 AS DOUBLE) / 3)")} AS t1,
+        |  ${r4Sql("quantile_cont(xent, CAST(2 AS DOUBLE) / 3)")} AS t2
+        | FROM sc GROUP BY lang)
+        |SELECT sc.lang,
+        | CASE WHEN xent <= t1 THEN 'head' WHEN xent <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        | count(*) AS n_docs,
+        | ${r4Sql("avg(xent)")} AS avg_xent,
+        | min(xent) AS min_xent, max(xent) AS max_xent
+        |FROM sc JOIN cuts USING (lang)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_logprob_score" ->
       s"""WITH tok AS (
         | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),

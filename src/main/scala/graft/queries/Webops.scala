@@ -152,12 +152,123 @@ object Webops {
       .orderBy("url_key")
   }
 
+  /** llm_domain_cap — per-site document cap (the RefinedWeb/C4-style
+    * hot-domain downsampler: no single site may contribute more than K
+    * docs to the corpus). Docs are attributed to their first_domain (as
+    * llm_domain_stats); within each domain the K lowest doc_ids are
+    * kept (deterministic, rand()-free — the md5/min-id convention this
+    * repo uses for every reproducible keep/drop verdict). K is
+    * `spark.graft.domain.cap` (default 2 = the oracle contract,
+    * mirrored literally in the SQL — the maxDf pattern; departing from
+    * the default departs from the oracle).
+    *
+    * URL-free docs have no site, so the cap does NOT apply: they pass
+    * through kept=true with rk=0 under the '<none>' label — which is
+    * also the scale guard: the row_number window partitions by REAL
+    * domains only, so the web-scale mega-bucket of domainless docs
+    * never funnels through one task. Per-domain partitions are bounded
+    * by the largest site's doc count (task-sized at web scale; a
+    * pathological single-site corpus is exactly what the cap exists to
+    * cut, and pre-filtering such a site's rows before ranking is the
+    * upstream answer there). */
+  val llmDomainCap: Q = (s, d) => {
+    val cap = s.conf.get("spark.graft.domain.cap", "2").toInt
+    require(cap >= 1, s"spark.graft.domain.cap must be >= 1, got $cap")
+    val docs = Tables.documents(s, d)
+    val firstDom = docs
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("domain",
+        regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
+      .groupBy("doc_id").agg(min("domain").as("domain"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("doc_id")
+    val ranked = firstDom
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("kept", col("rk") <= cap)
+    docs.select("doc_id").join(ranked, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("domain"), lit("<none>")).as("domain"),
+        coalesce(col("rk"), lit(0L)).as("rk"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** llm_domain_rank — PageRank over the domain link graph (the
+    * source-authority signal of a web pipeline: quality filters and
+    * crawl schedulers weight a domain by who links to it, not by its
+    * own volume). Graph: each doc is attributed to its first_domain
+    * (min of its trimmed domains) and contributes distinct edges
+    * first_domain → each OTHER domain it links to; nodes are every
+    * domain seen (doc-attributed — including the isolated '<none>'
+    * bucket for URL-free docs — plus edge endpoints). Two power
+    * iterations from the uniform vector with damping 0.85 and uniform
+    * dangling-mass redistribution (Σ rank = 1 each step); ranks are
+    * r4-rounded only at the end.
+    *
+    * The iterative-graph shape beside llm_dedup_cluster's large-star /
+    * small-star CC: each iteration is one edges⋈ranks shuffle (width =
+    * edges) + a ≤1-row dangling aggregate — never an adjacency matrix,
+    * never a driver-side loop over nodes; the iteration count is a
+    * fixed literal (2 — mirrored in the oracle CTE chain), so the plan
+    * is static and the lineage is cut per step. Floats: damping
+    * constants are written as the literal doubles 0.85 / 0.15 in BOTH
+    * engines (never derived as 1.0 − 0.85, a DIFFERENT double) and the
+    * oracle casts its literals to DOUBLE so DuckDB's decimal literal
+    * arithmetic cannot diverge from Spark's IEEE; sum-order ulps
+    * collapse under the final r4. */
+  val llmDomainRank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ud = docs
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("domain",
+        regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
+      .select("doc_id", "domain").distinct()
+    val src = ud.groupBy("doc_id").agg(min("domain").as("src"))
+    val attributed = docs.select("doc_id").join(src, Seq("doc_id"), "left")
+      .select(coalesce(col("src"), lit("<none>")).as("domain"))
+    val edges = graft.ops.Lineage.cut(
+      ud.join(src, "doc_id").where(col("domain") =!= col("src"))
+        .select(col("src"), col("domain").as("dst")).distinct())
+    val nodes = graft.ops.Lineage.cut(
+      attributed
+        .union(edges.select(col("src").as("domain")))
+        .union(edges.select(col("dst").as("domain")))
+        .distinct())
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(nTot))
+      .select(col("domain"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 2) {
+      val cur = graft.ops.Lineage.cut(rank) // feeds contrib AND dangling
+      val contrib = edges
+        .join(cur.withColumnRenamed("domain", "src"), "src")
+        .join(deg, "src")
+        .groupBy("dst").agg(sum(col("r") / col("deg")).as("cin"))
+      val dangling = cur
+        .join(deg.withColumnRenamed("src", "domain"), Seq("domain"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dm"))
+      rank = nodes
+        .join(contrib.withColumnRenamed("dst", "domain"), Seq("domain"), "left")
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nTot))
+        .select(col("domain"),
+          (lit(0.15) / col("n") +
+           lit(0.85) * (coalesce(col("cin"), lit(0.0)) + col("dm") / col("n"))).as("r"))
+    }
+    rank.join(deg.withColumnRenamed("src", "domain"), Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("deg"), lit(0L)).as("n_out"),
+        r4(col("r")).as("rank"))
+      .orderBy("domain")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_url_extract"   -> llmUrlExtract,
     "llm_markup_strip"  -> llmMarkupStrip,
     "llm_charset_stats" -> llmCharsetStats,
     "llm_domain_stats"  -> llmDomainStats,
     "llm_url_dedup"     -> llmUrlDedup,
+    "llm_domain_cap"    -> llmDomainCap,
+    "llm_domain_rank"   -> llmDomainRank,
   )
 
   val oracle: Map[String, String] = Map(
@@ -211,6 +322,79 @@ object Webops {
         |pd AS (SELECT doc_id, min(curl) AS url_key FROM u GROUP BY doc_id)
         |SELECT url_key, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM pd GROUP BY url_key ORDER BY url_key""".stripMargin,
+    "llm_domain_cap" ->
+      s"""WITH u AS (
+        | SELECT doc_id,
+        |  regexp_replace(unnest(regexp_extract_all(text, '$urlRe')), '$trailRe', '') AS url
+        | FROM documents),
+        |fd AS (
+        | SELECT doc_id, min(regexp_extract(url, '$domRe', 1)) AS domain
+        | FROM u GROUP BY doc_id),
+        |rk AS (
+        | SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT) AS rk
+        | FROM fd)
+        |SELECT d.doc_id,
+        | coalesce(rk.domain, '<none>') AS domain,
+        | coalesce(rk.rk, 0) AS rk,
+        | coalesce(rk.rk <= 2, TRUE) AS kept
+        |FROM documents d LEFT JOIN rk ON rk.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "llm_domain_rank" ->
+      s"""WITH u AS (
+        | SELECT doc_id,
+        |  regexp_replace(unnest(regexp_extract_all(text, '$urlRe')), '$trailRe', '') AS url
+        | FROM documents),
+        |ud AS (
+        | SELECT DISTINCT doc_id, regexp_extract(url, '$domRe', 1) AS domain FROM u),
+        |src AS (SELECT doc_id, min(domain) AS src FROM ud GROUP BY doc_id),
+        |fd AS (
+        | SELECT coalesce(s.src, '<none>') AS domain
+        | FROM documents d LEFT JOIN src s ON s.doc_id = d.doc_id),
+        |e AS (
+        | SELECT DISTINCT s.src, ud.domain AS dst
+        | FROM ud JOIN src s ON s.doc_id = ud.doc_id
+        | WHERE ud.domain <> s.src),
+        |nodes AS (
+        | SELECT DISTINCT domain FROM (
+        |  SELECT domain FROM fd
+        |  UNION ALL SELECT src FROM e
+        |  UNION ALL SELECT dst FROM e)),
+        |nt AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |r0 AS (
+        | SELECT domain, CAST(1 AS DOUBLE) / nt.n AS r FROM nodes CROSS JOIN nt),
+        |d0 AS (
+        | SELECT coalesce(sum(r0.r), CAST(0 AS DOUBLE)) AS dm
+        | FROM r0 LEFT JOIN deg ON deg.src = r0.domain WHERE deg.src IS NULL),
+        |c0 AS (
+        | SELECT e.dst, sum(r0.r / deg.deg) AS cin
+        | FROM e JOIN r0 ON r0.domain = e.src JOIN deg ON deg.src = e.src
+        | GROUP BY e.dst),
+        |r1 AS (
+        | SELECT nodes.domain,
+        |  CAST(0.15 AS DOUBLE) / nt.n
+        |   + CAST(0.85 AS DOUBLE) * (coalesce(c0.cin, CAST(0 AS DOUBLE)) + d0.dm / nt.n) AS r
+        | FROM nodes CROSS JOIN nt CROSS JOIN d0
+        | LEFT JOIN c0 ON c0.dst = nodes.domain),
+        |d1 AS (
+        | SELECT coalesce(sum(r1.r), CAST(0 AS DOUBLE)) AS dm
+        | FROM r1 LEFT JOIN deg ON deg.src = r1.domain WHERE deg.src IS NULL),
+        |c1 AS (
+        | SELECT e.dst, sum(r1.r / deg.deg) AS cin
+        | FROM e JOIN r1 ON r1.domain = e.src JOIN deg ON deg.src = e.src
+        | GROUP BY e.dst),
+        |r2 AS (
+        | SELECT nodes.domain,
+        |  CAST(0.15 AS DOUBLE) / nt.n
+        |   + CAST(0.85 AS DOUBLE) * (coalesce(c1.cin, CAST(0 AS DOUBLE)) + d1.dm / nt.n) AS r
+        | FROM nodes CROSS JOIN nt CROSS JOIN d1
+        | LEFT JOIN c1 ON c1.dst = nodes.domain)
+        |SELECT r2.domain,
+        | CAST(coalesce(deg.deg, 0) AS BIGINT) AS n_out,
+        | ${r4Sql("r2.r")} AS rank
+        |FROM r2 LEFT JOIN deg ON deg.src = r2.domain
+        |ORDER BY r2.domain""".stripMargin,
     "llm_charset_stats" ->
       s"""SELECT doc_id, lang,
         | CAST(length(text) AS BIGINT) AS n_chars_txt,

@@ -451,4 +451,59 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out(25000L) shouldBe ((0L, N, r4d(psi(0L, N))))
     out(0L)._3 should be > 1.0 // total shift = severe drift, loudly positive
   }
+
+  test("llm_ccnet_bucket terciles a lang by xent: 3/3/3, quality order head<middle<tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccnet").toString
+    // three token-frequency tiers → three strictly-ordered xent levels:
+    // 'a' ×12 (common), 'b' ×6, 'z' ×3 (rare) over a 21-token corpus
+    val docs =
+      (0L to 2L).map(i => (i, "a a a a", "en", "s", 0L)) ++
+      (3L to 5L).map(i => (i, "b b", "en", "s", 0L)) ++
+      (6L to 8L).map(i => (i, "z", "en", "s", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = queries.Textops.llmCcnetBucket(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    rows.map(x => (x._1, x._2)) shouldBe Seq(("head", 3L), ("middle", 3L), ("tail", 3L))
+    // uniform xent within each tier (min == max == avg), strictly rising across
+    rows.foreach { x => x._3 shouldBe x._4; x._4 shouldBe x._5 }
+    rows.map(_._3) shouldBe rows.map(_._3).sorted
+    rows.map(_._3).distinct.size shouldBe 3
+  }
+
+  test("dq_referential reports planted orphans and unreferenced parents, relation by relation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString
+    Seq(Tuple1(0)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    // nation 1 points at region 7 (orphan) and no customer references it
+    Seq((0, 0), (1, 7)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((0L, 0), (1L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((0L, 0)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(0L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // order 1 belongs to customer 5 (orphan); customer 1 places no orders
+    Seq((0L, 0L), (1L, 5L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // third line item references order 9 (orphan); order 1 has no lines
+    Seq((0L, 0L, 0L), (0L, 0L, 0L), (9L, 0L, 0L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = queries.Extras.dqReferential(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))))
+      .toMap
+    out("customer->nation") shouldBe ((2L, 0L, 0.0, 2L, 1L, 0.5))
+    out("lineitem->orders") shouldBe ((3L, 1L, 0.3333, 2L, 1L, 0.5))
+    out("lineitem->part") shouldBe ((3L, 0L, 0.0, 1L, 1L, 1.0))
+    out("lineitem->supplier") shouldBe ((3L, 0L, 0.0, 1L, 1L, 1.0))
+    out("nation->region") shouldBe ((2L, 1L, 0.5, 1L, 1L, 1.0))
+    out("orders->customer") shouldBe ((2L, 1L, 0.5, 2L, 1L, 0.5))
+    out("supplier->nation") shouldBe ((1L, 0L, 0.0, 2L, 1L, 0.5))
+  }
 }

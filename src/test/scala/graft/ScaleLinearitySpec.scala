@@ -127,6 +127,46 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     c4 shouldBe 4 * c1
   }
 
+  test("ccnet bucketing / domain cap / domain rank hold their shape on dissimilar copies") {
+    // ccnet_bucket: per-copy token translation keeps every token's count
+    // (tokens live in one copy), so the ×4 corpus scales N and V by
+    // exactly 4 → every doc's xent shifts by exactly +log2(4) = +2 (an
+    // exact power-of-2 scaling). The tercile STRUCTURE must therefore be
+    // identical with 4× the docs per bucket and avg_xent shifted by +2
+    // up to the per-doc r4 grain (libm's log2(x/4) vs log2(x)−2 differ
+    // in the last ulp, which can flip one doc's 4th decimal) — any
+    // larger change means the cutoffs leaked across copies or the LM
+    // went non-linear
+    val b1 = queries.Textops.llmCcnetBucket(spark, dirs._1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val b4 = queries.Textops.llmCcnetBucket(spark, dirs._2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    b4.keySet shouldBe b1.keySet
+    b1.foreach { case (k, (n1, avg1)) =>
+      // ±8 docs = two boundary flips (all 4 clones of a cutoff-tied doc
+      // move together); a leak across copies would shift whole terciles
+      b4(k)._1.toDouble shouldBe (4.0 * n1) +- 8.0
+      b4(k)._2 shouldBe (avg1 + 2.0) +- 0.001
+    }
+    // every doc still lands in exactly one bucket: per-lang totals are exact
+    b1.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      b4.collect { case ((l, _), (n, _)) if l == lang => n }.sum shouldBe
+        4 * b1.collect { case ((l, _), (n, _)) if l == lang => n }.sum
+    }
+    // domain_cap: the translated corpora are URL-free — every doc is
+    // site-less, the cap exempts all of them, output stays one row per doc
+    val c1 = queries.Webops.llmDomainCap(spark, dirs._1)
+    val c4 = queries.Webops.llmDomainCap(spark, dirs._2)
+    c4.count() shouldBe 4 * c1.count()
+    c4.where(!col("kept")).count() shouldBe 0L
+    // domain_rank: a URL-free corpus is the single isolated '<none>'
+    // node at any scale — rank mass is size-invariant
+    val r1s = queries.Webops.llmDomainRank(spark, dirs._1).collect()
+    val r4s = queries.Webops.llmDomainRank(spark, dirs._2).collect()
+    r1s.map(r => (r.getString(0), r.getDouble(2))).toSeq shouldBe Seq(("<none>", 1.0))
+    r4s.map(r => (r.getString(0), r.getDouble(2))).toSeq shouldBe Seq(("<none>", 1.0))
+  }
+
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {
     // x2 = x1 (copy c0, original ids) + a translated copy c1 with ids
     // above x1's max: the watermark-ruled refresh must compute ONLY the

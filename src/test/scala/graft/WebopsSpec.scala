@@ -115,6 +115,50 @@ class WebopsSpec extends AnyFunSuite with Matchers with SparkFixture {
       ("site.com/page", 0L, 3L))
   }
 
+  test("domain cap keeps the K lowest doc_ids per site; domainless docs are exempt") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    Seq(
+      (0L, "a https://hot.com/1", "en", "w", 0L),
+      (1L, "b https://hot.com/2", "en", "w", 0L),
+      (2L, "c https://hot.com/3", "en", "w", 0L), // third hot.com doc → cut
+      (3L, "d https://cold.org/1", "en", "w", 0L),
+      (4L, "no urls at all", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = queries.Webops.llmDomainCap(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    rows shouldBe Seq(
+      (0L, "hot.com", 1L, true),
+      (1L, "hot.com", 2L, true),
+      (2L, "hot.com", 3L, false), // rk 3 > cap 2
+      (3L, "cold.org", 1L, true),
+      (4L, "<none>", 0L, true))   // no site → cap does not apply
+  }
+
+  test("domain rank matches the hand-computed two-iteration PageRank") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_rank").toString
+    // one doc at a.com linking to b.com: nodes {a.com, b.com}, edge a→b,
+    // b dangling. r0 = (.5, .5);
+    // iter1: dm=.5, cin(b)=.5 → r(a)=.075+.85*.25=.2875, r(b)=.075+.85*.75=.7125
+    // iter2: dm=.7125, cin(b)=.2875
+    //   → r(a)=.075+.85*(.7125/2)=.3778125 → r4 .3778
+    //     r(b)=.075+.85*(.2875+.35625)=.6221875 → r4 .6222  (Σ=1)
+    Seq((0L, "x https://a.com/p https://b.com/q", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = queries.Webops.llmDomainRank(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    rows shouldBe Seq(("a.com", 1L, 0.3778), ("b.com", 0L, 0.6222))
+  }
+
+  test("domain rank on the url-free fixture: one isolated '<none>' node holds all mass") {
+    val rows = queries.Webops.llmDomainRank(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    rows shouldBe Seq(("<none>", 0L, 1.0))
+  }
+
   test("on the web-free fixture: zero urls, zero tags, strip is whitespace-identity") {
     queries.Webops.llmUrlExtract(spark, sfDir)
       .where(col("n_urls") =!= 0).count() shouldBe 0L
