@@ -44,11 +44,26 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "llm_entropy", "llm_mix_weights", "ev_inter_arrival", "llm_span_dedup",
     "dq_drift", "llm_semdedup", "llm_ann_stats", "llm_url_dedup",
     "llm_gopher_rules", "llm_top_ngrams", "ev_active_users", "llm_containment",
-    "ev_attribution", "source_text", "llm_code_detect")
+    "ev_attribution", "source_text", "llm_code_detect",
+    "llm_ccnet_bucket", "llm_domain_cap", "llm_domain_rank", "llm_bigram_score")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
       SparkEntry.queries(name)(spark, emptyDir).count() shouldBe 0L
+    }
+  }
+
+  test("dq_referential on empty tables is the well-defined 7-row zero profile") {
+    // like dq_profile: the FK report is a statement ABOUT the schema —
+    // empty tables yield all 7 relations with zero counts and the
+    // DEFINED 0.0 shares, never x/0 nulls
+    val rows = SparkEntry.queries("dq_referential")(spark, emptyDir).collect()
+    rows.length shouldBe 7
+    rows.foreach { r =>
+      r.getLong(1) shouldBe 0L; r.getLong(2) shouldBe 0L
+      r.getDouble(3) shouldBe 0.0
+      r.getLong(4) shouldBe 0L; r.getLong(5) shouldBe 0L
+      r.getDouble(6) shouldBe 0.0
     }
   }
 

@@ -160,6 +160,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
       include("TakeOrderedAndProject")
   }
 
+  test("llm_ccnet_bucket buckets via a broadcast cutoff join — never a per-lang ranking window") {
+    // the scale point of the operator: a per-lang ntile window would
+    // funnel each language through one task's sort; the cutoff plan has
+    // NO Window node at all, and the 2-doubles-per-lang cuts frame
+    // reaches the docs as a broadcast hash join
+    val plan = planOf(queries.Textops.llmCcnetBucket(spark, sfDir))
+    plan should not include "Window"
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("llm_domain_rank iterations are equi-join shuffles — no cartesian fallback") {
+    // the 1-row dangling/total frames are broadcast crossjoins by
+    // construction (bounded-by-contract); the edges⋈ranks joins must
+    // stay hash equi-joins — a CartesianProduct means a join key was lost
+    planOf(queries.Webops.llmDomainRank(spark, sfDir)) should
+      not include "CartesianProduct"
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode
