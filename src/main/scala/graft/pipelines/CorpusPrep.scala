@@ -12,6 +12,9 @@ import graft.ops.Det._
   *                    cross-entropy exceeds `xentMax` (llm_logprob_score
   *                    shape; the LM is trained on the INPUT corpus, so
   *                    the gate is self-contained);
+  *   0.5 per-site cap (optional) — keep at most `domainCap` docs per
+  *                    first_domain among the current survivors
+  *                    (llm_domain_cap shape; site-less docs exempt);
   *   1. clean      — strip the corpus top-K stopwords (Textops shape);
   *   2. exact dedup — keep the min-doc_id representative per sha256;
   *   3. near dedup  — jaccard ≥ θ pairs → bounded min-label clustering,
@@ -39,7 +42,8 @@ object CorpusPrep {
           stopK: Int = 5, jaccardTheta: Double = 0.8,
           labelRounds: Int = 8, xentMax: Option[Double] = None,
           spanDupMax: Option[Double] = None,
-          containMax: Option[Double] = None): DataFrame = {
+          containMax: Option[Double] = None,
+          domainCap: Option[Int] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -49,11 +53,22 @@ object CorpusPrep {
     //    can never drift apart. Note the near-dup pair source (stage 3)
     //    still reads the full table; dropped docs fall out of the edge
     //    set at the ids join, same as exact-dedup losers.
-    val docs = xentMax.fold(docs0) { m =>
+    val gated = xentMax.fold(docs0) { m =>
       docs0.join(
         graft.queries.Textops.llmLogprobScore(spark, sfDir)
           .where(col("xent") <= m).select("doc_id"),
         "doc_id")
+    }
+
+    // 0.5 optional per-site cap (llm_domain_cap shape): cut hot-domain
+    //     volume BEFORE the dedup stages pay for it — ranked over the
+    //     CURRENT survivor frame (capping must see the pipeline's docs,
+    //     not the raw table, or a quality-gated doc would still occupy
+    //     a keep slot). Site-less docs are exempt by the operator's
+    //     contract, so a URL-free corpus passes through unchanged.
+    val docs = domainCap.fold(gated) { k =>
+      gated.join(graft.queries.Webops.domainCapLosers(gated, k),
+        Seq("doc_id"), "left_anti")
     }
 
     // 1. clean: remove corpus top-K tokens (per-partition top-K + 1-row

@@ -24,6 +24,10 @@ import org.apache.spark.sql.SparkSession
   * survivors whose token set is F-contained in a larger surviving doc
   * are dropped (the container survives; llm_containment shape).
   *
+  * `--domain-cap K` switches on the per-site cap (stage 0.5): at most K
+  * docs per first_domain survive into the pipeline (llm_domain_cap
+  * shape; site-less docs exempt).
+  *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
   * corpus-stamped artifact; first run bootstraps it with a full build,
@@ -38,10 +42,11 @@ object CorpusPrepMain {
   def run(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
           xentMax: Option[Double] = None,
           spanDupMax: Option[Double] = None,
-          containMax: Option[Double] = None): String = {
+          containMax: Option[Double] = None,
+          domainCap: Option[Int] = None): String = {
     val in = graft.Tables.documents(spark, src).count()
     val out = CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-      spanDupMax = spanDupMax, containMax = containMax)
+      spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap)
     // partition the delivered corpus by split so downstream training
     // readers prune train/val/test at the directory level
     out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
@@ -62,13 +67,14 @@ object CorpusPrepMain {
   def sync(spark: SparkSession, src: String, dst: String, stopK: Int = 5,
            xentMax: Option[Double] = None,
            spanDupMax: Option[Double] = None,
-           containMax: Option[Double] = None)
+           containMax: Option[Double] = None,
+           domainCap: Option[Int] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     // cut: syncPartitions executes its input twice (fingerprint +
     // rewrite) and the prep pipeline is the expensive part
     val out = graft.ops.Lineage.cut(
       CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-        spanDupMax = spanDupMax, containMax = containMax))
+        spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap))
     graft.delivery.Deliver.syncPartitions(
       spark, out, s"$dst/documents", "split", "parquet")
   }
@@ -89,7 +95,8 @@ object CorpusPrepMain {
                   artifact: String, refresh: Boolean, stopK: Int = 5,
                   xentMax: Option[Double] = None,
                   spanDupMax: Option[Double] = None,
-                  containMax: Option[Double] = None)
+                  containMax: Option[Double] = None,
+                  domainCap: Option[Int] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     val aPath = new org.apache.hadoop.fs.Path(artifact)
     val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -111,13 +118,14 @@ object CorpusPrepMain {
     val key = "spark.graft.pairs.artifact"
     val prevConf = spark.conf.getOption(key)
     spark.conf.set(key, artifact)
-    try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax)
+    try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap)
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   private val Usage =
     "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
-    "[--xent-max V] [--span-dup-max F] [--contain-max F] SRCDIR OUTDIR [stopK]"
+    "[--xent-max V] [--span-dup-max F] [--contain-max F] [--domain-cap K] " +
+    "SRCDIR OUTDIR [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
@@ -129,6 +137,7 @@ object CorpusPrepMain {
     var xentMax: Option[Double] = None
     var spanDupMax: Option[Double] = None
     var containMax: Option[Double] = None
+    var domainCap: Option[Int] = None
     val pos = scala.collection.mutable.Buffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -147,6 +156,9 @@ object CorpusPrepMain {
         case "--contain-max" =>
           require(i + 1 < args.length, s"--contain-max needs a value; $Usage")
           i += 1; containMax = Some(args(i).toDouble)
+        case "--domain-cap" =>
+          require(i + 1 < args.length, s"--domain-cap needs a value; $Usage")
+          i += 1; domainCap = Some(args(i).toInt)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $f; $Usage")
         case p => pos += p
@@ -172,9 +184,9 @@ object CorpusPrepMain {
     }
     try {
       artifact match {
-        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax))
-        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax))
-        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax))
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap))
+        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap))
+        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap))
       }
     } finally spark.stop()
   }

@@ -403,26 +403,26 @@ object Extras {
     * relation; shares defined 0.0 on empty sides rather than inherit
     * either engine's x/0 (zero-row hardening convention).
     *
-    * Scale: per relation one child⋈distinct-parent-keys left join
-    * (shuffle on the FK — broadcast when the dimension fits, Catalyst's
-    * call) and one parent⋈distinct-child-keys left join; all verdicts
-    * are aggregates, so nothing per-row ever reaches the driver and the
-    * seven 1-row frames union for free. */
+    * Scale: per relation ONE full-outer join of the pre-aggregated
+    * child key counts (groupBy FK first — join input shrinks from rows
+    * to distinct keys, the classic pre-agg-before-join) against the
+    * distinct parent keys; both censuses fall out of the same joined
+    * frame as aggregates, so nothing per-row ever reaches the driver
+    * and the seven 1-row frames union for free. */
   val dqReferential: Q = (s, d) => {
     import org.apache.spark.sql.DataFrame
     def rel(name: String, child: DataFrame, ck: String,
             parent: DataFrame, pk: String): DataFrame = {
       val ckeys = child.select(col(ck).cast("long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
       val pkeys = parent.select(col(pk).cast("long").as("k")).distinct()
-      val childStats = ckeys
-        .join(pkeys.withColumn("hit", lit(1)), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_child"),
-             coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L)).as("n_orphan"))
-      val parentStats = pkeys
-        .join(ckeys.distinct().withColumn("ref", lit(1)), Seq("k"), "left")
-        .agg(count(lit(1)).as("n_parent"),
-             coalesce(sum(when(col("ref").isNotNull, 1L).otherwise(0L)), lit(0L)).as("n_parent_hit"))
-      childStats.crossJoin(parentStats).select(
+        .withColumn("hit", lit(1))
+      ckeys.join(pkeys, Seq("k"), "full_outer").agg(
+        coalesce(sum("cnt"), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("hit").isNull, col("cnt"))), lit(0L)).as("n_orphan"),
+        count(col("hit")).as("n_parent"),
+        count(when(col("hit").isNotNull && col("cnt").isNotNull, true)).as("n_parent_hit")
+      ).select(
         lit(name).as("relation"),
         col("n_child"), col("n_orphan"),
         when(col("n_child") === 0, lit(0.0))

@@ -152,6 +152,33 @@ object Webops {
       .orderBy("url_key")
   }
 
+  /** doc_id → first_domain (trail-trimmed, min of the doc's domains)
+    * over an arbitrary documents-shaped frame — the composition surface
+    * behind llm_domain_cap / llm_domain_stats that CorpusPrep's cap
+    * stage reuses on its CURRENT survivor frame (capping must rank the
+    * docs actually in the pipeline, not the raw table). Docs without
+    * URLs produce no row. */
+  def firstDomain(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
+      .withColumn("domain",
+        regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
+      .groupBy("doc_id").agg(min("domain").as("domain"))
+
+  /** The doc_ids a per-site cap of `cap` drops from `docs` (rank by
+    * doc_id within first_domain, rk > cap loses; site-less docs are
+    * exempt — see llm_domain_cap for the scale rationale). */
+  def domainCapLosers(docs: org.apache.spark.sql.DataFrame, cap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"domain cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("doc_id")
+    firstDomain(docs)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > cap)
+      .select("doc_id")
+  }
+
   /** llm_domain_cap — per-site document cap (the RefinedWeb/C4-style
     * hot-domain downsampler: no single site may contribute more than K
     * docs to the corpus). Docs are attributed to their first_domain (as
@@ -175,14 +202,9 @@ object Webops {
     val cap = s.conf.get("spark.graft.domain.cap", "2").toInt
     require(cap >= 1, s"spark.graft.domain.cap must be >= 1, got $cap")
     val docs = Tables.documents(s, d)
-    val firstDom = docs
-      .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
-      .withColumn("domain",
-        regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
-      .groupBy("doc_id").agg(min("domain").as("domain"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain").orderBy("doc_id")
-    val ranked = firstDom
+    val ranked = firstDomain(docs)
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("kept", col("rk") <= cap)
     docs.select("doc_id").join(ranked, Seq("doc_id"), "left")

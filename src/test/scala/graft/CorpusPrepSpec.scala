@@ -193,4 +193,28 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     CorpusPrep.run(spark, dir, containMax = Some(0.9))
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L)
   }
+
+  test("per-site cap (domainCap) keeps K lowest ids per domain, composes with the quality gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_capgate").toString
+    // doc 0 is all-rare (every token a corpus singleton → strictly the
+    // highest unigram xent); docs 1-4 are mostly the common token 'the'
+    Seq(
+      (0L, "q0 q1 q2 q3 https://hot.com/0", "en", "s", 0L),
+      (1L, "the the the the u1 https://hot.com/1", "en", "s", 0L),
+      (2L, "the the the the u2 https://hot.com/2", "en", "s", 0L), // 3rd hot.com doc
+      (3L, "the the the the u3 https://cold.org/x", "en", "s", 0L),
+      (4L, "the the the the u4", "en", "s", 0L)) // site-less → exempt
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusPrep.run(spark, dir, domainCap = Some(2))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 3L, 4L)
+    // the cap ranks the CURRENT survivor frame: gate doc 0 away first
+    // and the freed hot.com slot goes to doc 2 — a raw-table ranking
+    // would still burn the slot on the gated doc
+    val xentOf = graft.queries.Textops.llmLogprobScore(spark, dir)
+      .where(col("doc_id") === 0L).head().getDouble(3)
+    CorpusPrep.run(spark, dir, domainCap = Some(2), xentMax = Some(xentOf - 0.0001))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L)
+  }
 }
