@@ -374,7 +374,9 @@ object Textops {
     * bucket verdicts never disagree with the emitted xents and the two
     * engines' last-ulp interpolation noise cannot flip a verdict. */
   val llmCcnetBucket: Q = (s, d) => {
-    val scored = unigramXent(s, d)
+    // cut: the scored frame feeds the cutoff aggregate AND the bucketing
+    // join — one materialization, not two runs of the scoring pipeline
+    val scored = graft.ops.Lineage.cut(unigramXent(s, d))
     val cuts = scored.groupBy("lang").agg(
       r4(expr("percentile(xent, cast(1 as double) / 3)")).as("t1"),
       r4(expr("percentile(xent, cast(2 as double) / 3)")).as("t2"))

@@ -46,6 +46,11 @@ case class GapUpdate(event_id: Long, event_type: String, gap: Long,
   * over (the ONLINE feeder of queries.Events.evActiveUsers). */
 case class DayActive(user_id: Long, day_s: Long)
 
+/** One attributed purchase from `purchaseCredits` — the ONLINE feeder of
+  * queries.Events.evAttribution: the report is a stateless
+  * groupBy(touch) over this stream. */
+case class PurchaseCredit(event_id: Long, user_id: Long, touch: String, value: Double)
+
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
   * DataFrame — `readStream` (rate, kafka, files) or a MemoryStream in
@@ -476,6 +481,48 @@ object EventStreams {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new DailyFirstSeenProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Last-touch attribution state: one string of state per USER (the
+    * most recent non-purchase event_type) — never keyed by touch type
+    * (a type-keyed distinct would funnel whole event classes through
+    * single state partitions; per-user state is uniform and bounded at
+    * one value). A purchase row emits its credit immediately
+    * (touch = stored state, '<none>' when no touch preceded); non-
+    * purchase rows only update state. In-order contract as
+    * DailyFirstSeenProcessor: microbatch rows fold in (ts, event_id)
+    * order, late cross-batch arrivals are the stream/batch divergence
+    * watermarks bound. */
+  class AttributionProcessor extends StatefulProcessor[Long, Ev, PurchaseCredit] {
+    @transient private var lastTouch: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTouch = getHandle.getValueState[String](
+        "lastTouch", Encoders.STRING, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[PurchaseCredit] = {
+      var touch = if (lastTouch.exists()) lastTouch.get() else null
+      val out = scala.collection.mutable.ArrayBuffer.empty[PurchaseCredit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        if (e.event_type == "purchase")
+          out += PurchaseCredit(e.event_id, key,
+            if (touch == null) "<none>" else touch, e.value)
+        else touch = e.event_type
+      }
+      if (touch != null) lastTouch.update(touch)
+      out.iterator
+    }
+  }
+
+  /** ev_attribution online feeder (see AttributionProcessor): the
+    * attributed-purchase stream; the batch report is a stateless
+    * groupBy(touch) count/sum over it. */
+  def purchaseCredits(events: Dataset[Ev]): Dataset[PurchaseCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor, TimeMode.None(), OutputMode.Append())
   }
 
   /** ev_anomaly twin (see AnomalyProcessor). */

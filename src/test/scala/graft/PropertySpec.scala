@@ -180,6 +180,80 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("llm_domain_rank equals a plain-Scala PageRank on generated link corpora") {
+    import spark.implicits._
+    // random web-shaped corpora: a small domain pool, docs carrying 0-3
+    // urls with random paths and occasional prose punctuation glued on —
+    // the independent recomputation mirrors the declared semantics
+    // (min-domain attribution, distinct edges, 2 iterations, damping
+    // 0.85, uniform dangling) in plain Scala collections, so a Spark-side
+    // graph-construction or iteration bug cannot hide in the fixture
+    val pool = Vector("a.com", "b.org", "c.net", "d.io", "e.dev")
+    val genDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(5, 12)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)]((0 until n).toList.map { id =>
+        for {
+          k <- Gen.frequency(1 -> Gen.const(0), 3 -> Gen.choose(1, 3))
+          urls <- Gen.listOfN(k, for {
+            d <- Gen.oneOf(pool)
+            p <- Gen.choose(0, 9)
+            punct <- Gen.oneOf("", "", ".", "),")
+          } yield s"https://$d/p$p$punct")
+        } yield (id.toLong, (s"w$id" :: urls).mkString(" "))
+      })
+    } yield docs
+
+    def expected(docs: List[(Long, String)]): Seq[(String, Long, Double)] = {
+      val urlRe = "https?://[^ ]+".r
+      val trailRe = "[.,);!?]+$".r
+      val domRe = "https?://([^/ ]+)".r
+      val perDoc = docs.map { case (id, text) =>
+        val doms = urlRe.findAllIn(text).toList
+          .map(u => trailRe.replaceAllIn(u, ""))
+          .map(u => domRe.findFirstMatchIn(u).map(_.group(1)).getOrElse(""))
+          .distinct
+        (id, doms)
+      }
+      val src = perDoc.collect { case (id, ds) if ds.nonEmpty => id -> ds.min }.toMap
+      val attributed = perDoc.map { case (id, _) => src.getOrElse(id, "<none>") }
+      val edges = perDoc.flatMap { case (id, ds) =>
+        src.get(id).toList.flatMap(s => ds.filter(_ != s).map(dst => (s, dst)))
+      }.distinct
+      val nodes = (attributed ++ edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val n = nodes.size
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 2) {
+        val dm = nodes.filterNot(deg.contains).map(r).sum
+        val cin = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => r(s) / deg(s) }.sum }
+        r = nodes.map(v => v -> (0.15 / n + 0.85 * (cin.getOrElse(v, 0.0) + dm / n))).toMap
+      }
+      nodes.map(v => (v, deg.getOrElse(v, 0).toLong, r(v)))
+    }
+
+    (1 to 6).foreach { i =>
+      genDocs.apply(Gen.Parameters.default, Seed(910L + i)).foreach { docs =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_prank$i").toString
+        docs.map { case (id, t) => (id, t, "en", "w", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = queries.Webops.llmDomainRank(spark, dir).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        val exp = expected(docs)
+        got.map(t => (t._1, t._2)) shouldBe exp.map(t => (t._1, t._2))
+        // ranks compare within one r4 grain: Spark sums in partition
+        // order, the oracle in list order — last-ulp differences may
+        // straddle a rounding boundary, a structural bug cannot
+        got.zip(exp).foreach { case ((d, _, gr), (_, _, er)) =>
+          assert(math.abs(gr - er) <= 0.0001, s"seed ${910 + i} domain $d: $gr vs $er")
+        }
+        // Σ rank = 1 (damping + dangling redistribution conserve mass)
+        assert(math.abs(got.map(_._3).sum - 1.0) < 0.001, s"seed ${910 + i}: mass leak")
+      }
+    }
+  }
+
   test("large-star/small-star labels equal union-find components on random graphs") {
     import spark.implicits._
     val genGraph: Gen[List[(Long, Long)]] = for {

@@ -450,6 +450,53 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     batchDau shouldBe streamedDau
   }
 
+  test("purchaseCredits matches batch ev_attribution across a mid-journey microbatch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def at(id: Long, user: Long, minute: Int, typ: String, value: Double) =
+      Ev(id, ts(minute), user, typ, value)
+    // user 1: view → purchase → click → purchase (split lands BETWEEN
+    // the click and its purchase — the credit depends on carried state);
+    // user 2: direct purchase ('<none>'), then a view, then purchase;
+    // user 3: touches only, no purchase
+    val rows = Seq(
+      at(0, 1, 1, "view", 0.0), at(1, 1, 2, "purchase", 10.0),
+      at(2, 1, 3, "click", 0.0), at(3, 2, 4, "purchase", 5.0),
+      at(4, 1, 6, "purchase", 7.0), at(5, 2, 7, "view", 0.0),
+      at(6, 2, 9, "purchase", 2.0), at(7, 3, 5, "view", 0.0))
+    val (b1, b2) = rows.splitAt(4)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val credits = try {
+      val stream = MemoryStream[Ev]
+      stream.addData(b1: _*)
+      val q = EventStreams.purchaseCredits(stream.toDS())
+        .writeStream.format("memory").queryName("credits")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("credits").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).sortBy(_._1).toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // every purchase credited exactly once, to the correct carried touch
+    credits shouldBe Seq(
+      (1L, "view", 10.0), (3L, "<none>", 5.0), (4L, "click", 7.0), (6L, "view", 2.0))
+    // the stateless groupBy over the credit stream == the batch report
+    val streamedReport = credits.groupBy(_._2).view
+      .mapValues(cs => (cs.size.toLong, cs.map(_._3).sum)).toMap
+    val d = java.nio.file.Files.createTempDirectory("graft_attr_s").toString
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batchReport = queries.Events.evAttribution(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    batchReport shouldBe streamedReport
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
