@@ -12,6 +12,10 @@ import graft.ops.Det._
   *                    cross-entropy exceeds `xentMax` (llm_logprob_score
   *                    shape; the LM is trained on the INPUT corpus, so
   *                    the gate is self-contained);
+  *   0b. relative LM gate (optional) — the CCNet tail-drop: keep each
+  *                    language's docs at or below its `xentQuantileMax`
+  *                    quantile of xent (per-lang self-calibrating, where
+  *                    `xentMax` is an absolute corpus-tuned bound);
   *   0.5 per-site cap (optional) — keep at most `domainCap` docs per
   *                    first_domain among the current survivors
   *                    (llm_domain_cap shape; site-less docs exempt);
@@ -43,7 +47,8 @@ object CorpusPrep {
           labelRounds: Int = 8, xentMax: Option[Double] = None,
           spanDupMax: Option[Double] = None,
           containMax: Option[Double] = None,
-          domainCap: Option[Int] = None): DataFrame = {
+          domainCap: Option[Int] = None,
+          xentQuantileMax: Option[Double] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -53,10 +58,29 @@ object CorpusPrep {
     //    can never drift apart. Note the near-dup pair source (stage 3)
     //    still reads the full table; dropped docs fall out of the edge
     //    set at the ids join, same as exact-dedup losers.
-    val gated = xentMax.fold(docs0) { m =>
+    val gatedAbs = xentMax.fold(docs0) { m =>
       docs0.join(
         graft.queries.Textops.llmLogprobScore(spark, sfDir)
           .where(col("xent") <= m).select("doc_id"),
+        "doc_id")
+    }
+
+    // 0b. optional RELATIVE LM gate — the CCNet tail-drop: keep each
+    //     language's docs at or below its q-quantile of xent (the
+    //     llm_ccnet_bucket cutoff shape: a 1-double-per-lang aggregate
+    //     broadcast back, r4-rounded before thresholding — never a
+    //     per-lang ranking window). An absolute xentMax needs
+    //     re-tuning per corpus and penalizes rare languages (their
+    //     tokens are globally rarer, so whole languages sit above a
+    //     global cut); the per-lang quantile is self-calibrating.
+    val gated = xentQuantileMax.fold(gatedAbs) { q =>
+      require(q > 0 && q < 1, s"xentQuantileMax must be in (0, 1), got $q")
+      val scored = graft.queries.Textops.llmLogprobScore(spark, sfDir)
+      val cuts = scored.groupBy("lang")
+        .agg(r4(expr(s"percentile(xent, cast($q as double))")).as("qcut"))
+      gatedAbs.join(
+        scored.join(broadcast(cuts), "lang")
+          .where(col("xent") <= col("qcut")).select("doc_id"),
         "doc_id")
     }
 

@@ -28,6 +28,10 @@ import org.apache.spark.sql.SparkSession
   * docs per first_domain survive into the pipeline (llm_domain_cap
   * shape; site-less docs exempt).
   *
+  * `--xent-quantile Q` switches on the relative LM gate (stage 0b, the
+  * CCNet tail-drop): each language keeps only docs at or below its
+  * Q-quantile of unigram xent.
+  *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
   * corpus-stamped artifact; first run bootstraps it with a full build,
@@ -43,10 +47,12 @@ object CorpusPrepMain {
           xentMax: Option[Double] = None,
           spanDupMax: Option[Double] = None,
           containMax: Option[Double] = None,
-          domainCap: Option[Int] = None): String = {
+          domainCap: Option[Int] = None,
+          xentQuantileMax: Option[Double] = None): String = {
     val in = graft.Tables.documents(spark, src).count()
     val out = CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-      spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap)
+      spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap,
+      xentQuantileMax = xentQuantileMax)
     // partition the delivered corpus by split so downstream training
     // readers prune train/val/test at the directory level
     out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
@@ -68,13 +74,15 @@ object CorpusPrepMain {
            xentMax: Option[Double] = None,
            spanDupMax: Option[Double] = None,
            containMax: Option[Double] = None,
-           domainCap: Option[Int] = None)
+           domainCap: Option[Int] = None,
+           xentQuantileMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     // cut: syncPartitions executes its input twice (fingerprint +
     // rewrite) and the prep pipeline is the expensive part
     val out = graft.ops.Lineage.cut(
       CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
-        spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap))
+        spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap,
+        xentQuantileMax = xentQuantileMax))
     graft.delivery.Deliver.syncPartitions(
       spark, out, s"$dst/documents", "split", "parquet")
   }
@@ -96,7 +104,8 @@ object CorpusPrepMain {
                   xentMax: Option[Double] = None,
                   spanDupMax: Option[Double] = None,
                   containMax: Option[Double] = None,
-                  domainCap: Option[Int] = None)
+                  domainCap: Option[Int] = None,
+                  xentQuantileMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     val aPath = new org.apache.hadoop.fs.Path(artifact)
     val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -118,14 +127,15 @@ object CorpusPrepMain {
     val key = "spark.graft.pairs.artifact"
     val prevConf = spark.conf.getOption(key)
     spark.conf.set(key, artifact)
-    try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap)
+    try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap,
+      xentQuantileMax)
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   private val Usage =
     "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
-    "[--xent-max V] [--span-dup-max F] [--contain-max F] [--domain-cap K] " +
-    "SRCDIR OUTDIR [stopK]"
+    "[--xent-max V] [--xent-quantile Q] [--span-dup-max F] [--contain-max F] " +
+    "[--domain-cap K] SRCDIR OUTDIR [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
@@ -138,6 +148,7 @@ object CorpusPrepMain {
     var spanDupMax: Option[Double] = None
     var containMax: Option[Double] = None
     var domainCap: Option[Int] = None
+    var xentQuantileMax: Option[Double] = None
     val pos = scala.collection.mutable.Buffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -159,6 +170,9 @@ object CorpusPrepMain {
         case "--domain-cap" =>
           require(i + 1 < args.length, s"--domain-cap needs a value; $Usage")
           i += 1; domainCap = Some(args(i).toInt)
+        case "--xent-quantile" =>
+          require(i + 1 < args.length, s"--xent-quantile needs a value; $Usage")
+          i += 1; xentQuantileMax = Some(args(i).toDouble)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $f; $Usage")
         case p => pos += p
@@ -184,9 +198,9 @@ object CorpusPrepMain {
     }
     try {
       artifact match {
-        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap))
-        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap))
-        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap))
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
+        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
+        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
       }
     } finally spark.stop()
   }

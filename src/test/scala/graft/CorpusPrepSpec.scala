@@ -217,4 +217,24 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     CorpusPrep.run(spark, dir, domainCap = Some(2), xentMax = Some(xentOf - 0.0001))
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 4L)
   }
+
+  test("relative LM gate (xentQuantileMax) cuts each language's own tail, not a global one") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate").toString
+    // en has a common-token low tier and an all-singleton high tier; BOTH
+    // de docs are all-singleton — every de xent sits above en's low tier,
+    // so a global median would wipe the language out; the per-lang median
+    // keeps both de docs while still cutting en's tail
+    Seq(
+      (0L, "the the the the u0", "en", "s", 0L),
+      (1L, "the the the the u1", "en", "s", 0L),
+      (2L, "the the the the u2", "en", "s", 0L),
+      (3L, "r1 r2 r3 r4 r5", "en", "s", 0L),   // en tail
+      (4L, "s1 s2 s3 s4 s5", "de", "s", 0L),
+      (5L, "s6 s7 s8 s9 s10", "de", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusPrep.run(spark, dir, xentQuantileMax = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L, 4L, 5L)
+  }
 }

@@ -497,6 +497,48 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     batchReport shouldBe streamedReport
   }
 
+  test("dedupByContent keeps one doc per content hash; keepers match batch llm_exact_dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{Doc, DocStreams}
+    // duplicate texts land in DIFFERENT microbatches (docs 0/3 and 1/4
+    // share content) — the survivor decision must come from carried
+    // state; ids are monotone, the refreshInPlace ingest contract
+    val docs = Seq(
+      Doc(0L, "alpha beta gamma", "en"),
+      Doc(1L, "delta epsilon", "en"),
+      Doc(2L, "unique text one", "de"),
+      Doc(3L, "alpha beta gamma", "en"), // dup of 0 across the split
+      Doc(4L, "delta epsilon", "fr"),    // dup of 1 across the split
+      Doc(5L, "unique text two", "en"))
+    val (b1, b2) = docs.splitAt(3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val kept = try {
+      val stream = MemoryStream[Doc]
+      stream.addData(b1: _*)
+      val q = DocStreams.dedupByContent(stream.toDS())
+        .writeStream.format("memory").queryName("kept")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("kept").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    kept.map(_._1) shouldBe Seq(0L, 1L, 2L, 5L) // first arrival = min id wins
+    // keeper ids AND hashes equal the batch operator's on the same corpus
+    val d = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    docs.map(x => (x.doc_id, x.text, x.lang, "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val batch = queries.Llm.llmExactDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    kept shouldBe batch
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
