@@ -141,6 +141,39 @@ object Events {
       .orderBy("cohort", "offset")
   }
 
+  /** ev_cohort_ltv — the value analogue of ev_retention: per signup
+    * cohort (first-seen day) and day offset ≤ 7, the purchase revenue
+    * earned that day, the cohort's CUMULATIVE revenue through the
+    * offset, and LTV per cohort user — the growth-analytics curve every
+    * subscription/commerce report draws. Scale: two bounded aggs
+    * (cohort assignment + per-(cohort, offset) revenue) and the running
+    * sum over the AGGREGATED ≤8-rows-per-cohort frame (a per-cohort
+    * 8-row window, not an all-events window); day_value is r4-rounded
+    * BEFORE the cumulative sum so both engines accumulate identical
+    * summands. Offsets with zero purchases produce no row (the report
+    * is over observed revenue days; cum_value still carries across the
+    * gap). */
+  val evCohortLtv: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    val first = e.groupBy("user_id").agg(min("day").as("cohort"))
+    val sz = first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    val rev = e.join(first, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort")).cast("long"))
+      .where(col("offset") <= 7 && col("event_type") === "purchase")
+      .groupBy("cohort", "offset")
+      .agg(r4(sum("value")).as("day_value"))
+    val wc = Window.partitionBy("cohort").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_value", r4(sum("day_value").over(wc)))
+      .join(sz, "cohort")
+      .select(col("cohort"), col("offset"), col("day_value"), col("cum_value"),
+        col("cohort_users"),
+        r4(col("cum_value") / col("cohort_users")).as("ltv_per_user"))
+      .orderBy("cohort", "offset")
+  }
+
   /** ev_user_path — top-20 event-type trigrams across per-user ordered
     * event sequences (ties broken by event_id; counts desc, then path).
     * The sequence-mining shape: lead windows per user, then a global
@@ -272,6 +305,7 @@ object Events {
     "ev_active_users"   -> evActiveUsers,
     "ev_inter_arrival"  -> evInterArrival,
     "ev_retention"      -> evRetention,
+    "ev_cohort_ltv"     -> evCohortLtv,
     "ev_anomaly"        -> evAnomaly,
     "ev_user_path"      -> evUserPath,
     "ev_tumbling"       -> evTumbling,
@@ -360,6 +394,26 @@ object Events {
         |FROM e JOIN first f ON e.user_id = f.user_id
         |WHERE date_diff('day', f.cohort, e.day) <= 7
         |GROUP BY f.cohort, "offset" ORDER BY f.cohort, "offset" """.stripMargin,
+    "ev_cohort_ltv" ->
+      s"""WITH e AS (
+        | SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type, value
+        | FROM events),
+        |first AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+        |sz AS (SELECT cohort, count(*) AS cohort_users FROM first GROUP BY cohort),
+        |rev AS (
+        | SELECT f.cohort, CAST(date_diff('day', f.cohort, e.day) AS BIGINT) AS "offset",
+        |  ${r4Sql("sum(e.value)")} AS day_value
+        | FROM e JOIN first f ON e.user_id = f.user_id
+        | WHERE date_diff('day', f.cohort, e.day) <= 7 AND e.event_type = 'purchase'
+        | GROUP BY f.cohort, "offset"),
+        |cum AS (
+        | SELECT cohort, "offset", day_value,
+        |  ${r4Sql("sum(day_value) OVER (PARTITION BY cohort ORDER BY \"offset\" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_value
+        | FROM rev)
+        |SELECT cum.cohort, cum."offset", cum.day_value, cum.cum_value,
+        | sz.cohort_users, ${r4Sql("cum.cum_value / sz.cohort_users")} AS ltv_per_user
+        |FROM cum JOIN sz ON sz.cohort = cum.cohort
+        |ORDER BY cum.cohort, cum."offset" """.stripMargin,
     "ev_user_path" ->
       """SELECT e0, e1, e2, n FROM (
         | SELECT event_type AS e0, t1 AS e1, t2 AS e2, count(*) AS n FROM (

@@ -473,6 +473,33 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows.map(_._3).distinct.size shouldBe 3
   }
 
+  test("ev_cohort_ltv matches the hand-computed cohort revenue curve") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ltv").toString
+    def ev(id: Long, user: Long, day: Int, hour: Int, typ: String, v: Double) =
+      // midnight-aligned base (1699920000 = 19675 × 86400) so hour
+      // offsets stay inside their calendar day
+      (id, (1699920000L + day * 86400L + hour * 3600L) * 1000000000L, user, typ, v, "{}")
+    // users 1,2 sign up day 0; user 3 day 1
+    Seq(
+      ev(0, 1, 0, 1, "view", 0.0), ev(1, 1, 0, 2, "purchase", 10.0),
+      ev(2, 1, 1, 3, "purchase", 5.0),
+      ev(3, 2, 0, 4, "view", 0.0), ev(4, 2, 2, 5, "purchase", 3.0),
+      ev(5, 3, 1, 6, "view", 0.0), ev(6, 3, 1, 7, "purchase", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = queries.Events.evCohortLtv(spark, dir).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq
+    val d0 = rows.head._1 // cohort of day 0 (absolute date irrelevant)
+    val d1 = rows.last._1
+    rows shouldBe Seq(
+      (d0, 0L, 10.0, 10.0, 2L, 5.0),
+      (d0, 1L, 5.0, 15.0, 2L, 7.5),
+      (d0, 2L, 3.0, 18.0, 2L, 9.0),
+      (d1, 0L, 7.0, 7.0, 1L, 7.0))
+  }
+
   test("dq_referential reports planted orphans and unreferenced parents, relation by relation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString
