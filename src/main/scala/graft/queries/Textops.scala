@@ -542,6 +542,21 @@ object Textops {
     * array (aggregate/filter), so the whole gate is one shuffle-free
     * full-corpus pass, the only shape a 100 TB pre-filter can afford
     * (contrast the explode + agg ops, which pay a doc-keyed shuffle). */
+  /** The Gopher gate verdict for a text column — the composition
+    * surface of llm_gopher_rules (same three rules, same r4-rounded
+    * features, same inclusive bounds) as ONE reusable boolean, so the
+    * streaming ingest gate (DocStreams.gopherGate) and batch callers
+    * apply the identical criterion. GopherSpec-style drift guard:
+    * QuerySemanticsSpec pins gopherPass ≡ llm_gopher_rules.pass on the
+    * fixture, so the two formulations cannot diverge silently. */
+  def gopherPass(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val nTok = size(toks).cast("long")
+    val avgWlen = r4(aggregate(toks, lit(0L), (a, x) => a + length(x)) * lit(1.0) / nTok)
+    val fracAlpha = r4(size(filter(toks, x => x.rlike("[a-zA-Z]"))) * lit(1.0) / nTok)
+    nTok.between(50L, 100000L) && avgWlen.between(3.0, 10.0) && fracAlpha >= 0.8
+  }
+
   val llmGopherRules: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))

@@ -65,4 +65,23 @@ object DocStreams {
       .transformWithState(new ContentDedupProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Stateless Gopher quality gate on the document stream — the
+    * streaming form of llm_gopher_rules' pass verdict (the SAME column
+    * expression, Textops.gopherPass, so batch and stream gate
+    * identically). Stateless = a pure filter on each microbatch: no
+    * store, no watermark, safe at any rate. */
+  def gopherGate(docs: Dataset[Doc]): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF().where(graft.queries.Textops.gopherPass(
+      org.apache.spark.sql.functions.col("text"))).as[Doc]
+  }
+
+  /** The composed online ingest: quality-gate THEN dedup — gating first
+    * means garbage never occupies dedup state (the same
+    * shrink-before-the-expensive-stage ordering CorpusPrep uses for its
+    * stage-0 gates). */
+  def ingest(docs: Dataset[Doc]): Dataset[KeptDoc] =
+    dedupByContent(gopherGate(docs))
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
-import graft.pipelines.CorpusPrep
+import graft.pipelines.{CorpusPrep, CorpusReportMain}
 
 /** End-to-end invariants of the composed corpus-prep pipeline
   * (clean → exact dedup → near-dup clustering → split). */
@@ -236,5 +236,30 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     CorpusPrep.run(spark, dir, xentQuantileMax = Some(0.5))
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L, 4L, 5L)
+  }
+
+  test("corpus report datasheet is consistent with the operators it composes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_card").toString
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    Seq(
+      (0L, good, "en", "s", 0L),
+      (1L, good, "en", "s", 0L),  // exact dup of 0
+      (2L, "x y", "de", "s", 0L)) // short → fails the gopher gate
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val line = CorpusReportMain.report(spark, dir)
+    line should include(""""n_docs":3""")
+    line should include(""""n_langs":2""")
+    line should include(""""n_tokens":122""")          // 60 + 60 + 2
+    line should include(""""exact_dup_docs":1""")      // doc 1 duplicates doc 0
+    line should include(""""exact_dup_share":0.3333""")
+    line should include(""""gopher_pass_docs":2""")
+    line should include(""""langs":{"de":1,"en":2}""")
+    // cross-check the dup census against llm_exact_dedup itself
+    val dupFromOp = queries.Llm.llmExactDedup(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_dups") - 1)).head().getLong(0)
+    line should include(s""""exact_dup_docs":$dupFromOp""")
   }
 }

@@ -500,6 +500,18 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (d1, 0L, 7.0, 7.0, 1L, 7.0))
   }
 
+  test("gopherPass column equals llm_gopher_rules' pass verdict on the fixture (drift guard)") {
+    import org.apache.spark.sql.functions.col
+    val rules = queries.Textops.llmGopherRules(spark, sfDir)
+      .select(col("doc_id"), col("pass"))
+    val gate = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        queries.Textops.gopherPass(col("text")).cast("long").as("gp"))
+    rules.join(gate, "doc_id").where(col("pass") =!= col("gp")).count() shouldBe 0L
+    // non-degenerate: the fixture has both passing and failing docs
+    rules.select("pass").distinct().count() shouldBe 2L
+  }
+
   test("dq_referential reports planted orphans and unreferenced parents, relation by relation") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ref").toString

@@ -539,6 +539,35 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     kept shouldBe batch
   }
 
+  test("ingest composes the gopher gate with content dedup: garbage never reaches state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{Doc, DocStreams}
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") // passes all 3 rules
+    val docs = Seq(
+      Doc(0L, good, "en"),
+      Doc(1L, "x y", "en"),        // fails n_tok ≥ 50 → gated, never dedup state
+      Doc(2L, good, "en"),         // dup of 0, next batch
+      Doc(3L, "1 2 3", "en"))      // fails frac_alpha too
+    val (b1, b2) = docs.splitAt(2)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ingested = try {
+      val stream = MemoryStream[Doc]
+      stream.addData(b1: _*)
+      val q = DocStreams.ingest(stream.toDS())
+        .writeStream.format("memory").queryName("ingested")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("ingested").collect().map(_.getLong(0)).toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    ingested shouldBe Seq(0L)
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
