@@ -387,7 +387,13 @@ object Textops {
           .otherwise(lit("tail")))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
-           r4(avg("xent")).as("avg_xent"),
+           // avg over the r4'd xents, summed as their EXACT scaled
+           // integers (floor(x·10⁴+0.5) recovers each 4-decimal value's
+           // integer numerator; integer sums are order-free-exact in
+           // doubles) — a plain avg() summed r4'd doubles in engine-
+           // specific order and flipped the 4th decimal at sf0.1
+           r4(sum(floor(col("xent") * 10000 + lit(0.5))) /
+              (count(lit(1)) * lit(10000.0))).as("avg_xent"),
            min("xent").as("min_xent"),
            max("xent").as("max_xent"))
       .orderBy("lang", "bucket")
@@ -760,7 +766,7 @@ object Textops {
         |SELECT sc.lang,
         | CASE WHEN xent <= t1 THEN 'head' WHEN xent <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
         | count(*) AS n_docs,
-        | ${r4Sql("avg(xent)")} AS avg_xent,
+        | ${r4Sql("sum(floor(xent * 10000 + 0.5)) / (count(*) * 10000.0)")} AS avg_xent,
         | min(xent) AS min_xent, max(xent) AS max_xent
         |FROM sc JOIN cuts USING (lang)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
