@@ -240,11 +240,13 @@ object Webops {
     * collapse under the final r4. */
   val llmDomainRank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val ud = docs
+    // cut: the (doc, domain) frame feeds BOTH the attribution agg and
+    // the edge join — one regex-explode scan of the corpus, not two
+    val ud = graft.ops.Lineage.cut(docs
       .select(col("doc_id"), explode(expr(s"regexp_extract_all(text, '$urlRe', 0)")).as("url"))
       .withColumn("domain",
         regexp_extract(regexp_replace(col("url"), lit(trailRe), lit("")), domRe, 1))
-      .select("doc_id", "domain").distinct()
+      .select("doc_id", "domain").distinct())
     val src = ud.groupBy("doc_id").agg(min("domain").as("src"))
     val attributed = docs.select("doc_id").join(src, Seq("doc_id"), "left")
       .select(coalesce(col("src"), lit("<none>")).as("domain"))

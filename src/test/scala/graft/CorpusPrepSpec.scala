@@ -262,4 +262,16 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .agg(org.apache.spark.sql.functions.sum(col("n_dups") - 1)).head().getLong(0)
     line should include(s""""exact_dup_docs":$dupFromOp""")
   }
+
+  test("corpus report on an empty corpus is the well-defined zero card") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_card0").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val line = CorpusReportMain.report(spark, dir)
+    line shouldBe ("""{"n_docs":0,"n_langs":0,"n_tokens":0,"avg_doc_tokens":0.0,""" +
+      """"exact_dup_docs":0,"exact_dup_share":0.0,""" +
+      """"gopher_pass_docs":0,"gopher_pass_share":0.0,"langs":{}}""")
+  }
 }
