@@ -230,9 +230,12 @@ object Webops {
     * The iterative-graph shape beside llm_dedup_cluster's large-star /
     * small-star CC: each iteration is one edges⋈ranks shuffle (width =
     * edges) + a ≤1-row dangling aggregate — never an adjacency matrix,
-    * never a driver-side loop over nodes; the iteration count is a
-    * fixed literal (2 — mirrored in the oracle CTE chain), so the plan
-    * is static and the lineage is cut per step. Floats: damping
+    * never a driver-side loop over nodes; the iteration count is
+    * `spark.graft.rank.iters` (default 2 = the oracle contract — the
+    * oracle mirrors it as a 2-step CTE chain, so departing departs
+    * from the declared SQL; PropertySpec re-pins 3 iterations against
+    * the plain-Scala oracle), and the lineage is cut per step so the
+    * plan stays bounded at any depth. Floats: damping
     * constants are written as the literal doubles 0.85 / 0.15 in BOTH
     * engines (never derived as 1.0 − 0.85, a DIFFERENT double) and the
     * oracle casts its literals to DOUBLE so DuckDB's decimal literal
@@ -258,11 +261,14 @@ object Webops {
         .union(edges.select(col("src").as("domain")))
         .union(edges.select(col("dst").as("domain")))
         .distinct())
+    val iters = s.conf.get("spark.graft.rank.iters", "2").toInt
+    require(iters >= 1 && iters <= 20,
+      s"spark.graft.rank.iters must be in [1, 20], got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nTot = nodes.agg(count(lit(1)).as("n"))
     var rank = nodes.crossJoin(broadcast(nTot))
       .select(col("domain"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to iters) {
       val cur = graft.ops.Lineage.cut(rank) // feeds contrib AND dangling
       val contrib = edges
         .join(cur.withColumnRenamed("domain", "src"), "src")

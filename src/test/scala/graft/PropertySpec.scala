@@ -203,7 +203,7 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
       })
     } yield docs
 
-    def expected(docs: List[(Long, String)]): Seq[(String, Long, Double)] = {
+    def expected(docs: List[(Long, String)], iters: Int = 2): Seq[(String, Long, Double)] = {
       val urlRe = "https?://[^ ]+".r
       val trailRe = "[.,);!?]+$".r
       val domRe = "https?://([^/ ]+)".r
@@ -223,7 +223,7 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
       val n = nodes.size
       val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
       var r = nodes.map(_ -> 1.0 / n).toMap
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to iters) {
         val dm = nodes.filterNot(deg.contains).map(r).sum
         val cin = edges.groupBy(_._2).map { case (dst, es) =>
           dst -> es.map { case (s, _) => r(s) / deg(s) }.sum }
@@ -250,6 +250,20 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
         }
         // Σ rank = 1 (damping + dangling redistribution conserve mass)
         assert(math.abs(got.map(_._3).sum - 1.0) < 0.001, s"seed ${910 + i}: mass leak")
+        // spark.graft.rank.iters re-pins a NON-default depth against the
+        // same oracle (the departs-from-oracle knob, ann.bits pattern)
+        if (i == 1) {
+          spark.conf.set("spark.graft.rank.iters", "3")
+          try {
+            val got3 = queries.Webops.llmDomainRank(spark, dir).collect()
+              .map(r => (r.getString(0), r.getDouble(2))).toSeq
+            val exp3 = expected(docs, iters = 3)
+            got3.map(_._1) shouldBe exp3.map(_._1)
+            got3.zip(exp3).foreach { case ((d, gr), (_, _, er)) =>
+              assert(math.abs(gr - er) <= 0.0001, s"iters=3 domain $d: $gr vs $er")
+            }
+          } finally spark.conf.unset("spark.graft.rank.iters")
+        }
       }
     }
   }
