@@ -61,7 +61,12 @@ object ScaleProbe {
       "llm_url_dedup" -> queries.Webops.llmUrlDedup,
       // round-6 eighth pass: prefix-filter containment + trigram census
       "llm_containment" -> queries.Llm.llmContainment,
-      "llm_top_ngrams" -> queries.Textops.llmTopNgrams)
+      "llm_top_ngrams" -> queries.Textops.llmTopNgrams,
+      // round-6 final passes: LM gates, site cap/rank, second-order LM
+      "llm_bigram_score" -> queries.Textops.llmBigramScore,
+      "llm_ccnet_bucket" -> queries.Textops.llmCcnetBucket,
+      "llm_domain_cap" -> queries.Webops.llmDomainCap,
+      "llm_domain_rank" -> queries.Webops.llmDomainRank)
     mults.foreach { m =>
       val out = s"/tmp/graft_scale_x$m"
       scaled(spark, d, m, out)
