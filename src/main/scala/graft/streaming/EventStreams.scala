@@ -46,6 +46,11 @@ case class GapUpdate(event_id: Long, event_type: String, gap: Long,
   * over (the ONLINE feeder of queries.Events.evActiveUsers). */
 case class DayActive(user_id: Long, day_s: Long)
 
+/** One attributed purchase-revenue increment from `cohortRevenue` — the
+  * ONLINE feeder of queries.Events.evCohortLtv: the LTV report is a
+  * stateless groupBy(cohort, offset) sum over this stream. */
+case class RevenueInc(cohort_s: Long, offset: Long, value: Double)
+
 /** One attributed purchase from `purchaseCredits` — the ONLINE feeder of
   * queries.Events.evAttribution: the report is a stateless
   * groupBy(touch) over this stream. */
@@ -237,6 +242,46 @@ object EventStreams {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RetentionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** ev_cohort_ltv's ONLINE feeder — the value analogue of
+    * RetentionProcessor: per-user state is the cohort day (one long,
+    * set by the user's first event); every purchase within the 7-day
+    * window emits its (cohort, offset, value) increment immediately.
+    * The LTV report is a stateless groupBy(cohort, offset) sum over
+    * this stream — cumulative/LTV columns are a query over that
+    * aggregate, exactly as the batch operator computes them over its
+    * own per-day aggregate. In-order contract as the retention twin. */
+  class CohortRevenueProcessor extends StatefulProcessor[Long, Ev, RevenueInc] {
+    @transient private var cohortS: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cohortS = getHandle.getValueState[Long](
+        "cohortDay", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[RevenueInc] = {
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val cohort = if (cohortS.exists()) cohortS.get()
+                   else evs.head.ts.getTime / 86400000L
+      val out = evs.flatMap { e =>
+        val off = e.ts.getTime / 86400000L - cohort
+        if (e.event_type == "purchase" && off >= 0 && off <= 7)
+          Some(RevenueInc(cohort * 86400L, off, e.value))
+        else None
+      }
+      cohortS.update(cohort)
+      out.iterator
+    }
+  }
+
+  /** ev_cohort_ltv online feeder (see CohortRevenueProcessor). */
+  def cohortRevenue(events: Dataset[Ev]): Dataset[RevenueInc] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CohortRevenueProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

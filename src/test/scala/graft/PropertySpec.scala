@@ -268,6 +268,57 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("llm_domain_cap equals the plain-Scala cap rule on generated link corpora") {
+    import spark.implicits._
+    // same web-shaped generator as the PageRank oracle; the recompute
+    // mirrors the declared rule (trail-trim → min-domain attribution →
+    // rank by doc_id within domain → rk > K loses; site-less exempt)
+    val pool = Vector("a.com", "b.org", "c.net")
+    val genDocs: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(6, 14)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)]((0 until n).toList.map { id =>
+        for {
+          k <- Gen.frequency(1 -> Gen.const(0), 3 -> Gen.choose(1, 2))
+          urls <- Gen.listOfN(k, for {
+            d <- Gen.oneOf(pool); p <- Gen.choose(0, 5)
+            punct <- Gen.oneOf("", ".", ")")
+          } yield s"https://$d/p$p$punct")
+        } yield (id.toLong, (s"w$id" :: urls).mkString(" "))
+      })
+    } yield docs
+
+    def expected(docs: List[(Long, String)], cap: Int): Seq[(Long, String, Long, Boolean)] = {
+      val urlRe = "https?://[^ ]+".r
+      val trailRe = "[.,);!?]+$".r
+      val domRe = "https?://([^/ ]+)".r
+      val dom = docs.map { case (id, text) =>
+        val ds = urlRe.findAllIn(text).toList
+          .map(u => trailRe.replaceAllIn(u, ""))
+          .map(u => domRe.findFirstMatchIn(u).map(_.group(1)).getOrElse(""))
+        id -> (if (ds.isEmpty) None else Some(ds.min))
+      }
+      val rk = dom.collect { case (id, Some(d)) => (id, d) }
+        .groupBy(_._2).flatMap { case (_, ids) =>
+          ids.map(_._1).sorted.zipWithIndex.map { case (id, i) => id -> (i + 1L) } }
+      dom.sortBy(_._1).map {
+        case (id, Some(d)) => (id, d, rk(id), rk(id) <= cap)
+        case (id, None)    => (id, "<none>", 0L, true)
+      }
+    }
+
+    (1 to 5).foreach { i =>
+      genDocs.apply(Gen.Parameters.default, Seed(1300L + i)).foreach { docs =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_pcap$i").toString
+        docs.map { case (id, t) => (id, t, "en", "w", 0L) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        val got = queries.Webops.llmDomainCap(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+        got shouldBe expected(docs, cap = 2)
+      }
+    }
+  }
+
   test("large-star/small-star labels equal union-find components on random graphs") {
     import spark.implicits._
     val genGraph: Gen[List[(Long, Long)]] = for {

@@ -568,6 +568,51 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     ingested shouldBe Seq(0L)
   }
 
+  test("cohortRevenue increments match batch ev_cohort_ltv day values across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the batch LTV fixture (midnight-aligned base), split so user 1's
+    // day-1 purchase arrives in batch 2 — its cohort must come from state
+    def at(id: Long, user: Long, day: Int, hour: Int, typ: String, v: Double) =
+      Ev(id, new java.sql.Timestamp((1699920000L + day * 86400L + hour * 3600L) * 1000L),
+         user, typ, v)
+    val rows = Seq(
+      at(0, 1, 0, 1, "view", 0.0), at(1, 1, 0, 2, "purchase", 10.0),
+      at(2, 2, 0, 4, "view", 0.0), at(3, 3, 1, 6, "view", 0.0),
+      at(4, 1, 1, 3, "purchase", 5.0), at(5, 2, 2, 5, "purchase", 3.0),
+      at(6, 3, 1, 7, "purchase", 7.0))
+    val (b1, b2) = rows.splitAt(3)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val incs = try {
+      val stream = MemoryStream[Ev]
+      stream.addData(b1: _*)
+      val q = EventStreams.cohortRevenue(stream.toDS())
+        .writeStream.format("memory").queryName("ltvincs")
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable()
+      stream.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table("ltvincs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    // stateless rollup of the increment stream == the batch day_value
+    // report, keyed by the ISO cohort day (UTC meeting point)
+    val streamedDay = incs.groupBy(t => (
+        java.time.LocalDate.ofEpochDay(t._1 / 86400).toString, t._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val d = java.nio.file.Files.createTempDirectory("graft_ltv_s").toString
+    rows.map(e => (e.event_id, e.ts.getTime * 1000000L, e.user_id, e.event_type, e.value, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val batchDay = queries.Events.evCohortLtv(spark, d).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getDouble(2)).toMap
+    batchDay shouldBe streamedDay
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
