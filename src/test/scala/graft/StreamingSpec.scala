@@ -613,6 +613,41 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     batchDay shouldBe streamedDay
   }
 
+  test("dedup state survives a query RESTART from its checkpoint (fault-tolerance pin)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{Doc, DocStreams}
+    // the survivor decision for doc 2 depends on state written BEFORE
+    // the first query was stopped — a fresh query resuming from the
+    // same checkpoint must drop it; losing the store would re-admit it
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_s").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val kept = try {
+      // the memory sink refuses checkpoint recovery; the parquet sink is
+      // the fault-tolerant one — both queries write the same dir
+      val stream = MemoryStream[Doc]
+      stream.addData(Doc(0L, "alpha beta gamma", "en"), Doc(1L, "fresh one", "en"))
+      val q1 = DocStreams.dedupByContent(stream.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      q1.processAllAvailable(); q1.stop()
+      stream.addData(Doc(2L, "alpha beta gamma", "en"), // dup of PRE-restart doc 0
+                     Doc(3L, "fresh two", "en"))
+      val q2 = DocStreams.dedupByContent(stream.toDS())
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      q2.processAllAvailable(); q2.stop()
+      spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    kept shouldBe Seq(0L, 1L, 3L) // doc 2 died to state recovered across the restart
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
