@@ -30,7 +30,12 @@ import graft.ops.Det._
   *   3.7 containment gate (optional) — drop docs whose token set is
   *                    `containMax`-contained in a LARGER surviving doc
   *                    (llm_containment shape: prefix-filter candidates);
-  *   4. split      — reproducible md5-bucket train/val/test assignment.
+  *   4. split      — reproducible md5-bucket train/val/test assignment;
+  *   4.5 decontamination gate (optional) — drop TRAIN docs whose
+  *                    trigram-shingle overlap with the held-out test
+  *                    split reaches `decontamMax` of their own shingles
+  *                    (the action llm_contamination only reports;
+  *                    test/val docs are never dropped).
   *
   * Returns the surviving documents with (clean_text, cluster, split)
   * columns. Every stage is the scale-shaped variant (blocked candidates,
@@ -48,7 +53,8 @@ object CorpusPrep {
           spanDupMax: Option[Double] = None,
           containMax: Option[Double] = None,
           domainCap: Option[Int] = None,
-          xentQuantileMax: Option[Double] = None): DataFrame = {
+          xentQuantileMax: Option[Double] = None,
+          decontamMax: Option[Double] = None): DataFrame = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -251,12 +257,58 @@ object CorpusPrep {
     }
 
     // 4. reproducible split (md5 bucket of doc_id — llm_split shape)
-    contGated
+    val withSplit = contGated
       .withColumn("bucket",
         expr("conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10)").cast("long") % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
       .drop("bucket")
+
+    // 4.5 (optional) decontamination gate — the ACTION llm_contamination
+    //     only reports: drop TRAIN docs whose word-trigram shingles
+    //     overlap the held-out TEST split at >= `decontamMax` of the
+    //     train doc's shingles (the Gopher/GPT-3 prep step: the
+    //     benchmark stays intact, the leaking train docs go). Runs after
+    //     split assignment because the split IS the contamination
+    //     boundary; test/val docs are never dropped here. The
+    //     train-side df cap (spark.graft.contamination.maxDf, shared
+    //     with llm_contamination) keeps one ubiquitous boilerplate
+    //     trigram from exploding the shingle join at web scale —
+    //     boilerplate shingles count toward a doc's total, never toward
+    //     its contamination. Docs under 3 tokens have no shingles and
+    //     pass through (nothing to measure). Scale shape: one shingle
+    //     materialization, uniform md5 keys, a df-capped semi join and
+    //     two doc-keyed aggs — no pair joins.
+    val deconGated = decontamMax.fold(withSplit) { m =>
+      require(m > 0 && m <= 1, s"decontamMax must be in (0, 1], got $m")
+      val maxDf = spark.conf.get("spark.graft.contamination.maxDf", "1000").toLong
+      val tp = withSplit
+        .select(col("doc_id"), col("split"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "split", "pos", "t")
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val sh = graft.ops.Lineage.cut(tp
+        .withColumn("t1", lead("t", 1).over(wPos))
+        .withColumn("t2", lead("t", 2).over(wPos))
+        .where(col("t2").isNotNull)
+        .select(col("doc_id"), col("split"),
+          md5(concat_ws(" ", col("t"), col("t1"), col("t2")).cast("binary")).as("shg"))
+        .distinct())
+      val trainAll = sh.where(col("split") === "train").select("doc_id", "shg")
+      val boiler = trainAll.groupBy("shg").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDf).select("shg")
+      val testSh = sh.where(col("split") === "test").select("shg").distinct()
+      val nSh = trainAll.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val shared = trainAll.join(boiler, Seq("shg"), "left_anti")
+        .join(testSh, Seq("shg"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val losers = nSh.join(shared, Seq("doc_id"), "left")
+        .where(r4(coalesce(col("n_shared"), lit(0L)) * lit(1.0) / col("n_sh")) >= m)
+        .select("doc_id")
+      withSplit.join(losers, Seq("doc_id"), "left_anti")
+    }
+
+    deconGated
       .select("doc_id", "lang", "source", "n_chars", "clean_text", "cluster", "split")
       .orderBy("doc_id")
   }

@@ -32,6 +32,10 @@ import org.apache.spark.sql.SparkSession
   * CCNet tail-drop): each language keeps only docs at or below its
   * Q-quantile of unigram xent.
   *
+  * `--decontam-max F` switches on the decontamination gate (stage 4.5):
+  * train docs whose trigram-shingle overlap with the held-out test split
+  * reaches F of their own shingles are dropped (test/val never are).
+  *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
   * corpus-stamped artifact; first run bootstraps it with a full build,
@@ -48,11 +52,12 @@ object CorpusPrepMain {
           spanDupMax: Option[Double] = None,
           containMax: Option[Double] = None,
           domainCap: Option[Int] = None,
-          xentQuantileMax: Option[Double] = None): String = {
+          xentQuantileMax: Option[Double] = None,
+          decontamMax: Option[Double] = None): String = {
     val in = graft.Tables.documents(spark, src).count()
     val out = CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
       spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap,
-      xentQuantileMax = xentQuantileMax)
+      xentQuantileMax = xentQuantileMax, decontamMax = decontamMax)
     // partition the delivered corpus by split so downstream training
     // readers prune train/val/test at the directory level
     out.write.mode("overwrite").partitionBy("split").parquet(s"$dst/documents")
@@ -75,14 +80,15 @@ object CorpusPrepMain {
            spanDupMax: Option[Double] = None,
            containMax: Option[Double] = None,
            domainCap: Option[Int] = None,
-           xentQuantileMax: Option[Double] = None)
+           xentQuantileMax: Option[Double] = None,
+           decontamMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     // cut: syncPartitions executes its input twice (fingerprint +
     // rewrite) and the prep pipeline is the expensive part
     val out = graft.ops.Lineage.cut(
       CorpusPrep.run(spark, src, stopK = stopK, xentMax = xentMax,
         spanDupMax = spanDupMax, containMax = containMax, domainCap = domainCap,
-        xentQuantileMax = xentQuantileMax))
+        xentQuantileMax = xentQuantileMax, decontamMax = decontamMax))
     graft.delivery.Deliver.syncPartitions(
       spark, out, s"$dst/documents", "split", "parquet")
   }
@@ -105,7 +111,8 @@ object CorpusPrepMain {
                   spanDupMax: Option[Double] = None,
                   containMax: Option[Double] = None,
                   domainCap: Option[Int] = None,
-                  xentQuantileMax: Option[Double] = None)
+                  xentQuantileMax: Option[Double] = None,
+                  decontamMax: Option[Double] = None)
       : (Seq[String], Seq[String], graft.delivery.DeliveryReport) = {
     val aPath = new org.apache.hadoop.fs.Path(artifact)
     val fs = aPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -128,14 +135,14 @@ object CorpusPrepMain {
     val prevConf = spark.conf.getOption(key)
     spark.conf.set(key, artifact)
     try sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap,
-      xentQuantileMax)
+      xentQuantileMax, decontamMax)
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   private val Usage =
     "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
     "[--xent-max V] [--xent-quantile Q] [--span-dup-max F] [--contain-max F] " +
-    "[--domain-cap K] SRCDIR OUTDIR [stopK]"
+    "[--domain-cap K] [--decontam-max F] SRCDIR OUTDIR [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
@@ -149,6 +156,7 @@ object CorpusPrepMain {
     var containMax: Option[Double] = None
     var domainCap: Option[Int] = None
     var xentQuantileMax: Option[Double] = None
+    var decontamMax: Option[Double] = None
     val pos = scala.collection.mutable.Buffer.empty[String]
     var i = 0
     while (i < args.length) {
@@ -173,6 +181,9 @@ object CorpusPrepMain {
         case "--xent-quantile" =>
           require(i + 1 < args.length, s"--xent-quantile needs a value; $Usage")
           i += 1; xentQuantileMax = Some(args(i).toDouble)
+        case "--decontam-max" =>
+          require(i + 1 < args.length, s"--decontam-max needs a value; $Usage")
+          i += 1; decontamMax = Some(args(i).toDouble)
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag $f; $Usage")
         case p => pos += p
@@ -198,9 +209,9 @@ object CorpusPrepMain {
     }
     try {
       artifact match {
-        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
-        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
-        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax))
+        case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
+        case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
+        case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
       }
     } finally spark.stop()
   }

@@ -209,7 +209,7 @@ object Llm {
     // the blocking join and the per-doc set aggregation (3 references =
     // 3 recomputes of explode+distinct without the cut)
     val tok = graft.ops.Lineage.cut(tokens(s, d).distinct())
-    val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    lazy val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
     // block on each doc's 4 RAREST tokens, not just the single rarest:
     // one-token blocking measured only 0.79 recall against the unblocked
@@ -223,14 +223,48 @@ object Llm {
     // self-join as a carried int, so the θ size prefilter (below) runs
     // before the pair-dedup distinct and no per-pair size join exists.
     val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    // cut: ShardedSelfJoin references the blocked frame three times (a
-    // side, b side, oversize-bucket census) — materialize the tiny
-    // 4-rows-per-doc result instead of recomputing df-join + window per
-    // reference
-    val block = graft.ops.Lineage.cut(tok.join(dfTok, "token")
-      .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
-      .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
-      .join(ntDf, "doc_id"))
+    // Candidate source (spark.graft.pairs.candidates):
+    //  - "rarity" (default, the oracle contract): block on each doc's 4
+    //    globally-rarest tokens — recall 1.000 vs the all-pairs truth
+    //    pinned on the fixture, but candidate cost rides on token-df
+    //    blocking staying healthy (rare tokens must exist and stay
+    //    rare). The exactness default.
+    //  - "minhash": MinHash(128) + 16×8 LSH banding as the candidate
+    //    generator — the declared approximate 100 TB path, now wired
+    //    INTO the pair pipeline (PairTable, dedup_cluster, CorpusPrep
+    //    and the incremental refresh all inherit it through this conf)
+    //    instead of living only in the standalone llm_minhash report.
+    //    Pairs are still scored with EXACT set Jaccard below, so output
+    //    is a SUBSET of the rarity-mode output (precision unchanged);
+    //    what the mode trades is recall, by the banding S-curve: a true
+    //    jac θ pair shares a band w.p. 1−(1−θ^8)^16 (≥ 0.947 at θ=0.8,
+    //    ≥ 0.9999 at 0.9). JaccardRecallSpec pins subset + a recall
+    //    floor vs the exact path. Departing from "rarity" departs from
+    //    the oracle contract (maxDf pattern).
+    val candMode = s.conf.get("spark.graft.pairs.candidates", "rarity")
+    // cut: ShardedSelfJoin references the banded/blocked frame three
+    // times (a side, b side, oversize-bucket census) — materialize the
+    // small per-doc result instead of recomputing the candidate keying
+    // per reference. Both sources carry (doc_id, lang, nt) plus their
+    // bucket key columns; the self-join below only differs in `keys`.
+    val (block, blockKeys) =
+      if (candMode == "minhash") {
+        val sigs = tok.groupBy("doc_id", "lang")
+          .agg(Sketches.minhash(col("token")).as("sig"))
+        // bands carry only narrow columns (llm_minhash discipline: the
+        // 128-int signatures never ride the candidate shuffle)
+        (graft.ops.Lineage.cut(sigs
+          .withColumn("band", explode(expr("sequence(0, 15)")))
+          .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
+          .select(col("doc_id"), col("lang"), col("band"), col("bkey"))
+          .join(ntDf, "doc_id")),
+         Seq("band", "bkey", "lang"))
+      } else
+        (graft.ops.Lineage.cut(tok.join(dfTok, "token")
+          .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
+          .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
+          .join(ntDf, "doc_id")),
+         Seq("block_tok", "lang"))
     // Skew-safe block self-join: a boilerplate-heavy corpus puts
     // thousands of docs in one (block_tok, lang) cell; the triangle-cell
     // shard bounds per-task input while keeping the pair set identical
@@ -261,7 +295,7 @@ object Llm {
       case Some((_, pred)) => sizeOk && pred(col("cattr_a"), col("cattr_b"))
     }
     val candSz = graft.ops.ShardedSelfJoin.pairs(
-        blockIn, Seq("block_tok", "lang"), thr,
+        blockIn, blockKeys, thr,
         carry = Seq("nt") ++ candPred.map(_ => "cattr").toSeq,
         pairFilter = Some(candFilter))
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))

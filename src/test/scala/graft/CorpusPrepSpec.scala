@@ -238,6 +238,57 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L, 4L, 5L)
   }
 
+  test("decontamination gate (decontamMax) drops leaking train docs, never the benchmark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decongate").toString
+    def toks(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    // md5-bucket split rule: doc_id 2 lands in the test split, 0/1 in
+    // train. Doc 0 embeds the whole benchmark doc plus 4 extra tokens:
+    // 10 of its 14 trigram shingles are the benchmark's (frac 0.7143);
+    // jaccard(0,2) = 12/16 = 0.75 < 0.8 so near-dedup does NOT collapse
+    // the pair — exactly the leak the gate exists for.
+    val bench = toks("b", 0, 12)
+    Seq(
+      (0L, bench + " " + toks("a", 0, 4), "en", "s", 0L), // train, leaks
+      (1L, toks("c", 0, 16), "en", "s", 0L),              // train, clean
+      (2L, bench, "en", "s", 0L))                         // test (benchmark)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusPrep.run(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+    CorpusPrep.run(spark, dir, decontamMax = Some(0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    // above the measured overlap the leaking doc survives
+    CorpusPrep.run(spark, dir, decontamMax = Some(0.72))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+  }
+
+  test("decontamination gate: df-capped boilerplate shingles never count as contamination") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_deconcap").toString
+    def toks(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    // two train docs (0 and 3) both embed the benchmark text, so each
+    // benchmark shingle has train-df 2; with the shared boilerplate cap
+    // forced to 1 those shingles are classified boilerplate and count
+    // toward a doc's total but never its contamination — both docs
+    // survive a gate that would otherwise drop them (and does, at the
+    // default cap: same corpus, both dropped).
+    val bench = toks("b", 0, 12)
+    Seq(
+      (0L, bench + " " + toks("a", 0, 4), "en", "s", 0L),
+      (3L, bench + " " + toks("d", 0, 4), "en", "s", 0L),
+      (2L, bench, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    CorpusPrep.run(spark, dir, decontamMax = Some(0.6))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+    spark.conf.set("spark.graft.contamination.maxDf", "1")
+    try {
+      CorpusPrep.run(spark, dir, decontamMax = Some(0.6))
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 2L, 3L)
+    } finally spark.conf.unset("spark.graft.contamination.maxDf")
+  }
+
   test("corpus report datasheet is consistent with the operators it composes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -164,6 +164,34 @@ class JaccardRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset("spark.graft.pairs.artifact")
   }
 
+  test("minhash candidate mode: exact-subset of rarity mode with banding-S-curve recall") {
+    // spark.graft.pairs.candidates=minhash swaps the pair pipeline's
+    // candidate generator from 4-rarest-token blocking to MinHash(128)
+    // 16x8 LSH banding — the declared approximate 100 TB path, wired
+    // through the SAME exact-Jaccard scoring. Two properties make the
+    // mode safe to ship behind a conf:
+    //  (1) precision is untouched: every emitted (pair, jac) also
+    //      appears in rarity mode (exact scoring on a candidate subset);
+    //  (2) recall follows the banding S-curve 1-(1-j^8)^16 — >= 0.947 at
+    //      the 0.8 floor and -> 1 above it; floor pinned at 0.9 with the
+    //      measured value reported.
+    val key = "spark.graft.pairs.candidates"
+    val exact = Llm.llmJaccardPairs(spark, sfDir)
+      .select("doc_a", "doc_b", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.conf.set(key, "minhash")
+    val approx = try {
+      Llm.llmJaccardPairs(spark, sfDir)
+        .select("doc_a", "doc_b", "jac").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally spark.conf.unset(key)
+    exact.nonEmpty shouldBe true
+    (approx -- exact) shouldBe empty // banding only prunes candidates, never invents
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"minhash-candidate recall vs exact pipeline = $recall%.4f over ${exact.size} pairs")
+    recall should be >= 0.9
+  }
+
   test("llm_simhash hamming<=6 recall vs jac>=0.9 truth is >= 0.45 (measured; precision-oriented by design)") {
     // simhash trades recall for precision (SketchSpec pins precision
     // >= 0.8; measured 0.958 at this point). 64-bit simhash over ~25-
