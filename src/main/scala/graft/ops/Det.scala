@@ -40,6 +40,9 @@ object Det {
   /** Oracle-SQL twin of `r4` — splice into DuckDB strings. */
   def r4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
 
+  /** Driver-side twin of `r4` for plain doubles (same IEEE expression). */
+  def r4d(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+
   /** Exact engine-independent SUM for money-scale aggregates. Rounding the
     * final double sum is NOT enough once |sum| reaches ~1e10: the two
     * engines accumulate in different orders and drift by more than the

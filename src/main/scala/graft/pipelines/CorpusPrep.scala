@@ -54,7 +54,51 @@ object CorpusPrep {
           containMax: Option[Double] = None,
           domainCap: Option[Int] = None,
           xentQuantileMax: Option[Double] = None,
-          decontamMax: Option[Double] = None): DataFrame = {
+          decontamMax: Option[Double] = None): DataFrame =
+    stageFrames(spark, sfDir, stopK, jaccardTheta, labelRounds, xentMax,
+      spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax).last._2
+
+  /** Per-stage attrition census of the prep pipeline — the "why did my
+    * corpus shrink 40%?" report: one row per ACTIVE stage with the
+    * surviving row count, docs dropped by that stage and the drop share
+    * relative to the input. Row counts execute the pipeline prefix per
+    * stage; the eager lineage cuts inside the heavy stages (pair list,
+    * cluster labels, shingle tables) make each successive count an
+    * incremental job, so the report costs roughly one extra pipeline
+    * pass — a price a reporting CLI pays, never the prep itself (run()
+    * stays count-free). The tiny result materializes driver-side (≤11
+    * rows) into a local DataFrame. */
+  def attrition(spark: SparkSession, sfDir: String,
+                stopK: Int = 5, jaccardTheta: Double = 0.8,
+                labelRounds: Int = 8, xentMax: Option[Double] = None,
+                spanDupMax: Option[Double] = None,
+                containMax: Option[Double] = None,
+                domainCap: Option[Int] = None,
+                xentQuantileMax: Option[Double] = None,
+                decontamMax: Option[Double] = None): DataFrame = {
+    val frames = stageFrames(spark, sfDir, stopK, jaccardTheta, labelRounds,
+      xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax)
+    val counts = frames.map { case (name, df) => (name, df.count()) }
+    val total = counts.head._2
+    val rows = counts.zip(counts.head +: counts).zipWithIndex.map {
+      case (((name, n), (_, prev)), i) =>
+        val dropped = prev - n
+        val share = if (total == 0L) 0.0
+          else graft.ops.Det.r4d(dropped.toDouble / total)
+        (i.toLong, name, n, dropped, share)
+    }
+    import spark.implicits._
+    rows.toDF("stage_no", "stage", "rows", "dropped", "drop_share_of_input")
+  }
+
+  private def stageFrames(spark: SparkSession, sfDir: String,
+          stopK: Int, jaccardTheta: Double,
+          labelRounds: Int, xentMax: Option[Double],
+          spanDupMax: Option[Double],
+          containMax: Option[Double],
+          domainCap: Option[Int],
+          xentQuantileMax: Option[Double],
+          decontamMax: Option[Double]): Seq[(String, DataFrame)] = {
     require(jaccardTheta >= 0.8, "jaccardTheta below the operator floor of 0.8")
     val docs0 = graft.Tables.documents(spark, sfDir)
 
@@ -308,8 +352,21 @@ object CorpusPrep {
       withSplit.join(losers, Seq("doc_id"), "left_anti")
     }
 
-    deconGated
+    val fin = deconGated
       .select("doc_id", "lang", "source", "n_chars", "clean_text", "cluster", "split")
       .orderBy("doc_id")
+
+    // ordered ACTIVE stages: optional gates appear only when enabled, so
+    // the attrition report reads as the pipeline the caller actually ran.
+    // "clean" is absent by design — it rewrites text, never drops rows.
+    Seq(("input", docs0)) ++
+      xentMax.map(_ => ("xent_gate", gatedAbs)) ++
+      xentQuantileMax.map(_ => ("xent_quantile_gate", gated)) ++
+      domainCap.map(_ => ("domain_cap", docs)) ++
+      Seq(("exact_dedup", exact), ("near_dedup", nearDeduped)) ++
+      spanDupMax.map(_ => ("span_dedup", spanGated)) ++
+      containMax.map(_ => ("containment_dedup", contGated)) ++
+      decontamMax.map(_ => ("decontamination", deconGated)) ++
+      Seq(("final", fin))
   }
 }

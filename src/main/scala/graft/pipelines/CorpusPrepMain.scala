@@ -36,6 +36,10 @@ import org.apache.spark.sql.SparkSession
   * train docs whose trigram-shingle overlap with the held-out test split
   * reaches F of their own shingles are dropped (test/val never are).
   *
+  * `--attrition` prints the per-stage attrition census for the given
+  * gates instead of delivering (reads only, writes nothing): one JSON
+  * line with rows surviving / dropped / drop share per active stage.
+  *
   * `--pairs-artifact PATH` is the daily-refresh product flow (r5
   * verdict item #1): the near-dup pair table lives at PATH as a
   * corpus-stamped artifact; first run bootstraps it with a full build,
@@ -139,17 +143,37 @@ object CorpusPrepMain {
     finally prevConf.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  /** One-line JSON per-stage attrition census (CorpusPrep.attrition)
+    * for the given source and gate flags — the "why did my corpus
+    * shrink" report; reads only, writes nothing. */
+  def attritionReport(spark: SparkSession, src: String, stopK: Int = 5,
+          xentMax: Option[Double] = None,
+          spanDupMax: Option[Double] = None,
+          containMax: Option[Double] = None,
+          domainCap: Option[Int] = None,
+          xentQuantileMax: Option[Double] = None,
+          decontamMax: Option[Double] = None): String = {
+    val rows = CorpusPrep.attrition(spark, src, stopK = stopK,
+        xentMax = xentMax, spanDupMax = spanDupMax, containMax = containMax,
+        domainCap = domainCap, xentQuantileMax = xentQuantileMax,
+        decontamMax = decontamMax)
+      .orderBy("stage_no").collect()
+      .map(r => s"""{"stage":"${r.getString(1)}","rows":${r.getLong(2)},""" +
+        s""""dropped":${r.getLong(3)},"drop_share_of_input":${r.getDouble(4)}}""")
+    s"""{"stages":[${rows.mkString(",")}]}"""
+  }
+
   private val Usage =
-    "usage: CorpusPrepMain [--sync] [--pairs-artifact PATH [--refresh]] " +
+    "usage: CorpusPrepMain [--sync | --attrition] [--pairs-artifact PATH [--refresh]] " +
     "[--xent-max V] [--xent-quantile Q] [--span-dup-max F] [--contain-max F] " +
-    "[--domain-cap K] [--decontam-max F] SRCDIR OUTDIR [stopK]"
+    "[--domain-cap K] [--decontam-max F] SRCDIR [OUTDIR] [stopK]"
 
   def main(args: Array[String]): Unit = {
     // sequential parse (not a startsWith partition): --pairs-artifact
     // takes a value, and an unknown flag must fail loudly instead of
     // falling through as a positional OUTDIR — a misparsed OUTDIR is a
     // mode(overwrite) write into the wrong directory
-    var doSync = false; var refresh = false
+    var doSync = false; var refresh = false; var doAttrition = false
     var artifact: Option[String] = None
     var xentMax: Option[Double] = None
     var spanDupMax: Option[Double] = None
@@ -162,6 +186,7 @@ object CorpusPrepMain {
     while (i < args.length) {
       args(i) match {
         case "--sync"    => doSync = true
+        case "--attrition" => doAttrition = true
         case "--refresh" => refresh = true
         case "--pairs-artifact" =>
           require(i + 1 < args.length, s"--pairs-artifact needs a PATH; $Usage")
@@ -190,10 +215,12 @@ object CorpusPrepMain {
       }
       i += 1
     }
-    require(pos.length >= 2 && pos.length <= 3, Usage)
+    if (doAttrition) require(pos.length >= 1 && pos.length <= 2, Usage)
+    else require(pos.length >= 2 && pos.length <= 3, Usage)
     require(!refresh || artifact.nonEmpty, s"--refresh requires --pairs-artifact; $Usage")
-    val (src, dst) = (pos(0), pos(1))
-    val stopK = pos.lift(2).map(_.toInt).getOrElse(5)
+    val src = pos(0)
+    val dst = if (doAttrition) "" else pos(1)
+    val stopK = (if (doAttrition) pos.lift(1) else pos.lift(2)).map(_.toInt).getOrElse(5)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -208,7 +235,9 @@ object CorpusPrepMain {
         s""""rows":${rep.rows},"fingerprint":${rep.fingerprint}}""")
     }
     try {
-      artifact match {
+      if (doAttrition)
+        println(attritionReport(spark, src, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
+      else artifact match {
         case Some(a)        => printSync(refreshFlow(spark, src, dst, a, refresh, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
         case None if doSync => printSync(sync(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))
         case None           => println(run(spark, src, dst, stopK, xentMax, spanDupMax, containMax, domainCap, xentQuantileMax, decontamMax))

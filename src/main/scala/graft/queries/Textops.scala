@@ -632,7 +632,38 @@ object Textops {
           .cast("long"))
       .orderBy("doc_id")
 
+  /** llm_token_histogram — corpus document-length profile in 16-token
+    * bins (top-clamped at bin 19): n_docs / share / cumulative share
+    * per bin. This is the sequence-length planning input for
+    * llm_pack_sequences (how many 2048-token training bins a corpus
+    * fills is read off this curve) and the documents-table twin of
+    * dq_histogram's "did the delivered distribution move?" check.
+    * Scale: one shuffle-free projection into a ≤20-key groupBy; the
+    * total and the cumulative sum run over the aggregated ≤20-row
+    * frame, so the windows never touch per-doc data. */
+  val llmTokenHistogram: Q = (s, d) => {
+    val binW = 16L
+    // cut: the ≤20-row bin frame feeds both the total and the output
+    val bins = graft.ops.Lineage.cut(
+      Tables.documents(s, d)
+        .select(least(
+          expr("cast(size(split(text, ' ')) as bigint) div 16"), lit(19L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n_docs")))
+    val tot = bins.agg(sum("n_docs").as("n_total"))
+    val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins.crossJoin(broadcast(tot))
+      .withColumn("cum_docs", sum("n_docs").over(wCum))
+      .select(
+        (col("bin") * binW).as("len_lo"),
+        col("n_docs"),
+        r4(col("n_docs") * lit(1.0) / col("n_total")).as("share"),
+        col("cum_docs"),
+        r4(col("cum_docs") * lit(1.0) / col("n_total")).as("cum_share"))
+      .orderBy("len_lo")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_token_histogram" -> llmTokenHistogram,
     "llm_bigram_score"   -> llmBigramScore,
     "llm_code_detect"    -> llmCodeDetect,
     "llm_top_ngrams"     -> llmTopNgrams,
@@ -652,6 +683,17 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_token_histogram" ->
+      s"""WITH b AS (
+        | SELECT least(len(string_split(text, ' ')) // 16, 19) AS bin,
+        |        count(*) AS n_docs
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_docs) AS n_total FROM b)
+        |SELECT CAST(bin * 16 AS BIGINT) AS len_lo, n_docs,
+        | ${r4Sql("n_docs * 1.0 / n_total")} AS share,
+        | CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cum_docs,
+        | ${r4Sql("sum(n_docs) OVER (ORDER BY bin) * 1.0 / n_total")} AS cum_share
+        |FROM b, t ORDER BY len_lo""".stripMargin,
     "llm_bigram_score" ->
       s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
         |bg AS (

@@ -289,6 +289,36 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset("spark.graft.contamination.maxDf")
   }
 
+  test("attrition census: active stages in order, counts consistent with the prep itself") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    def toks(p: String, a: Int, b: Int) = (a until b).map(i => s"$p$i").mkString(" ")
+    val bench = toks("b", 0, 12)
+    Seq(
+      (0L, bench + " " + toks("a", 0, 4), "en", "s", 0L), // train, leaks the benchmark
+      (1L, toks("c", 0, 16), "en", "s", 0L),              // train, clean
+      (4L, toks("c", 0, 16), "en", "s", 0L),              // exact dup of doc 1
+      (2L, bench, "en", "s", 0L))                         // test (benchmark)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val att = CorpusPrep.attrition(spark, dir, decontamMax = Some(0.6))
+      .orderBy("stage_no").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // only the ACTIVE stages appear, in pipeline order
+    att.map(_._1).toSeq shouldBe
+      Seq("input", "exact_dedup", "near_dedup", "decontamination", "final")
+    att.map(_._2).toSeq shouldBe att.map(_._2).sorted.reverse // monotone non-increasing
+    att.head shouldBe ("input", 4L, 0L, 0.0)
+    // doc 4 dies to exact dedup, doc 0 to decontamination
+    att.find(_._1 == "exact_dedup").get._3 shouldBe 1L
+    att.find(_._1 == "decontamination").get shouldBe ("decontamination", 2L, 1L, 0.25)
+    // the census agrees with what run() actually delivers
+    att.last._2 shouldBe CorpusPrep.run(spark, dir, decontamMax = Some(0.6)).count()
+    // the CLI report mirrors the same numbers as one JSON line
+    val line = graft.pipelines.CorpusPrepMain.attritionReport(spark, dir, decontamMax = Some(0.6))
+    line should include(""""stage":"decontamination","rows":2,"dropped":1""")
+  }
+
   test("corpus report datasheet is consistent with the operators it composes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
