@@ -38,6 +38,7 @@ object PairTable {
 
   private val MarkerFile = "_graft_corpus"
   private val WatermarkFile = "_graft_watermark"
+  private val CandFile = "_graft_candidates"
 
   private def fsFor(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,6 +68,12 @@ object PairTable {
     val wm = graft.Tables.documents(spark, corpus)
       .agg(max("doc_id")).head().getLong(0)
     writeSmallFile(spark, out, WatermarkFile, wm.toString)
+    // provenance of the candidate generator the artifact was built with
+    // (rarity = exact contract, minhash = approximate): the read path
+    // refuses to serve a session whose conf declares the OTHER mode, so
+    // an approximate table can never silently answer for the exact one
+    writeSmallFile(spark, out, CandFile,
+      spark.conf.get("spark.graft.pairs.candidates", "rarity"))
   }
 
   /** The corpus dir an artifact was stamped with; fails loudly on an
@@ -76,6 +83,15 @@ object PairTable {
     require(fsFor(spark, p).exists(p),
       s"$artifact has no $MarkerFile stamp — not a PairTable-written artifact")
     readSmallFile(spark, artifact, MarkerFile)
+  }
+
+  /** The candidate-generator mode the artifact was built with. Stamps
+    * predating the mode conf (none in this repo's history) read as the
+    * then-only "rarity". */
+  def readCandMode(spark: SparkSession, artifact: String): String = {
+    val p = new org.apache.hadoop.fs.Path(artifact, CandFile)
+    if (fsFor(spark, p).exists(p)) readSmallFile(spark, artifact, CandFile).trim
+    else "rarity"
   }
 
   /** The doc_id watermark stamped at write/refresh time: every corpus
@@ -144,6 +160,16 @@ object PairTable {
                         isNewAttr: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : Unit = {
     val prevCorpus = readCorpusMarker(spark, prev) // fail loudly on unstamped prev
+    // mixed provenance guard: merging an exact prev with an approximate
+    // delta (or vice versa) would produce a table no declared contract
+    // describes — the delta below is computed with the SESSION's conf
+    // mode, so prev must have been built with the same one
+    val prevMode = readCandMode(spark, prev)
+    val curMode = spark.conf.get("spark.graft.pairs.candidates", "rarity")
+    require(prevMode == curMode,
+      s"prev artifact $prev was built with candidates='$prevMode' but this session " +
+      s"declares spark.graft.pairs.candidates=$curMode — the merged table would mix " +
+      "exact and approximate halves; rebuild or align the conf")
     require(out != prev,
       s"updateIncremental cannot overwrite prev in place ($prev); " +
       "write to a fresh path or use refreshInPlace")

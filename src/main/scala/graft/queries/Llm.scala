@@ -201,6 +201,16 @@ object Llm {
       require(marker == d,
         s"pair-table artifact at $artifact was built for corpus '$marker', not '$d' " +
         "— rebuild with pipelines.PairTable.write or unset spark.graft.pairs.artifact")
+      // candidate-mode identity: an artifact built with the approximate
+      // minhash generator must not silently serve a session whose conf
+      // declares the exact rarity contract (or vice versa) — same
+      // fail-loudly rule as the corpus marker
+      val builtWith = graft.pipelines.PairTable.readCandMode(s, artifact)
+      val wantMode = s.conf.get("spark.graft.pairs.candidates", "rarity")
+      require(builtWith == wantMode,
+        s"pair-table artifact at $artifact was built with candidates='$builtWith' but " +
+        s"this session declares spark.graft.pairs.candidates=$wantMode — rebuild the " +
+        "artifact or align the conf")
       val base = s.read.parquet(artifact).where(col("jac") >= theta)
       return candPred.fold(base) { case (attr, pred) =>
         base.where(pred(attr(col("doc_a")), attr(col("doc_b")))) }

@@ -84,4 +84,40 @@ class PairTableSpec extends AnyFunSuite with Matchers with SparkFixture {
       refresh(s"$tmp/m_conf") should equal(clean)
     } finally spark.conf.unset("spark.graft.pairs.artifact")
   }
+
+  test("candidate-mode stamp: approximate artifacts never serve the exact contract") {
+    val tmp = java.nio.file.Files.createTempDirectory("pt_mode").toString
+    val (aKey, cKey) = ("spark.graft.pairs.artifact", "spark.graft.pairs.candidates")
+    // build an artifact under the approximate minhash generator
+    spark.conf.set(cKey, "minhash")
+    val approxDirect = try {
+      pipelines.PairTable.write(spark, sfDir, s"$tmp/mh")
+      queries.Llm.llmJaccardPairs(spark, sfDir).collect().toSeq
+    } finally spark.conf.unset(cKey)
+    pipelines.PairTable.readCandMode(spark, s"$tmp/mh") shouldBe "minhash"
+    spark.conf.set(aKey, s"$tmp/mh")
+    try {
+      // a default (exact-contract) session must refuse the approximate table
+      val ex = intercept[IllegalArgumentException] {
+        queries.Llm.llmJaccardPairs(spark, sfDir)
+      }
+      ex.getMessage should include("candidates='minhash'")
+      // a session declaring the same mode is served, and the artifact
+      // read equals the fresh minhash-mode compute (candidate banding is
+      // threshold-independent, so the 0.6-floored table re-thresholded
+      // at 0.8 is lossless for the 0.8 consumer)
+      spark.conf.set(cKey, "minhash")
+      try {
+        queries.Llm.llmJaccardPairs(spark, sfDir).collect().toSeq should
+          equal(approxDirect)
+      } finally spark.conf.unset(cKey)
+      // mixed-provenance merge: refreshing the minhash-built prev from a
+      // rarity session fails loudly instead of mixing halves
+      val ex2 = intercept[IllegalArgumentException] {
+        pipelines.PairTable.updateIncremental(
+          spark, sfDir, s"$tmp/mh", s"$tmp/mixed", id => id > 0L)
+      }
+      ex2.getMessage should include("mix exact and approximate")
+    } finally spark.conf.unset(aKey)
+  }
 }

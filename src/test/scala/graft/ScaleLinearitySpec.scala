@@ -59,6 +59,33 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("minhash candidate mode scales linearly within 5% on dissimilar copies") {
+    // the approximate candidate generator must inherit the linearity of
+    // the exact one: translated copies share no tokens, so no band
+    // bucket can span copies and pair counts repeat per copy (within
+    // the borderline-flip tolerance of signature thresholding)
+    val key = "spark.graft.pairs.candidates"
+    spark.conf.set(key, "minhash")
+    try {
+      val n1 = queries.Llm.llmJaccardPairs(spark, dirs._1).count()
+      val n4 = queries.Llm.llmJaccardPairs(spark, dirs._2).count()
+      n1 should be > 0L
+      n4.toDouble shouldBe (4.0 * n1 +- 0.05 * 4 * n1)
+    } finally spark.conf.unset(key)
+  }
+
+  test("llm_token_histogram is a census: same bins and shares at x4, counts x4") {
+    // per-copy token translation preserves every doc's token count, so
+    // the length distribution is IDENTICAL across copies — bins and
+    // share columns must not move while the counts quadruple
+    val h1 = queries.Textops.llmTokenHistogram(spark, dirs._1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    val h4 = queries.Textops.llmTokenHistogram(spark, dirs._2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    h1.length should be > 0
+    h4.toSeq shouldBe h1.map(t => (t._1, 4 * t._2, t._3, 4 * t._4, t._5)).toSeq
+  }
+
   test("llm_minhash pair count scales linearly within 5% on dissimilar copies") {
     // the signature-agreement estimate is thresholded, so borderline
     // pairs flip per translated copy — linear within a small tolerance
