@@ -493,6 +493,38 @@ object Textops {
       .orderBy("lang")
   }
 
+  /** llm_mix_apply — temperature resampling APPLIED (the action
+    * llm_mix_weights only computes): every doc is emitted `rep` times,
+    * rep = floor(w) + (md5-bucket(doc_id:lang) < frac(w)·10⁴ ? 1 : 0)
+    * with w the lang's r4-rounded mix weight — upsampled languages
+    * (w > 1) repeat each doc floor(w) times plus an md5-selected
+    * fractional extra, downsampled ones keep the md5-selected w
+    * fraction. Deterministic and rand()-free like llm_split (the bucket
+    * keys on doc_id:lang so the sampling decision never correlates with
+    * split membership); the threshold compares INTEGERS (round(w·10⁴)
+    * on a 4-decimal w is exact on both engines — comparing raw double
+    * fractions would be an engine-dependent boundary). Output one row
+    * per emitted copy: the materialized epoch plan a dataloader reads.
+    * Scale: broadcast of the ≤langs-row weight table + a codegen'd
+    * projection and bounded explode (Σ rep ≤ ceil(w_max)·docs) — no
+    * shuffle beyond the final order. */
+  val llmMixApply: Q = (s, d) => {
+    val wts = llmMixWeights(s, d).select(col("lang"), col("weight"))
+    val bucket = expr(
+      "conv(substring(md5(concat(cast(doc_id as string), ':', lang)), 1, 6), 16, 10) % 10000")
+      .cast("long")
+    Tables.documents(s, d)
+      .join(broadcast(wts), "lang")
+      .withColumn("wbase", floor(col("weight")).cast("long"))
+      .withColumn("thr",
+        round(col("weight") * 10000).cast("long") - col("wbase") * 10000)
+      .withColumn("rep", col("wbase") + when(bucket < col("thr"), 1L).otherwise(0L))
+      .where(col("rep") >= 1)
+      .withColumn("copy", explode(expr("sequence(1L, rep)")))
+      .select(col("doc_id"), col("lang"), col("copy").cast("long").as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** llm_span_dedup — substring-level duplication signal (the Lee et al.
     * "Deduplicating Training Data" shape, bucketed not suffix-array):
     * documents are cut into NON-overlapping 16-token chunks (overlap
@@ -671,6 +703,7 @@ object Textops {
     "llm_span_dedup"     -> llmSpanDedup,
     "llm_entropy"        -> llmEntropy,
     "llm_mix_weights"    -> llmMixWeights,
+    "llm_mix_apply"      -> llmMixApply,
     "llm_logprob_score"  -> llmLogprobScore,
     "llm_ccnet_bucket"   -> llmCcnetBucket,
     "llm_pack_sequences" -> llmPackSequences,
@@ -792,6 +825,30 @@ object Textops {
         | ${r4Sql("scaled / sum(scaled) OVER ()")} AS target_share,
         | ${r4Sql("(scaled / sum(scaled) OVER ()) / share")} AS weight
         |FROM x ORDER BY lang""".stripMargin,
+    "llm_mix_apply" ->
+      s"""WITH pl AS (
+        | SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        | FROM documents GROUP BY 1),
+        |x AS (
+        | SELECT lang,
+        |  n_tok * 1.0 / sum(n_tok) OVER () AS share,
+        |  sqrt(n_tok * 1.0 / sum(n_tok) OVER ()) AS scaled
+        | FROM pl),
+        |w AS (
+        | SELECT lang, ${r4Sql("(scaled / sum(scaled) OVER ()) / share")} AS weight
+        | FROM x),
+        |r AS (
+        | SELECT d.doc_id, d.lang,
+        |  CAST(floor(weight) AS BIGINT)
+        |   + CASE WHEN
+        |       CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.lang), 1, 6)) AS BIGINT) % 10000
+        |       < CAST(round(weight * 10000) AS BIGINT) - CAST(floor(weight) AS BIGINT) * 10000
+        |     THEN 1 ELSE 0 END AS rep
+        | FROM documents d JOIN w ON d.lang = w.lang)
+        |SELECT doc_id, lang, CAST(unnest(generate_series(1, rep)) AS BIGINT) AS copy
+        |FROM r WHERE rep >= 1
+        |ORDER BY doc_id, copy""".stripMargin,
     "llm_ccnet_bucket" ->
       s"""WITH tok AS (
         | SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -545,4 +545,32 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out("orders->customer") shouldBe ((2L, 1L, 0.5, 2L, 1L, 0.5))
     out("supplier->nation") shouldBe ((1L, 0L, 0.0, 2L, 1L, 0.5))
   }
+
+  test("llm_mix_apply moves every resampled language's token share toward its target") {
+    // the whole point of temperature resampling: after applying the
+    // repeat plan, each language's token share must sit CLOSER to its
+    // √p target than the raw corpus share did (md5 quantization allows
+    // a small residual, never a regression past the raw share)
+    val wts = queries.Textops.llmMixWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val nt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions
+          .size(org.apache.spark.sql.functions.split(col("text"), " "))
+          .cast("long").as("n_tok"))
+    val post = queries.Textops.llmMixApply(spark, sfDir)
+      .join(nt, "doc_id")
+      .groupBy("lang").agg(sum("n_tok").as("post_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totPost = post.values.sum.toDouble
+    wts.foreach { case (lang, share, target, weight) =>
+      val postShare = post.getOrElse(lang, 0L) / totPost
+      withClue(s"$lang (w=$weight): post=$postShare target=$target raw=$share") {
+        if (math.abs(weight - 1.0) > 0.01)
+          math.abs(postShare - target) should be < math.abs(share - target)
+        else // ~unit weight: resampling must leave the language in place
+          math.abs(postShare - target) should be <= (math.abs(share - target) + 0.01)
+      }
+    }
+  }
 }
