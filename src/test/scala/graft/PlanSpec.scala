@@ -178,6 +178,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
       not include "CartesianProduct"
   }
 
+  test("minhash candidate mode keeps the sharded equi-join shape end to end") {
+    // the approximate generator must inherit the exact one's plan
+    // discipline: banded candidates through ShardedSelfJoin (equi-join,
+    // hot-bucket broadcast annotation), scoring via merge SMJs — never
+    // a cartesian/nested-loop fallback
+    val key = "spark.graft.pairs.candidates"
+    spark.conf.set(key, "minhash")
+    try {
+      val plan = planOf(queries.Llm.llmJaccardPairs(spark, sfDir))
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include("BroadcastHashJoin") // bucket-size annotation
+    } finally spark.conf.unset(key)
+  }
+
+  test("llm_mix_apply broadcasts the weight table; llm_token_histogram aggregates pre-window") {
+    // mix_apply: the ≤langs-row weight frame must reach the docs as a
+    // broadcast hash join (shuffling the corpus to meet 5 rows would be
+    // the wrong shape at any scale); no cartesian anywhere
+    val plan = planOf(queries.Textops.llmMixApply(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
+    // token_histogram: the cumulative window must run over the
+    // AGGREGATED ≤20-row frame — a Window whose child is the raw scan
+    // would sort the corpus; the plan has exactly one aggregate below
+    // the window and the broadcast total join
+    val hPlan = planOf(queries.Textops.llmTokenHistogram(spark, sfDir))
+    hPlan should include("Window")
+    hPlan should include("BroadcastNestedLoopJoin") // 1-row total crossJoin, bounded
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode
