@@ -524,6 +524,27 @@ object Extras {
     } else minLabelCluster(s, pairs, docs)
   }
 
+  /** llm_cluster_sizes — near-dup cluster-size census: for each
+    * observed cluster size, how many clusters and how much of the
+    * corpus sits in them. The dedup-observability twin of
+    * llm_dedup_cluster — the curve an operator reads BEFORE picking a
+    * dedup policy (a corpus whose mass hides in a few giant clusters
+    * needs exact-dedup-first and bucket caps; one dominated by
+    * size-1 "clusters" barely needs near-dedup at all). Scale: the
+    * cluster table aggregates to ≤distinct-sizes rows; the census is
+    * two bounded aggs over it plus a 1-row total broadcast. */
+  val llmClusterSizes: Q = (s, d) => {
+    // cut: the labeled cluster table feeds the census and the total
+    val cl = graft.ops.Lineage.cut(llmDedupCluster(s, d))
+    val tot = cl.agg(count(lit(1)).as("n_total"))
+    cl.groupBy("csize")
+      .agg(countDistinct("cluster").as("n_clusters"), count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("csize"), col("n_clusters"), col("n_docs"),
+        r4(col("n_docs") * lit(1.0) / col("n_total")).as("doc_share"))
+      .orderBy("csize")
+  }
+
   /** The declared-semantics default path of llm_dedup_cluster: 8 bounded
     * rounds of min-label propagation with a monotone-sum convergence
     * early-exit. */
@@ -677,6 +698,7 @@ object Extras {
     "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
     "llm_dedup_cluster" -> llmDedupCluster,
+    "llm_cluster_sizes" -> llmClusterSizes,
     "agg_argmax"        -> aggArgmax,
     "fn_bits"           -> fnBits,
     "dq_checks"         -> dqChecks,
@@ -827,6 +849,19 @@ object Extras {
         |FROM l8 JOIN (SELECT lbl, count(*) AS csize FROM l8 GROUP BY lbl) s
         | ON s.lbl = l8.lbl
         |ORDER BY doc_id""".stripMargin,
+    "llm_cluster_sizes" ->
+      s"""WITH $jaccardCtes,
+        |edges AS MATERIALIZED (
+        | SELECT doc_a AS src, doc_b AS dst FROM pairs
+        | UNION ALL SELECT doc_b, doc_a FROM pairs
+        | UNION ALL SELECT doc_id, doc_id FROM documents),
+        |l0 AS (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
+        |$labelRounds,
+        |csz AS (SELECT lbl, count(*) AS csize FROM l8 GROUP BY lbl)
+        |SELECT csize, count(*) AS n_clusters,
+        | CAST(sum(csize) AS BIGINT) AS n_docs,
+        | ${r4Sql("sum(csize) * 1.0 / (SELECT count(*) FROM documents)")} AS doc_share
+        |FROM csz GROUP BY csize ORDER BY csize""".stripMargin,
     "agg_argmax" ->
       s"""SELECT o_orderpriority,
         | arg_max(o_orderstatus, o_orderkey) AS last_status,
