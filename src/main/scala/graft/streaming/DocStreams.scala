@@ -84,4 +84,20 @@ object DocStreams {
     * stage-0 gates). */
   def ingest(docs: Dataset[Doc]): Dataset[KeptDoc] =
     dedupByContent(gopherGate(docs))
+
+  /** Online token-length census — the streaming twin of
+    * llm_token_histogram's stateful core: running doc counts per
+    * 16-token bin (top-clamped at 19), Complete output mode. The
+    * report head (share / cumulative share) is a stateless rollup of
+    * this ≤20-row frame and stays batch-side; what needs streaming
+    * state is exactly the per-bin counters. The ingest-health use:
+    * watch the length distribution of the day's feed move against
+    * yesterday's corpus curve without re-scanning anything. */
+  def tokenLengthBins(docs: Dataset[Doc]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.toDF()
+      .select(least(
+        expr("cast(size(split(text, ' ')) as bigint) div 16"), lit(19L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -648,6 +648,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     kept shouldBe Seq(0L, 1L, 3L) // doc 2 died to state recovered across the restart
   }
 
+  test("token-length bins match the batch histogram across microbatches (Complete mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{Doc, DocStreams}
+    // the stateful core of llm_token_histogram online: per-bin counts in
+    // Complete mode must equal the batch census no matter how the feed
+    // is split into microbatches (binning is per-doc, counting is
+    // commutative — pinned rather than assumed)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang").as[Doc].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.tokenLengthBins(stream.toDS())
+      .writeStream.format("memory").queryName("tok_bins")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val online = spark.table("tok_bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = queries.Textops.llmTokenHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0) / 16, r.getLong(1))).toMap
+    online shouldBe batch
+  }
+
   test("interArrival matches a running-prefix batch formulation across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
