@@ -43,5 +43,8 @@ object GraftExtensions {
     ("graft_agree",
       new ExpressionInfo(classOf[ArrayAgreeCount].getName, "graft_agree"),
       exprs => ArrayAgreeCount(exprs(0), exprs(1))),
+    ("graft_icount",
+      new ExpressionInfo(classOf[SortedInterCount].getName, "graft_icount"),
+      exprs => SortedInterCount(exprs(0), exprs(1))),
   )
 }

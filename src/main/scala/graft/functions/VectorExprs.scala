@@ -91,6 +91,60 @@ case class ArrayAgreeCount(left: Expression, right: Expression)
     })
 }
 
+/** icount(a, b) over two SORTED, duplicate-free array<bigint> — the
+  * intersection size by a single merge scan. Replaces
+  * `size(array_intersect(a, b))` on the jaccard/containment scoring
+  * path: ArrayIntersect builds a hash set AND materializes the
+  * intersection array per row only for `size` to count it; on the
+  * interned-long sorted sets (array_sort ∘ collect_set, so the input
+  * contract holds by construction) a merge count is allocation-free
+  * and branch-cheap. The count equals array_intersect's length exactly
+  * when both inputs are sorted ascending with distinct elements —
+  * callers outside that contract must keep array_intersect. */
+case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_icount"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedInterCount =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val u = x.getLong(i); val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+      |int $na = $x.numElements();
+      |int $nb = $y.numElements();
+      |int $i = 0; int $j = 0; int $c = 0;
+      |while ($i < $na && $j < $nb) {
+      |  long $u = $x.getLong($i);
+      |  long $v = $y.getLong($j);
+      |  if ($u == $v) { $c++; $i++; $j++; }
+      |  else if ($u < $v) { $i++; }
+      |  else { $j++; }
+      |}
+      |${ev.value} = $c;
+      |""".stripMargin
+    })
+}
+
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
   * Column from a custom Expression. Idempotent. The function table is

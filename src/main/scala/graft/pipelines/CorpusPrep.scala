@@ -288,10 +288,11 @@ object CorpusPrep {
         .distinct()
       val sets = tokC.groupBy("doc_id")
         .agg(array_sort(collect_set(xxhash64(col("token")))).as("mset"))
+      graft.functions.VectorExprs.register(spark)
       val losers = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("mset").as("ma")).hint("merge"), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("mset").as("mb")).hint("merge"), "doc_b")
-        .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+        .withColumn("ni", expr("graft_icount(ma, mb)"))
         .where(r4(col("ni") * lit(1.0) / least(col("na"), col("nb"))) >= m)
         .select(when(col("na") < col("nb"), col("doc_a"))
           .when(col("nb") < col("na"), col("doc_b"))

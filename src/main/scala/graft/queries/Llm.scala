@@ -353,10 +353,13 @@ object Llm {
         tok.groupBy("doc_id").agg(array_sort(collect_set(xxhash64(col("token")))).as("m"))
           .select(col("doc_id"), col("m"))
       }
+    // graft_icount: allocation-free merge count over the sorted interned
+    // sets (VectorExprs.SortedInterCount) — array_intersect hashes and
+    // materializes the intersection per pair only for size() to count it
     lazy val interExpr =
       if (sets.schema("m").dataType == org.apache.spark.sql.types.LongType)
         expr("bit_count(ma & mb)")
-      else size(array_intersect(col("ma"), col("mb")))
+      else { graft.functions.VectorExprs.register(s); expr("graft_icount(ma, mb)") }
     // Intersection strategy (spark.graft.jaccard.intersect):
     //  - "arrays" (default): rejoin per-document sets via shuffle
     //    equi-joins on doc id and intersect in-row. `sets` is
@@ -419,7 +422,7 @@ object Llm {
     * in the oracle SQL — probe tokens are rare-first by construction,
     * so the cap only touches docs whose entire vocabulary is common,
     * the boilerplate llm_exact_dedup removes first). Scoring reuses the
-    * jaccard family's interned-long sorted-set arrays + array_intersect
+    * jaccard family's interned-long sorted-set arrays + graft_icount
     * through two merge-hinted equi-joins. Never consults the pair-table
     * artifact (it stores jaccard at a 0.6 floor — a different metric). */
   val llmContainment: Q = (s, d) => {
@@ -448,10 +451,11 @@ object Llm {
       .distinct()
     val sets = tok.groupBy("doc_id")
       .agg(array_sort(collect_set(xxhash64(col("token")))).as("m"))
+    graft.functions.VectorExprs.register(s)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb")).hint("merge"), "doc_b")
-      .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+      .withColumn("ni", expr("graft_icount(ma, mb)"))
       .select(col("doc_a"), col("doc_b"),
         when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")).as("small_doc"),
         r4(col("ni") * lit(1.0) / least(col("na"), col("nb"))).as("containment"))

@@ -83,10 +83,11 @@ object Textops {
     // interning): the arrays through the two scoring SMJs shrink ~6×
     val sets = sh.groupBy("doc_id").agg(array_sort(collect_set(xxhash64(col("shg")))).as("m"))
       .select(col("doc_id"), col("m"))
+    graft.functions.VectorExprs.register(s)
     candSz
       .join(sets.select(col("doc_id").as("doc_a"), col("m").as("ma")).hint("merge"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("m").as("mb")).hint("merge"), "doc_b")
-      .withColumn("ni", size(array_intersect(col("ma"), col("mb"))))
+      .withColumn("ni", expr("graft_icount(ma, mb)"))
       .select(col("doc_a"), col("doc_b"),
         r4(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni"))).as("jac"))
       .where(col("jac") >= 0.6)

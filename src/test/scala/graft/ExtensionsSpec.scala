@@ -33,6 +33,8 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
           .head.getDouble(0) shouldBe 11.0
         s.sql("SELECT graft_agree(array(1, 2, 3), array(1, 9, 3)) AS c")
           .head.getInt(0) shouldBe 2
+        s.sql("SELECT graft_icount(array(1L, 3L, 7L), array(2L, 3L, 7L, 9L)) AS c")
+          .head.getInt(0) shouldBe 2
         // injected as a catalog function, not a temp function: visible in
         // DESCRIBE (ExpressionInfo carried through)
         val desc = s.sql("DESCRIBE FUNCTION graft_dot")

@@ -356,6 +356,26 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("graft_icount equals size(array_intersect) on generated sorted distinct long arrays") {
+    // the scoring-path contract (VectorExprs.SortedInterCount): on sorted,
+    // duplicate-free arrays the merge count must equal the engine's own
+    // array_intersect length — checked across random sizes incl. empty,
+    // disjoint and identical arrays, through the SQL surface (codegen path)
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    val samples = collection.mutable.Buffer.empty[(Seq[Long], Seq[Long])]
+    forAllSeeded(gen) { case (a, b) => samples += ((a, b)) }
+    val df = samples.toSeq.toDF("a", "b")
+      .selectExpr("graft_icount(a, b) AS mc", "size(array_intersect(a, b)) AS ai")
+    df.where(col("mc") =!= col("ai")).count() shouldBe 0L
+    // and at least some samples genuinely intersect (the check has teeth)
+    df.where(col("mc") > 0).count() should be > 0L
+  }
+
   test("r4 is idempotent and order-independent on representable values") {
     import graft.ops.Det
     val df = spark.range(1000).select(
