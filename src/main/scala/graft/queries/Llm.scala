@@ -49,13 +49,23 @@ object Llm {
   }
 
   private def top5(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
-    // project the embedding arrays away BEFORE the ranking window: the
-    // window shuffle then moves ~24 bytes/row instead of ~1 KB/row of
-    // vector payload (4M rows at sf0.1 — this is the difference between a
-    // ~100 MB and a ~4 GB shuffle, and the same rule at 100 TB)
+    // top-5 as a bounded AGGREGATE (functions.TopKAgg), not a ranking
+    // window: the window form shuffles the full cross-join output (4M
+    // rows at sf0.1) to sort it; the Aggregator's map-side partial
+    // combine reduces each partition to one ≤5-element buffer per qid
+    // first, so the exchange moves O(qids · partitions · 5) buffers —
+    // the answer, not the candidate set. Same total order (rounded cos
+    // desc, vid asc; vid unique per qid), so the selection is
+    // merge-order-independent and row-identical to the window form.
+    // The embedding arrays are still projected away before the agg.
+    val topk = udaf(new graft.functions.TopKAgg(5),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
     cosPairs(s, d).select("qid", "vid", "nb_label", "cos")
-      .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 5)
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid"), col("nb_label").cast("long")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("vid"), col("col._3").as("nb_label"),
+        col("col._1").as("cos"), (col("pos") + 1).cast("long").as("rn"))
   }
 
   /** llm_cosine_topk — top-5 nearest neighbours per vector by rounded
