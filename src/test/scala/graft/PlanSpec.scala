@@ -209,6 +209,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     hPlan should include("BroadcastNestedLoopJoin") // 1-row total crossJoin, bounded
   }
 
+  test("llm_cosine_topk selects top-5 via a partial aggregate, not a ranking window") {
+    // the TopKAgg rewrite's plan contract: the 4M-row cross-join output
+    // is reduced map-side (ObjectHashAggregate partial → final), never
+    // shuffled wholesale into a per-qid sort — no Window in the plan
+    val plan = planOf(queries.Llm.llmCosineTopk(spark, sfDir))
+    plan should include("ObjectHashAggregate")
+    plan should not include "Window"
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode
