@@ -692,7 +692,38 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** dq_freshness — delivery-freshness profile of the events feed: per
+    * event type, volume, first/last-seen second, staleness vs the
+    * corpus watermark (max ts over ALL types), and the share of the
+    * type's events inside the last 24 h before that watermark. The
+    * "is this producer still alive" check a delivery runs after every
+    * sync — a type whose age_s grows while the others sit near 0 is a
+    * dead producer; a fresh_share collapse on stable volume flags a
+    * backfill-only feed. Complements ev_anomaly (hourly volume z-scores)
+    * and ev_inter_arrival (gap profile): those read the event stream's
+    * shape, this reads the FEED's recency against the delivery point.
+    * Scale: ONE events pass into a per-type agg + a 1-row corpus
+    * watermark broadcast — no windows, no joins on fact rows. */
+  val dqFreshness: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_type"), epochS(col("ts")).as("ts_s"))
+    val wm = e.agg(max("ts_s").as("wm_s"))
+    e.crossJoin(broadcast(wm))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_s").as("first_s"),
+        max("ts_s").as("last_s"),
+        max("wm_s").as("wm"), // constant within every group
+        sum(when(col("ts_s") >= col("wm_s") - 86400L, 1L).otherwise(0L)).as("n_fresh"))
+      .select(col("event_type"), col("n_events"), col("first_s"), col("last_s"),
+        (col("wm") - col("last_s")).as("age_s"),
+        r4(col("n_fresh") * lit(1.0) / col("n_events")).as("fresh_share"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_freshness"      -> dqFreshness,
     "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_sample_balanced" -> llmSampleBalanced,
     "llm_split"         -> llmSplit,
@@ -777,6 +808,16 @@ object Extras {
        |  LEFT JOIN (SELECT DISTINCT $ck AS k FROM $child) c2 ON c2.k = p.k) ps""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dq_freshness" ->
+      s"""WITH e AS (
+        | SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |wm AS (SELECT max(ts_s) AS wm_s FROM e)
+        |SELECT event_type, count(*) AS n_events,
+        | min(ts_s) AS first_s, max(ts_s) AS last_s,
+        | max(wm.wm_s) - max(ts_s) AS age_s,
+        | ${r4Sql("sum(CASE WHEN ts_s >= wm.wm_s - 86400 THEN 1 ELSE 0 END) * 1.0 / count(*)")} AS fresh_share
+        |FROM e CROSS JOIN wm
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq_referential" ->
       Seq(
         refRelSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),

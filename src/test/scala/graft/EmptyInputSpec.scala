@@ -46,7 +46,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "llm_gopher_rules", "llm_top_ngrams", "ev_active_users", "llm_containment",
     "ev_attribution", "source_text", "llm_code_detect",
     "llm_ccnet_bucket", "llm_domain_cap", "llm_domain_rank", "llm_bigram_score",
-    "ev_cohort_ltv", "llm_token_histogram", "llm_mix_apply", "llm_cluster_sizes")
+    "ev_cohort_ltv", "llm_token_histogram", "llm_mix_apply", "llm_cluster_sizes",
+    "dq_freshness")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {

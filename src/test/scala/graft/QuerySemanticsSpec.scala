@@ -164,6 +164,31 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     spikes.head._4 should be > 2.0
   }
 
+  test("dq_freshness: a dead producer ages against the corpus watermark; fresh share counts the last 24h") {
+    // synthesized feed with KNOWN staleness (the oracle shares the
+    // formula, so detection behavior is pinned on constructed truth):
+    // 'live' produces up to the corpus watermark, 'stale' died ~3.5
+    // days earlier — age_s must measure against the CORPUS max, not
+    // the type's own, and fresh_share counts only the last 24 h
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    val base = 1700000000L
+    val wm = base + 300000L
+    def ev(id: Long, tsS: Long, tpe: String) =
+      (id, tsS * 1000000000L, id % 7, tpe, 1.0, "{}")
+    val rows =
+      (0L until 10L).map(i => ev(i, base + i, "stale")) ++
+      (0L until 10L).map(i => ev(100L + i, base + i, "live")) ++ // old tail, outside 24 h
+      (0L until 10L).map(i => ev(200L + i, wm - i, "live"))      // fresh head
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.Extras.dqFreshness(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    out("live") shouldBe ((20L, base, wm, 0L, 0.5))
+    out("stale") shouldBe ((10L, base, base + 9L, 300000L - 9L, 0.0))
+  }
+
   test("llm_logprob_score ranks rare-token docs above common-token docs") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lp").toString
