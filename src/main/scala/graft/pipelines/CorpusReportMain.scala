@@ -14,9 +14,11 @@ import graft.ops.Det._
   *
   * Usage: CorpusReportMain SRCDIR
   *
-  * Scale: two scans of the documents table (one Expand-free stats pass,
-  * one sha256 groupBy for the dup census) plus a langs-wide aggregate;
-  * every number is an aggregate — nothing per-row reaches the driver.
+  * Scale: three scans of the documents table (one Expand-free stats
+  * pass, one sha256 groupBy for the dup census, one ≤20-key length-bin
+  * census via Textops.lengthBin — the histogram operator's own column)
+  * plus a langs-wide aggregate; every number is an aggregate — nothing
+  * per-row reaches the driver.
   */
 object CorpusReportMain {
 
@@ -40,6 +42,12 @@ object CorpusReportMain {
     val langs = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang").collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+    // length profile via the SAME bin column llm_token_histogram reports
+    // (Textops.lengthBin) — keyed by the bin's token lower bound
+    val lenBins = docs.select(graft.queries.Textops.lengthBin(col("text")).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin").collect()
+      .map(r => s""""${r.getLong(0) * 16}":${r.getLong(1)}""").mkString(",")
     def share(n: Long): Double =
       if (nDocs == 0) 0.0 else math.floor(n * 10000.0 / nDocs + 0.5) / 10000
     val avgTok = if (nDocs == 0) 0.0 else math.floor(nTokens * 10000.0 / nDocs + 0.5) / 10000
@@ -48,6 +56,7 @@ object CorpusReportMain {
       s""""exact_dup_docs":${nDocs - nDistinct},""" +
       s""""exact_dup_share":${share(nDocs - nDistinct)},""" +
       s""""gopher_pass_docs":$nPass,"gopher_pass_share":${share(nPass)},""" +
+      s""""len_bins":{$lenBins},""" +
       s""""langs":{$langs}}"""
   }
 

@@ -674,13 +674,19 @@ object Textops {
     * Scale: one shuffle-free projection into a ≤20-key groupBy; the
     * total and the cumulative sum run over the aggregated ≤20-row
     * frame, so the windows never touch per-doc data. */
+  /** The 16-token length-bin key (top-clamped at 19), factored as ONE
+    * column so llm_token_histogram, the DocStreams online census and
+    * the CorpusReportMain dataset card can never bin differently
+    * (gopherPass discipline; token counts are ≥ 1, where floor ≡ div). */
+  def lengthBin(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(floor(size(split(text, " ")) / lit(16)).cast("long"), lit(19L))
+
   val llmTokenHistogram: Q = (s, d) => {
     val binW = 16L
     // cut: the ≤20-row bin frame feeds both the total and the output
     val bins = graft.ops.Lineage.cut(
       Tables.documents(s, d)
-        .select(least(
-          expr("cast(size(split(text, ' ')) as bigint) div 16"), lit(19L)).as("bin"))
+        .select(lengthBin(col("text")).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n_docs")))
     val tot = bins.agg(sum("n_docs").as("n_total"))
     val wCum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -96,8 +96,7 @@ object DocStreams {
   def tokenLengthBins(docs: Dataset[Doc]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     docs.toDF()
-      .select(least(
-        expr("cast(size(split(text, ' ')) as bigint) div 16"), lit(19L)).as("bin"))
+      .select(graft.queries.Textops.lengthBin(col("text")).as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_docs"))
   }
 }

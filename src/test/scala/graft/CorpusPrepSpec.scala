@@ -338,10 +338,16 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     line should include(""""exact_dup_share":0.3333""")
     line should include(""""gopher_pass_docs":2""")
     line should include(""""langs":{"de":1,"en":2}""")
+    // length bins: the two 60-token docs land in bin 48-63, "x y" in 0-15
+    line should include(""""len_bins":{"0":1,"48":2}""")
     // cross-check the dup census against llm_exact_dedup itself
     val dupFromOp = queries.Llm.llmExactDedup(spark, dir)
       .agg(org.apache.spark.sql.functions.sum(col("n_dups") - 1)).head().getLong(0)
     line should include(s""""exact_dup_docs":$dupFromOp""")
+    // and the length census against llm_token_histogram itself
+    val histFromOp = queries.Textops.llmTokenHistogram(spark, dir).collect()
+      .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString(",")
+    line should include(s""""len_bins":{$histFromOp}""")
   }
 
   test("corpus report on an empty corpus is the well-defined zero card") {
@@ -353,6 +359,6 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     val line = CorpusReportMain.report(spark, dir)
     line shouldBe ("""{"n_docs":0,"n_langs":0,"n_tokens":0,"avg_doc_tokens":0.0,""" +
       """"exact_dup_docs":0,"exact_dup_share":0.0,""" +
-      """"gopher_pass_docs":0,"gopher_pass_share":0.0,"langs":{}}""")
+      """"gopher_pass_docs":0,"gopher_pass_share":0.0,"len_bins":{},"langs":{}}""")
   }
 }
