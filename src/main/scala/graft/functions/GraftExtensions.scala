@@ -46,5 +46,8 @@ object GraftExtensions {
     ("graft_icount",
       new ExpressionInfo(classOf[SortedInterCount].getName, "graft_icount"),
       exprs => SortedInterCount(exprs(0), exprs(1))),
+    ("graft_emit_once",
+      new ExpressionInfo(classOf[EmitOnceMin].getName, "graft_emit_once"),
+      exprs => EmitOnceMin(exprs(0), exprs(1), exprs(2))),
   )
 }

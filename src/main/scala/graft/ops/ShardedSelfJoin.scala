@@ -56,10 +56,34 @@ object ShardedSelfJoin {
     *                  pay the distinct shuffle. The expression resolves
     *                  against the OUTPUT columns: doc_a, doc_b and the
     *                  normalized carries ({c}_a / {c}_b)
+    * @param emitOnce  optional (keyCol, setCol): each banded row carries
+    *                  in setCol the SORTED array of ALL its bucket keys
+    *                  for keyCol (e.g. a doc's 4 block tokens). A pair is
+    *                  then kept only in the cell whose key is the MINIMUM
+    *                  element of the two sets' intersection — a pair
+    *                  sharing k buckets is generated in all k but
+    *                  SURVIVES exactly one, so the O(candidates) dedup
+    *                  `distinct` shuffle is skipped entirely (the
+    *                  AllPairs/PPJoin emit-once discipline, relational).
+    *                  Requires every key of a row's bucket to appear in
+    *                  its setCol; the min is on the column's own type
+    *                  ordering (strings lexicographic) — exact, no
+    *                  hashing. PropertySpec pins ≡ the distinct path on
+    *                  random multi-bucket layouts. Measured negative
+    *                  result on the dup-dense fixture (round 6): the
+    *                  jaccard path keeps its distinct — with the size
+    *                  prefilter and candidate predicates killing pairs
+    *                  pre-distinct on carried ints, the surviving
+    *                  distinct costs ~0.4 s while emit-once taxes every
+    *                  raw candidate first (Llm.scala note). Reach for
+    *                  this when the duplicate factor (shared buckets per
+    *                  pair) is high and no cheap pre-distinct kill
+    *                  exists.
     */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
             carry: Seq[String] = Nil,
-            pairFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+            pairFilter: Option[org.apache.spark.sql.Column] = None,
+            emitOnce: Option[(String, String)] = None): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     // Annotate shard counts via a broadcast of ONLY the oversized
     // buckets, not a window over every bucket: oversized buckets are few
@@ -98,12 +122,24 @@ object ShardedSelfJoin {
       carry.flatMap(c => Seq(
         when(aLower, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
         when(aLower, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
-    val joined = a.as("a")
+    val joinedRaw = a.as("a")
       .join(b.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         (col("a.p") =!= col("a.q") || aLower))
-      .select(sel: _*)
-    pairFilter.fold(joined)(joined.where)
-      .distinct()
+    // emit-once: keep the pair only in its minimum shared bucket —
+    // applied on the raw joined frame (the key/set columns are dropped
+    // by the projection below). MUST stay codegen'd: the equivalent
+    // array_min(array_intersect(..)) is CodegenFallback and demotes the
+    // whole join stage to interpreted eval (functions.EmitOnceMin note)
+    val joined = emitOnce.fold(joinedRaw) { case (k, st) =>
+      graft.functions.VectorExprs.register(banded.sparkSession)
+      joinedRaw.where(call_function(
+        "graft_emit_once", col(s"a.$st"), col(s"b.$st"), col(s"a.$k")))
+    }.select(sel: _*)
+    val filtered = pairFilter.fold(joined)(joined.where)
+    // triangle cells meet a pair once per bucket; with emit-once a pair
+    // also survives only ONE bucket, so the output is already duplicate
+    // free and the distinct shuffle is unnecessary
+    if (emitOnce.isDefined) filtered else filtered.distinct()
   }
 }

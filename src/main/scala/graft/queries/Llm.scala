@@ -280,6 +280,16 @@ object Llm {
           .join(ntDf, "doc_id")),
          Seq("band", "bkey", "lang"))
       } else
+        // NOTE (measured negative result, round 6): routing this path
+        // through ShardedSelfJoin's emitOnce (each doc carrying its
+        // block-token set; pairs kept only in the min shared bucket, no
+        // distinct) does NOT pay here — same-phase min-of-3 at sf0.1:
+        // jaccard 5.5 → 5.8 s, dedup_incremental 4.5 → 5.8 s. With the
+        // size prefilter and candPred running pre-distinct on carried
+        // ints, the surviving distinct costs ~0.4 s while the emit-once
+        // scan taxes ALL raw candidates before those cheap kills. The
+        // capability stays in ShardedSelfJoin (property-pinned) for
+        // corpora with higher duplicate factors.
         (graft.ops.Lineage.cut(tok.join(dfTok, "token")
           .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
           .select(col("doc_id"), col("lang"), col("token").as("block_tok"))

@@ -130,6 +130,40 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("emit-once sharded self-join equals the distinct path and is duplicate-free") {
+    // the emitOnce discipline: docs sitting in SEVERAL shared buckets
+    // (the production shape — 4 block tokens per doc) must yield each
+    // pair exactly once with NO distinct — pinned against the
+    // nested-loop oracle on randomized multi-bucket memberships, and
+    // duplicate-freedom asserted on the raw collected rows
+    import spark.implicits._
+    val genLayout: Gen[(List[(Long, List[String])], Int)] = for {
+      n <- Gen.choose(10, 80)
+      nBuckets <- Gen.choose(2, 6)
+      memb <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.choose(0, nBuckets - 1)).map(_.distinct.take(4)))
+      thr <- Gen.choose(1, 40)
+    } yield (memb.zipWithIndex.map { case (bs, i) =>
+      (i.toLong, bs.map(b => s"b$b")) }, thr)
+    (1 to 6).foreach { i =>
+      genLayout.apply(Gen.Parameters.default, Seed(7700L + i)).foreach {
+        case (docs, thr) =>
+          val banded = docs.flatMap { case (id, bs) =>
+            bs.map(b => (id, b, bs.sorted))
+          }.toDF("doc_id", "bkey", "bset")
+          val rowsOut = ops.ShardedSelfJoin.pairs(banded, Seq("bkey"), thr,
+              emitOnce = Some(("bkey", "bset")))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          rowsOut.size shouldBe rowsOut.toSet.size // no distinct, no dups
+          val want = (for {
+            (a, ba) <- docs; (b, bb) <- docs
+            if a < b && ba.exists(bb.contains)
+          } yield (a, b)).toSet
+          rowsOut.toSet should equal(want)
+      }
+    }
+  }
+
   test("llm_containment equals the all-pairs oracle on generated corpora with forced subsets") {
     import spark.implicits._
     // random corpora with PLANTED subset structure (random pairs alone
