@@ -89,12 +89,36 @@ object Bench {
     def jsonMap(f: ((String, Double, Double)) => Double) =
       byName.map(t => "\"" + t._1 + "\":" + fmt(f(t))).mkString("{", ",", "}")
     val total = byName.map(_._2).sum
+    // Budget-adjudicating summary, computed here so it survives the
+    // driver's stdout tail window (below): family sums match BASELINE.md's
+    // budget partition (llm_* vs everything else), worst = the 15 s
+    // single-query cap, maxSpread = the noise-vs-regression discriminator
+    // (a large spread on the offending query means the min-of-passes
+    // filter saw a calm pass — environment, not code).
+    val llmSum    = byName.filter(_._1.startsWith("llm_")).map(_._2).sum
+    val nonLlmSum = total - llmSum
+    val worst     = byName.maxBy(_._2)
+    val wSpread   = byName.maxBy(_._3)
+    // Top-8 heaviest per-query mins inline in the final line: the queries
+    // any budget conversation is actually about, at ~25 B each.
+    val top8 = byName.sortBy(-_._2).take(8)
+      .map(t => "\"" + t._1 + "\":" + fmt(t._2)).mkString("{", ",", "}")
     // Output ordering is driver-contract-critical: the driver keeps only
-    // the TAIL of captured stdout (~2 KB). Detail lines first, minimal
-    // always-parseable line LAST (BASELINE.md contract).
+    // the TAIL of captured stdout (~2 KB). At 130 queries the per-query
+    // detail map alone is >2.5 KB, so the round-6 three-line contract
+    // silently lost the spread line and 50 per-query numbers (VERDICT r6
+    // #1). The full detail/spread lines stay FIRST (for humans reading
+    // the whole log); the LAST line is minimal, always parseable, and now
+    // carries the complete budget verdict on its own: total, family sums,
+    // worst query, worst spread, top-8 heaviest. ~450 B — fits the tail
+    // with room for the end of the detail line above it.
     println(s"""{"metric":"spread","unit":"sec","iters":$iters,"queries":${jsonMap(_._3)}}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(_._2)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"""" +
+      s""","llm":${fmt(llmSum)},"nonllm":${fmt(nonLlmSum)}""" +
+      s""","worst":["${worst._1}",${fmt(worst._2)}]""" +
+      s""","max_spread":["${wSpread._1}",${fmt(wSpread._3)}]""" +
+      s""","top":$top8,"iters":$iters,"n":${names.size}}""")
     spark.stop()
   }
 }
