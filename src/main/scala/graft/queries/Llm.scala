@@ -73,12 +73,20 @@ object Llm {
   val llmCosineTopk: Q = (s, d) =>
     top5(s, d).select("qid", "vid", "cos", "rn").orderBy("qid", "rn")
 
-  /** llm_knn_label — 5-NN majority label (ties → smaller label). */
+  /** llm_knn_label — 5-NN majority label (ties → smaller label).
+    * Majority pick is a min_by aggregate under the strict total order
+    * (votes desc, nb_label asc) — encoded as min of the orderable struct
+    * (-votes, nb_label); nb_label is unique per (qid, label) group, so
+    * the winner is a pure function of the vote multiset. Same top-1
+    * result as the former ranking window, without shuffling the vote
+    * frame into per-qid sorts (VERDICT r6 #4 family). */
   val llmKnnLabel: Q = (s, d) => {
     val votes = top5(s, d).groupBy("qid", "nb_label").agg(count(lit(1)).as("votes"))
-    val w = Window.partitionBy("qid").orderBy(col("votes").desc, col("nb_label"))
-    votes.withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
-      .select(col("qid"), col("nb_label").cast("long").as("pred_label"), col("votes"))
+    votes.groupBy("qid")
+      .agg(min_by(struct(col("nb_label"), col("votes")),
+        struct((-col("votes")).as("nv"), col("nb_label"))).as("t"))
+      .select(col("qid"), col("t.nb_label").cast("long").as("pred_label"),
+        col("t.votes").as("votes"))
       .orderBy("qid")
   }
 
@@ -86,16 +94,62 @@ object Llm {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
 
+  /** The distinct (doc_id, lang, token) stream both near-dup families
+    * block on — exposed package-private so PlanSpec can feed the
+    * extracted blocking stages below. */
+  private[graft] def tokensDistinct(s: org.apache.spark.sql.SparkSession, d: String) =
+    tokens(s, d).distinct()
+
+  private def minkUdaf =
+    udaf(new graft.functions.MinKAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Int)]())
+
+  /** Rarity-blocking stage (pre-Lineage.cut), extracted so PlanSpec can
+    * pin its physical shape — the cut's localCheckpoint hides this
+    * subtree from the full query's executedPlan. The 4-rarest selection
+    * is a bounded MinKAgg aggregate, not a row_number window (VERDICT r6
+    * #3): identical selection under the strict (df, token) per-doc total
+    * order, but map-side partial combine moves one ≤4-element buffer per
+    * (doc, partition) instead of shuffling and sorting the whole distinct
+    * token stream. */
+  private[graft] def rarityBlocked(tok: org.apache.spark.sql.DataFrame,
+      dfTok: org.apache.spark.sql.DataFrame, ntDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tok.join(dfTok, "token")
+      .groupBy("doc_id", "lang")
+      .agg(minkUdaf(col("df"), col("token"), lit(4)).as("btoks"))
+      .select(col("doc_id"), col("lang"), explode(col("btoks")).as("block_tok"))
+      .join(ntDf, "doc_id")
+
+  /** Containment's probe-prefix stage (pre-join), extracted for the same
+    * PlanSpec pin: k = (nt div 10) + 1 rarest tokens per doc via MinKAgg
+    * (k constant per group — nt is doc-functional), not a ranking window
+    * over the df-capped token stream. */
+  private[graft] def probePrefix(tokDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tokDf
+      .groupBy(col("doc_id"), col("lang"), col("nt"))
+      .agg(minkUdaf(col("df"), col("token"),
+        expr("cast((nt div 10) + 1 as int)")).as("ptoks"))
+      .select(col("doc_id").as("pid"), col("lang"),
+        explode(col("ptoks")).as("token"), col("nt").as("nt_p"))
+
   /** llm_token_stats — per-language corpus stats + most frequent term. */
   val llmTokenStats: Q = (s, d) => {
     val tok = tokens(s, d)
     val byLang = tok.groupBy("lang")
       .agg(count(lit(1)).as("n_tokens"), countDistinct("doc_id").as("n_docs"))
       .withColumn("avg_tok", r4(col("n_tokens") * lit(1.0) / col("n_docs")))
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    // top term per lang via min_by under (cnt desc, token asc) — the
+    // former ranking window shuffled the full (lang, token) count frame
+    // into per-lang sorts to keep one row; the aggregate's map-side
+    // combine moves one struct per (lang, partition). (token unique per
+    // (lang, token) group ⇒ strict total order ⇒ same row.)
     val top = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("lang"), col("token").as("top_term"), col("cnt").as("top_term_n"))
+      .groupBy("lang")
+      .agg(min_by(struct(col("token"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("token"))).as("t"))
+      .select(col("lang"), col("t.token").as("top_term"), col("t.cnt").as("top_term_n"))
     byLang.join(top, "lang")
       .select("lang", "n_docs", "n_tokens", "avg_tok", "top_term", "top_term_n")
       .orderBy("lang")
@@ -111,9 +165,16 @@ object Llm {
     val scored = tf.join(nd, "doc_id").join(dft, "token").crossJoin(broadcast(nDocs))
       .withColumn("score", r4((col("tf_n") * lit(1.0) / col("n_tok"))
         * log(col("n_docs") * lit(1.0) / col("df"))))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("doc_id"), col("token").as("top_term"), col("score"))
+    // top term per doc via min_by under (score desc, token asc): score is
+    // r4-rounded BEFORE selection (same grain the oracle windows on), and
+    // token is unique per (doc, token) row, so the order is strict and
+    // the aggregate picks exactly the window's row — without shuffling
+    // the full (doc, term) score frame into per-doc sorts
+    scored
+      .groupBy("doc_id")
+      .agg(min_by(struct(col("token"), col("score")),
+        struct((-col("score")).as("ns"), col("token"))).as("t"))
+      .select(col("doc_id"), col("t.token").as("top_term"), col("t.score").as("score"))
       .orderBy("doc_id")
   }
 
@@ -228,9 +289,8 @@ object Llm {
     // materialize the distinct token stream once — it feeds the df table,
     // the blocking join and the per-doc set aggregation (3 references =
     // 3 recomputes of explode+distinct without the cut)
-    val tok = graft.ops.Lineage.cut(tokens(s, d).distinct())
+    val tok = graft.ops.Lineage.cut(tokensDistinct(s, d))
     lazy val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    val wBlock = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
     // block on each doc's 4 RAREST tokens, not just the single rarest:
     // one-token blocking measured only 0.79 recall against the unblocked
     // all-pairs truth (near-dups can disagree on their single rarest
@@ -279,7 +339,7 @@ object Llm {
           .select(col("doc_id"), col("lang"), col("band"), col("bkey"))
           .join(ntDf, "doc_id")),
          Seq("band", "bkey", "lang"))
-      } else
+      } else {
         // NOTE (measured negative result, round 6): routing this path
         // through ShardedSelfJoin's emitOnce (each doc carrying its
         // block-token set; pairs kept only in the min shared bucket, no
@@ -290,11 +350,10 @@ object Llm {
         // scan taxes ALL raw candidates before those cheap kills. The
         // capability stays in ShardedSelfJoin (property-pinned) for
         // corpora with higher duplicate factors.
-        (graft.ops.Lineage.cut(tok.join(dfTok, "token")
-          .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
-          .select(col("doc_id"), col("lang"), col("token").as("block_tok"))
-          .join(ntDf, "doc_id")),
+        //
+        (graft.ops.Lineage.cut(rarityBlocked(tok, dfTok, ntDf)),
          Seq("block_tok", "lang"))
+      }
     // Skew-safe block self-join: a boilerplate-heavy corpus puts
     // thousands of docs in one (block_tok, lang) cell; the triangle-cell
     // shard bounds per-task input while keeping the pair set identical
@@ -449,16 +508,12 @@ object Llm {
     val maxDf = s.conf.get("spark.graft.containment.maxDf", "1000").toInt
     // one distinct token-stream materialization feeds df, per-doc sizes,
     // the probe/index sides and the set aggregation (jaccard discipline)
-    val tok = graft.ops.Lineage.cut(tokens(s, d).distinct())
+    val tok = graft.ops.Lineage.cut(tokensDistinct(s, d))
     val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
     val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val tokDf = tok.join(dfTok, "token").join(ntDf, "doc_id")
       .where(col("df") <= maxDf)
-    val wRare = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val probe = tokDf
-      .withColumn("rn", row_number().over(wRare))
-      .where(col("rn") <= expr("(nt div 10) + 1"))
-      .select(col("doc_id").as("pid"), col("lang"), col("token"), col("nt").as("nt_p"))
+    val probe = probePrefix(tokDf)
     val index = tokDf
       .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
     val cand = probe.join(index, Seq("token", "lang"))

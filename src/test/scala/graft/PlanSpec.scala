@@ -218,6 +218,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should not include "Window"
   }
 
+  test("top-1-per-group queries aggregate with min_by, not a ranking window") {
+    // VERDICT r6 #4: token_stats / tfidf / knn_label pick one row per
+    // group — a min_by((payload), (-score, tiebreak)) aggregate gets
+    // map-side partial combine; the window form shuffled the full
+    // grouped frame into per-group sorts
+    planOf(queries.Llm.llmTokenStats(spark, sfDir)) should not include "Window"
+    planOf(queries.Llm.llmTfidf(spark, sfDir)) should not include "Window"
+    planOf(queries.Llm.llmKnnLabel(spark, sfDir)) should not include "Window"
+  }
+
+  test("rarity blocking and containment prefixes select via a partial aggregate, not a ranking window") {
+    // VERDICT r6 #3: the 4-rarest-token (and nt/10+1-prefix) selection
+    // must never shuffle+sort the whole distinct token stream. The
+    // blocking subtrees live under a Lineage.cut (localCheckpoint), so
+    // the full-query plan can't see them — pin the extracted stage
+    // builders directly: ObjectHashAggregate (MinKAgg partial → final),
+    // no Window node anywhere in the stage.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val tok = queries.Llm.tokensDistinct(spark, sfDir)
+    val dfTok = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val bPlan = planOf(queries.Llm.rarityBlocked(tok, dfTok, ntDf))
+    bPlan should include("ObjectHashAggregate")
+    bPlan should not include "Window"
+    val tokDf = tok.join(dfTok, "token").join(ntDf, "doc_id")
+      .where(col("df") <= 1000)
+    val pPlan = planOf(queries.Llm.probePrefix(tokDf))
+    pPlan should include("ObjectHashAggregate")
+    pPlan should not include "Window"
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode
