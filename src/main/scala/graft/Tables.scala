@@ -14,8 +14,22 @@ import org.apache.spark.sql.functions._
   * to a single node.
   */
 object Tables {
+  /** The r7 driver data writes every timestamp as parquet µs with
+    * isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ (the
+    * pre-r7 generation carried UTC-adjusted ms → TimestampType). DuckDB
+    * reads both as its naive TIMESTAMP, so the oracle sees identical
+    * values either way; on the Spark side we cast NTZ → TimestampType at
+    * the loader so every downstream operator keeps the one shape it was
+    * built and oracle-verified against. Under the repo-pinned UTC session
+    * the cast is value-preserving. A pure projection — no shuffle, and
+    * column pruning still reaches the scan through it. */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -24,16 +38,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md) which Spark 4 has
-    * no type for: read it as raw ns-since-epoch via nanosAsLong, then
-    * normalize to a µs timestamp — the same truncation DuckDB applies when
-    * it reads the file, so both engines see identical values. Integer
-    * `div` keeps the full 63-bit range (a double division would lose
-    * precision above 2^53 ns ≈ 104 days). */
+  /** events.ts has shipped in two parquet generations, so the loader is
+    * schema-adaptive. Pre-r7 data declares TIMESTAMP(NANOS), which Spark 4
+    * has no type for: read raw ns-since-epoch via nanosAsLong and truncate
+    * to µs — the same truncation DuckDB applies on read, so both engines
+    * see identical values (integer `div` keeps the full 63-bit range; a
+    * double division would lose precision above 2^53 ns ≈ 104 days). The
+    * r7 timestamp[us] generation needs nothing extra — `table()` already
+    * normalized its NTZ read to the session-TZ TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -18,8 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump-boundary timestamp normalization: the r7 driver data carries
+    // naive (isAdjustedToUTC=false) parquet timestamps, which DuckDB reads
+    // as its naive TIMESTAMP, while the engine standardizes on session-TZ
+    // TimestampType internally (Tables.normalizeNtz). Cast any timestamp
+    // output back to TIMESTAMP_NTZ here so the dumped dtype matches the
+    // oracle's; under the pinned UTC session the cast is the identity on
+    // values. Engine internals and specs keep the one proven type.
+    def naiveTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+      }.foldLeft(df)((d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp_ntz")))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
