@@ -79,12 +79,36 @@ object ShardedSelfJoin {
     *                  this when the duplicate factor (shared buckets per
     *                  pair) is high and no cheap pre-distinct kill
     *                  exists.
+    *                  Contract enforcement (ADVICE r6): correctness with
+    *                  emit-once rests entirely on the caller keeping
+    *                  setCol sorted, duplicate-free and containing the
+    *                  row's own keyCol — a violation would silently
+    *                  duplicate or drop pairs (no distinct backstop).
+    *                  `spark.graft.lsh.emitOnce.validate` (default true)
+    *                  therefore raise_error()s on the first violating
+    *                  INPUT row — one codegen'd check per banded row
+    *                  (O(rows·k), vs the O(candidates) join it guards),
+    *                  droppable by conf on a validated production path.
     */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
             carry: Seq[String] = Nil,
             pairFilter: Option[org.apache.spark.sql.Column] = None,
             emitOnce: Option[(String, String)] = None): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
+    val bandedIn = emitOnce.fold(banded) { case (k, st) =>
+      if (banded.sparkSession.conf
+            .get("spark.graft.lsh.emitOnce.validate", "true").toBoolean)
+        banded.where(when(
+          array_contains(col(st), col(k)) &&
+            col(st) === array_sort(col(st)) &&
+            size(col(st)) === size(array_distinct(col(st))),
+          lit(true)
+        ).otherwise(raise_error(concat(
+          lit(s"ShardedSelfJoin emitOnce contract: '$st' must be a sorted, " +
+              s"duplicate-free array containing the row's own '$k'; violated at doc_id="),
+          col("doc_id").cast("string")))))
+      else banded
+    }
     // Annotate shard counts via a broadcast of ONLY the oversized
     // buckets, not a window over every bucket: oversized buckets are few
     // by definition (each holds > threshold docs, so a 10^10-doc corpus
@@ -93,9 +117,9 @@ object ShardedSelfJoin {
     // aggregate itself map-side combines to one row per bucket before
     // shuffling. Normal buckets miss the join → nsh=1 → the original
     // single-cell join, zero extra shuffle.
-    val big = banded.groupBy(keys.map(col): _*)
+    val big = bandedIn.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bn")).where(col("bn") > threshold)
-    val sharded = banded.join(broadcast(big), keys, "left")
+    val sharded = bandedIn.join(broadcast(big), keys, "left")
       .withColumn("nsh",
         coalesce(ceil(col("bn") / lit(threshold.toDouble)).cast("int"), lit(1)))
       .withColumn("srow", pmod(xxhash64(col("doc_id")), col("nsh")).cast("int"))

@@ -123,9 +123,19 @@ object CorpusPrep {
     //     re-tuning per corpus and penalizes rare languages (their
     //     tokens are globally rarer, so whole languages sit above a
     //     global cut); the per-lang quantile is self-calibrating.
+    //     The quantile ranks the CURRENT survivor frame (stage-0.5
+    //     principle, ADVICE r6): composed with xentMax the cut is the
+    //     q-quantile of the post-absolute-gate survivors, not of the
+    //     raw corpus whose tail xentMax already removed — a raw-corpus
+    //     cut would be systematically more lenient than "keep the best
+    //     q of what's in the pipeline". The LM itself stays corpus-
+    //     trained (scoring model ≠ gate population). Standalone use
+    //     (xentMax=None) is unchanged and skips the survivor join.
     val gated = xentQuantileMax.fold(gatedAbs) { q =>
       require(q > 0 && q < 1, s"xentQuantileMax must be in (0, 1), got $q")
-      val scored = graft.queries.Textops.llmLogprobScore(spark, sfDir)
+      val rawScored = graft.queries.Textops.llmLogprobScore(spark, sfDir)
+      val scored = xentMax.fold(rawScored)(_ =>
+        rawScored.join(gatedAbs.select("doc_id"), "doc_id"))
       val cuts = scored.groupBy("lang")
         .agg(r4(expr(s"percentile(xent, cast($q as double))")).as("qcut"))
       gatedAbs.join(

@@ -22,6 +22,25 @@ import graft.ops.Det._
   */
 object CorpusReportMain {
 
+  /** JSON string-literal escaping for interpolated values (ADVICE r6):
+    * lang comes from the data, and a quote/backslash/control char in it
+    * would emit an invalid card line. Minimal RFC 8259 escape set. */
+  private[pipelines] def jsonEscape(v: String): String = {
+    val sb = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\b'          => sb.append("\\b")
+      case '\f'          => sb.append("\\f")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.result()
+  }
+
   /** Exposed for tests: build the datasheet JSON line. */
   def report(spark: SparkSession, sfDir: String): String = {
     val docs = graft.Tables.documents(spark, sfDir)
@@ -41,7 +60,7 @@ object CorpusReportMain {
       .count()
     val langs = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang").collect()
-      .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").mkString(",")
+      .map(r => s""""${jsonEscape(r.getString(0))}":${r.getLong(1)}""").mkString(",")
     // length profile via the SAME bin column llm_token_histogram reports
     // (Textops.lengthBin) — keyed by the bin's token lower bound
     val lenBins = docs.select(graft.queries.Textops.lengthBin(col("text")).as("bin"))

@@ -252,7 +252,15 @@ object EventStreams {
     * The LTV report is a stateless groupBy(cohort, offset) sum over
     * this stream — cumulative/LTV columns are a query over that
     * aggregate, exactly as the batch operator computes them over its
-    * own per-day aggregate. In-order contract as the retention twin. */
+    * own per-day aggregate. In-order contract as the retention twin.
+    *
+    * Twin contract (ADVICE r6): cohort days here are UTC epoch-days
+    * (ts.getTime / 86400000), while batch ev_cohort_ltv derives the day
+    * via `to_date(ts)`, which follows `spark.sql.session.timeZone` — the
+    * two agree only under the repo-wide UTC session (build.sbt pins it;
+    * same declared requirement as RetentionProcessor). A non-UTC
+    * deployment must either set the session TZ to UTC or re-derive the
+    * batch day from UTC epoch-days before comparing the twins. */
   class CohortRevenueProcessor extends StatefulProcessor[Long, Ev, RevenueInc] {
     @transient private var cohortS: ValueState[Long] = _
 

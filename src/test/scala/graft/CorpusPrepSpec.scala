@@ -238,6 +238,28 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L, 4L, 5L)
   }
 
+  test("composed with xentMax, the quantile gate ranks the SURVIVORS, not the raw corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgate_comp").toString
+    // four en docs with strictly increasing xent (fewer common 'the'
+    // tokens → higher surprise): x0 < x1 < x2 < x3. xentMax gates doc 3;
+    // the 0.5-quantile must then rank the 3 SURVIVORS (median = x1 →
+    // keep docs 0,1). Ranking the raw corpus instead would interpolate
+    // the 4-doc median between x1 and x2 and also keep doc 2 (the
+    // more-lenient composition ADVICE r6 flagged).
+    Seq(
+      (0L, "the the the the u0", "en", "s", 0L),
+      (1L, "the the the u1 v1", "en", "s", 0L),
+      (2L, "the the u2 v2 w2", "en", "s", 0L),
+      (3L, "r1 r2 r3 r4 r5", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val x3 = graft.queries.Textops.llmLogprobScore(spark, dir)
+      .where(col("doc_id") === 3L).head().getDouble(3)
+    CorpusPrep.run(spark, dir, xentMax = Some(x3 - 0.0001), xentQuantileMax = Some(0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
+  }
+
   test("decontamination gate (decontamMax) drops leaking train docs, never the benchmark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_decongate").toString
@@ -348,6 +370,33 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
     val histFromOp = queries.Textops.llmTokenHistogram(spark, dir).collect()
       .map(r => s""""${r.getLong(0)}":${r.getLong(1)}""").mkString(",")
     line should include(s""""len_bins":{$histFromOp}""")
+  }
+
+  test("corpus report escapes data-derived JSON string values") {
+    // ADVICE r6: lang comes from the data — a quote/backslash/control
+    // char must emit a VALID card line, not break the JSON
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_card_esc").toString
+    Seq((0L, "a b c", "e\"n\\x\n", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val line = CorpusReportMain.report(spark, dir)
+    line should include(""""langs":{"e\"n\\x\n":1}""")
+    // the line must round-trip through a JSON parser: Spark's own
+    // from_json over the langs map is the cheapest offline check
+    val parsed = spark.range(1).select(
+      org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.lit(line),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("langs",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType))))).as("j"))
+      .select("j.n_docs", "j.langs").head()
+    parsed.getLong(0) shouldBe 1L
+    parsed.getMap[String, Long](1).toMap shouldBe Map("e\"n\\x\n" -> 1L)
   }
 
   test("corpus report on an empty corpus is the well-defined zero card") {

@@ -164,6 +164,40 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("emit-once enforces its caller contract loudly instead of silently corrupting pairs") {
+    // ADVICE r6: with emitOnce the distinct is skipped, so a setCol that
+    // is unsorted, duplicated, or missing the row's own bucket key would
+    // silently drop or duplicate pairs. The default-on validation must
+    // raise instead; conf-off restores the raw (garbage-in) behavior.
+    import spark.implicits._
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    // row 1's bset does not contain its own bkey
+    val missing = Seq((1L, "b0", Seq("b1", "b2")), (2L, "b1", Seq("b1")))
+      .toDF("doc_id", "bkey", "bset")
+    val e1 = intercept[Exception] {
+      ops.ShardedSelfJoin.pairs(missing, Seq("bkey"), 10,
+        emitOnce = Some(("bkey", "bset"))).collect()
+    }
+    chain(e1) should include("emitOnce contract")
+    // unsorted bset
+    val unsorted = Seq((1L, "b0", Seq("b2", "b0")))
+      .toDF("doc_id", "bkey", "bset")
+    val e2 = intercept[Exception] {
+      ops.ShardedSelfJoin.pairs(unsorted, Seq("bkey"), 10,
+        emitOnce = Some(("bkey", "bset"))).collect()
+    }
+    chain(e2) should include("emitOnce contract")
+    // conf-off: the same violating input runs unchecked (documented escape
+    // hatch for a validated production path)
+    spark.conf.set("spark.graft.lsh.emitOnce.validate", "false")
+    try
+      noException should be thrownBy
+        ops.ShardedSelfJoin.pairs(unsorted, Seq("bkey"), 10,
+          emitOnce = Some(("bkey", "bset"))).collect()
+    finally spark.conf.unset("spark.graft.lsh.emitOnce.validate")
+  }
+
   test("llm_containment equals the all-pairs oracle on generated corpora with forced subsets") {
     import spark.implicits._
     // random corpora with PLANTED subset structure (random pairs alone

@@ -194,6 +194,54 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     r4s.map(r => (r.getString(0), r.getDouble(2))).toSeq shouldBe Seq(("<none>", 1.0))
   }
 
+  test("llm_cluster_sizes census is size-distribution-invariant on dissimilar copies") {
+    // translated copies share no tokens → no cross-copy pairs → each
+    // copy's cluster structure repeats exactly: at ×4 every size bucket
+    // holds 4× the clusters and docs while doc_share (a ratio) must not
+    // move at all. A leak across copies would merge clusters and shift
+    // mass into bigger buckets; a recall loss would shift it into
+    // size-1. (VERDICT r6 #6 — the round-6 heavy addition.)
+    val c1 = queries.Extras.llmClusterSizes(spark, dirs._1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val c4 = queries.Extras.llmClusterSizes(spark, dirs._2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    c1.keySet.max should be > 1L // the fixture really has near-dup clusters
+    c4.keySet shouldBe c1.keySet
+    c1.foreach { case (sz, (ncl, ndoc, share)) =>
+      c4(sz)._1 shouldBe 4 * ncl
+      c4(sz)._2 shouldBe 4 * ndoc
+      c4(sz)._3 shouldBe share
+    }
+  }
+
+  test("dq_referential censuses scale linearly in the child side, shares invariant") {
+    // ×4 the CHILD rows of one relation (lineitem duplicated in place,
+    // FKs unchanged): the pre-agg-before-join design must report 4× the
+    // child/orphan counts at IDENTICAL shares/coverage for lineitem
+    // relations and byte-identical rows for every other relation — the
+    // row-linearity check for the round-6 heavy addition (VERDICT r6 #6).
+    val base = java.nio.file.Files.createTempDirectory("graft_lin_ref").toString
+    val (x1, x4) = (s"$base/x1", s"$base/x4")
+    val tables = Seq("lineitem", "orders", "customer", "nation",
+      "part", "supplier", "region")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      df.write.parquet(s"$x1/$t.parquet")
+      (if (t == "lineitem") Seq.fill(4)(df).reduce(_ union _) else df)
+        .write.parquet(s"$x4/$t.parquet")
+    }
+    def rows(d: String) = queries.Extras.dqReferential(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val (r1, r4x) = (rows(x1), rows(x4))
+    r4x.keySet shouldBe r1.keySet
+    r1.foreach { case (rel, (nc, no, os, np, nph, cov)) =>
+      if (rel.startsWith("lineitem->"))
+        r4x(rel) shouldBe ((4 * nc, 4 * no, os, np, nph, cov))
+      else r4x(rel) shouldBe ((nc, no, os, np, nph, cov))
+    }
+  }
+
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {
     // x2 = x1 (copy c0, original ids) + a translated copy c1 with ids
     // above x1's max: the watermark-ruled refresh must compute ONLY the
