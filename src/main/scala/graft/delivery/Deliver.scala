@@ -28,11 +28,26 @@ case class DeliveryReport(rows: Long, files: Long, bytes: Long, fingerprint: Lon
   */
 object Deliver {
 
+  /** Timestamp-flavor normalization for the row hash: to_json prints
+    * TimestampType with a zone suffix and TIMESTAMP_NTZ without one, so
+    * the same instants fingerprint differently depending on whether the
+    * parquet carried isAdjustedToUTC (a copy through Spark re-writes
+    * naive source timestamps as UTC-adjusted — identical values, different
+    * annotation). Verification must judge VALUES, so hash every timestamp
+    * under one typing rule — the same principle partitionFingerprints
+    * already applies to partition values. Value-preserving under the
+    * repo-pinned UTC session. */
+  private def tsOneRule(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+
   /** Order-insensitive, count-sensitive content fingerprint of a
     * DataFrame: xor ⊕ rot32(sum mod 2^64) of per-row xxhash64. The sum
     * runs in decimal(38,0) (exact, no ANSI long-overflow) and is reduced
     * mod 2^64 driver-side. */
-  def fingerprint(df: DataFrame): Long = {
+  def fingerprint(df0: DataFrame): Long = {
+    val df = tsOneRule(df0)
     val cols = df.columns.sorted.map(col)
     val hashed = df.select(xxhash64(to_json(struct(cols: _*))).as("h"))
     val r = hashed.agg(
@@ -164,7 +179,8 @@ object Deliver {
     * `fingerprint`, one shuffle. The collect is bounded by PARTITION
     * count, not rows — the list a 100 TB delivery reconciles is
     * thousands of entries, not the data. */
-  def partitionFingerprints(df: DataFrame, partCol: String): Map[String, Long] = {
+  def partitionFingerprints(df0: DataFrame, partCol: String): Map[String, Long] = {
+    val df = tsOneRule(df0)
     // Normalize partCol to (string, null → sentinel) INSIDE the row hash
     // too, not just the grouping key: the dst side's partition column
     // type comes from directory-name parsing (string when inference is

@@ -256,7 +256,11 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val x3 = graft.queries.Textops.llmLogprobScore(spark, dir)
       .where(col("doc_id") === 3L).head().getDouble(3)
-    CorpusPrep.run(spark, dir, xentMax = Some(x3 - 0.0001), xentQuantileMax = Some(0.5))
+    // stopK=1 (strip only 'the'): the default 5 exceeds the 4-token
+    // survivor vocabulary, cleaning every text to "" and collapsing the
+    // survivors in EXACT DEDUP — which would hide the gate under test
+    CorpusPrep.run(spark, dir, stopK = 1,
+        xentMax = Some(x3 - 0.0001), xentQuantileMax = Some(0.5))
       .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(0L, 1L)
   }
 
