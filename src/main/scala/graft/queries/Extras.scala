@@ -379,6 +379,71 @@ object Extras {
       .orderBy("bin_lo")
   }
 
+  /** dq_delta — the delivery-to-delivery diff card: schema presence and
+    * type per column, version row counts, and per-column null censuses
+    * between two delivery versions — the last gap in the
+    * delivery-observability family (VERDICT r6 #7). dq_profile reads ONE
+    * version, dq_drift reads one column's value distribution; this reads
+    * the whole delivery BOUNDARY: which columns appeared/vanished/changed
+    * type, how the row count moved, and where nulls crept in. The query
+    * entry applies it to the same md5-bucket version split dq_drift uses
+    * (bucket(o_orderkey) < 80 = prev delivery, ≥ 80 = new), so both
+    * sides share a schema; `dqDeltaFrames` is the generic form — a
+    * column present on one side only gets its censuses on that side and
+    * NULLs on the other (exercised with divergent frames in
+    * QuerySemanticsSpec). Null rates are 0.0 on empty sides (zero-row
+    * hardening convention); the delta is r4 of the EXACT-ratio
+    * difference, so engines can't disagree at rounding boundaries.
+    *
+    * Scale: ONE conditional-agg pass per side, each map-side combining
+    * to a single row, then a 1×1 crossJoin and a schema-driven
+    * explode(array(struct…)). Column lists are driver-side METADATA
+    * (schema, not data), so the plan is two scans + a constant-size
+    * explode regardless of column count — no per-row data reaches the
+    * driver, and a 100 TB version pair costs exactly two passes. */
+  def dqDeltaFrames(prev: org.apache.spark.sql.DataFrame,
+                    cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def census(df: org.apache.spark.sql.DataFrame, rowsAs: String, pfx: String) =
+      df.agg(
+        count(lit(1)).as(rowsAs),
+        df.columns.toIndexedSeq.map(c =>
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"$pfx$c")): _*)
+    val p = census(prev, "__rows_prev", "__np_")
+    val n = census(cur, "__rows_new", "__nn_")
+    val dtP = prev.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val dtN = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = (prev.columns ++ cur.columns).distinct.sorted.map { c =>
+      val (inP, inN) = (dtP.contains(c), dtN.contains(c))
+      val nullLong = lit(null).cast("bigint")
+      val nullDbl = lit(null).cast("double")
+      val rateP = if (!inP) nullDbl else when(col("__rows_prev") === 0, lit(0.0))
+        .otherwise(col(s"__np_$c") * lit(1.0) / col("__rows_prev"))
+      val rateN = if (!inN) nullDbl else when(col("__rows_new") === 0, lit(0.0))
+        .otherwise(col(s"__nn_$c") * lit(1.0) / col("__rows_new"))
+      struct(
+        lit(c).as("col_name"),
+        (if (inP) lit(dtP(c)) else lit(null).cast("string")).as("dtype_prev"),
+        (if (inN) lit(dtN(c)) else lit(null).cast("string")).as("dtype_new"),
+        lit(inP && inN && dtP.get(c) == dtN.get(c)).as("type_match"),
+        col("__rows_prev").as("n_prev"), col("__rows_new").as("n_new"),
+        (if (inP) col(s"__np_$c") else nullLong).as("n_null_prev"),
+        (if (inN) col(s"__nn_$c") else nullLong).as("n_null_new"),
+        r4(rateP).as("null_rate_prev"),
+        r4(rateN).as("null_rate_new"),
+        (if (inP && inN) r4(rateN - rateP) else nullDbl).as("null_rate_delta"))
+    }
+    p.crossJoin(n).select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("col_name")
+  }
+
+  val dqDelta: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val isPrev = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100 < 80
+    dqDeltaFrames(o.where(isPrev), o.where(!isPrev))
+  }
+
   /** dq_profile — per-column completeness/cardinality profile of the
     * orders delivery (the summary report every delivery tool prints
     * before handoff): rows, nulls, exact distincts, and domain bounds
@@ -735,6 +800,7 @@ object Extras {
     "dq_checks"         -> dqChecks,
     "dq_histogram"      -> dqHistogram,
     "dq_drift"          -> dqDrift,
+    "dq_delta"          -> dqDelta,
     "dq_profile"        -> dqProfile,
     "dq_referential"    -> dqReferential,
     "win_percent"       -> winPercent,
@@ -945,6 +1011,45 @@ object Extras {
         | ${r4Sql("(n_new + 1.0) / (tn + 20.0)")} AS share_new,
         | ${r4Sql("((n_prev + 1.0) / (tp + 20.0) - (n_new + 1.0) / (tn + 20.0)) * ln(((n_prev + 1.0) / (tp + 20.0)) / ((n_new + 1.0) / (tn + 20.0)))")} AS psi
         |FROM bins CROSS JOIN tot ORDER BY bin_lo""".stripMargin,
+    "dq_delta" -> {
+      // one CASE-sum census per (side, column) over the same md5-bucket
+      // version split as dq_drift; rates are exact integer ratios with the
+      // 0-guard, r4'd at output, delta r4'd on the exact difference —
+      // mirrors dqDeltaFrames exactly
+      val rp = (c: String) => s"CASE WHEN np = 0 THEN 0.0 ELSE pn_$c * 1.0 / np END"
+      val rn = (c: String) => s"CASE WHEN nn = 0 THEN 0.0 ELSE cn_$c * 1.0 / nn END"
+      val row = (name: String, dt: String, c: String) =>
+        s"""SELECT '$name' AS col_name, '$dt' AS dtype_prev, '$dt' AS dtype_new,
+           | TRUE AS type_match, np AS n_prev, nn AS n_new,
+           | pn_$c AS n_null_prev, cn_$c AS n_null_new,
+           | ${r4Sql(rp(c))} AS null_rate_prev,
+           | ${r4Sql(rn(c))} AS null_rate_new,
+           | ${r4Sql(s"(${rn(c)}) - (${rp(c)})")} AS null_rate_delta FROM m""".stripMargin
+      val cs = (c: String, sqlCol: String) =>
+        s"""CAST(coalesce(sum(CASE WHEN is_prev AND $sqlCol IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS pn_$c,
+           | CAST(coalesce(sum(CASE WHEN NOT is_prev AND $sqlCol IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS cn_$c""".stripMargin
+      s"""WITH v AS (
+        | SELECT *, (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 80) AS is_prev
+        | FROM orders),
+        |m AS (SELECT
+        | CAST(coalesce(sum(CASE WHEN is_prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS np,
+        | CAST(coalesce(sum(CASE WHEN NOT is_prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS nn,
+        | ${cs("ck", "o_custkey")},
+        | ${cs("od", "o_orderdate")},
+        | ${cs("ok", "o_orderkey")},
+        | ${cs("op", "o_orderpriority")},
+        | ${cs("os", "o_orderstatus")},
+        | ${cs("tp", "o_totalprice")}
+        | FROM v)
+        |SELECT * FROM (
+        | ${row("o_custkey", "bigint", "ck")}
+        | UNION ALL ${row("o_orderdate", "timestamp", "od")}
+        | UNION ALL ${row("o_orderkey", "bigint", "ok")}
+        | UNION ALL ${row("o_orderpriority", "string", "op")}
+        | UNION ALL ${row("o_orderstatus", "string", "os")}
+        | UNION ALL ${row("o_totalprice", "double", "tp")})
+        |ORDER BY col_name""".stripMargin
+    },
     "dq_profile" ->
       s"""WITH m AS (
         | SELECT count(*) AS n_rows,

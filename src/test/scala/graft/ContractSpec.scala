@@ -16,8 +16,8 @@ class ContractSpec extends AnyFunSuite with Matchers {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 130
-    SparkEntry.oracleSql.size shouldBe 126
+    SparkEntry.queries.size shouldBe 131
+    SparkEntry.oracleSql.size shouldBe 127
   }
 
   test("no duplicate keys across query modules (Map ++ would silently drop one)") {

@@ -598,4 +598,39 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       }
     }
   }
+
+  test("dq_delta reports schema divergence: added/dropped/retyped columns and null-rate drift") {
+    import spark.implicits._
+    // prev has (id bigint, a string, gone double); new drops `gone`, adds
+    // `fresh`, retypes `a` to bigint, and introduces nulls in `id`
+    val prev = Seq((1L, Option("x"), Option(1.5)), (2L, None, None))
+      .toDF("id", "a", "gone")
+    val cur = Seq((Option(10L), Option(7L), "u"), (None, None, "v"), (Option(12L), Option(9L), "w"))
+      .toDF("id", "a", "fresh")
+    val out = queries.Extras.dqDeltaFrames(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    out.keySet shouldBe Set("id", "a", "gone", "fresh")
+    // shared, same-type column: full two-sided censuses, exact-ratio delta
+    val id = out("id")
+    (id.getString(1), id.getString(2), id.getBoolean(3)) shouldBe (("bigint", "bigint", true))
+    (id.getLong(4), id.getLong(5)) shouldBe ((2L, 3L))          // version row counts
+    (id.getLong(6), id.getLong(7)) shouldBe ((0L, 1L))          // null censuses
+    id.getDouble(8) shouldBe 0.0
+    id.getDouble(9) shouldBe 0.3333
+    id.getDouble(10) shouldBe 0.3333                            // r4(1/3 - 0)
+    // retyped column: present both sides, type_match false, rates still real
+    val a = out("a")
+    (a.getString(1), a.getString(2), a.getBoolean(3)) shouldBe (("string", "bigint", false))
+    (a.getDouble(8), a.getDouble(9)) shouldBe ((0.5, 0.3333))
+    a.getDouble(10) shouldBe -0.1667                            // r4(1/3 - 1/2)
+    // dropped column: censuses on prev only, NULLs on the new side
+    val gone = out("gone")
+    (gone.getString(1), gone.isNullAt(2), gone.getBoolean(3)) shouldBe (("double", true, false))
+    (gone.getLong(6), gone.isNullAt(7)) shouldBe ((1L, true))
+    (gone.getDouble(8), gone.isNullAt(9), gone.isNullAt(10)) shouldBe ((0.5, true, true))
+    // added column: censuses on new only
+    val fresh = out("fresh")
+    (fresh.isNullAt(1), fresh.getString(2)) shouldBe ((true, "string"))
+    (fresh.isNullAt(6), fresh.getLong(7), fresh.getDouble(9)) shouldBe ((true, 0L, 0.0))
+  }
 }
