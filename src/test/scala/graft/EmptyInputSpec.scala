@@ -69,6 +69,21 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("dq_delta between empty versions is the well-defined 6-row zero card") {
+    // like dq_profile/dq_referential: the diff card is a statement ABOUT
+    // the delivery boundary — empty versions yield one row per column
+    // with zero counts and the DEFINED 0.0 rates/delta, never x/0 nulls
+    val rows = SparkEntry.queries("dq_delta")(spark, emptyDir).collect()
+    rows.length shouldBe 6
+    rows.foreach { r =>
+      r.getBoolean(3) shouldBe true               // schemas agree
+      r.getLong(4) shouldBe 0L; r.getLong(5) shouldBe 0L
+      r.getLong(6) shouldBe 0L; r.getLong(7) shouldBe 0L
+      r.getDouble(8) shouldBe 0.0; r.getDouble(9) shouldBe 0.0
+      r.getDouble(10) shouldBe 0.0
+    }
+  }
+
   test("dq_profile of an empty table is the well-defined 5-row zero profile") {
     // a profile is a statement ABOUT the table, so an empty input yields
     // one row per profiled column (n_rows 0, zero nulls/distincts, NULL

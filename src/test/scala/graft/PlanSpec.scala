@@ -170,6 +170,17 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should include("BroadcastHashJoin")
   }
 
+  test("dq_delta is two census scans — no window, no per-row join, 1×1 combine only") {
+    // the diff card must stay a conditional-agg pass per side combined at
+    // one row each: a Window or SortMergeJoin means a per-row formulation
+    // crept in; the only join is the broadcast 1×1 combine of the two
+    // census rows
+    val plan = planOf(queries.Extras.dqDelta(spark, sfDir))
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   test("llm_domain_rank iterations are equi-join shuffles — no cartesian fallback") {
     // the 1-row dangling/total frames are broadcast crossjoins by
     // construction (bounded-by-contract); the edges⋈ranks joins must
