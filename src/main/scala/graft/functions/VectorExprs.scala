@@ -147,20 +147,44 @@ case class SortedInterCount(left: Expression, right: Expression)
 }
 
 /** emit_once(a, b, cur) over two SORTED, duplicate-free array<string>
-  * plus the current bucket key — true iff the MINIMUM common element of
-  * the two arrays equals `cur`. The ShardedSelfJoin emit-once test: a
-  * pair of docs sharing k blocking buckets is generated in all k cells
-  * but must survive exactly the minimum one, replacing the
-  * O(candidates) pair-dedup distinct. Has to be a codegen'd merge scan:
-  * the `array_min(array_intersect(...)) = cur` formulation is
-  * CodegenFallback in Spark and demotes the ENTIRE candidate join stage
-  * to interpreted eval (measured 3× slower than the distinct it
-  * replaced); this expression early-exits at the first common element
-  * (sorted inputs make it the minimum) with zero allocation. */
+  * or array<bigint> plus the current bucket key — true iff the MINIMUM
+  * common element of the two arrays equals `cur`. The ShardedSelfJoin
+  * emit-once test: a pair of docs sharing k blocking buckets is
+  * generated in all k cells but must survive exactly the minimum one,
+  * replacing the O(candidates) pair-dedup distinct. Has to be a
+  * codegen'd merge scan: the `array_min(array_intersect(...)) = cur`
+  * formulation is CodegenFallback in Spark and demotes the ENTIRE
+  * candidate join stage to interpreted eval (measured 3× slower than
+  * the distinct it replaced); this expression early-exits at the first
+  * common element (sorted inputs make it the minimum) with zero
+  * allocation. Element type is dispatched from the input schema and
+  * CHECKED at analysis: the original string-only form read long arrays
+  * through getUTF8String when round 7 first pointed minhash banding at
+  * it — garbage comparisons, silently zero pairs (and slow). A typed
+  * misuse must be an analysis error, never a wrong answer. */
 case class EmitOnceMin(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_emit_once"
+
+  private lazy val elemType: DataType = first.dataType match {
+    case org.apache.spark.sql.types.ArrayType(t, _) => t
+    case _ => org.apache.spark.sql.types.NullType
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _), LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_emit_once expects (array<string>, array<string>, string) or " +
+            s"(array<bigint>, array<bigint>, bigint), got ($a, $b, $c)")
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): EmitOnceMin =
@@ -169,14 +193,24 @@ case class EmitOnceMin(first: Expression, second: Expression, third: Expression)
   override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val cur = c.asInstanceOf[UTF8String]
     val na = x.numElements(); val nb = y.numElements()
     var i = 0; var j = 0
-    while (i < na && j < nb) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) return x.getUTF8String(i).equals(cur)
-      else if (cmp < 0) i += 1
-      else j += 1
+    if (elemType == org.apache.spark.sql.types.LongType) {
+      val cur = c.asInstanceOf[Long]
+      while (i < na && j < nb) {
+        val u = x.getLong(i); val v = y.getLong(j)
+        if (u == v) return u == cur
+        else if (u < v) i += 1
+        else j += 1
+      }
+    } else {
+      val cur = c.asInstanceOf[UTF8String]
+      while (i < na && j < nb) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) return x.getUTF8String(i).equals(cur)
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     false
   }
@@ -185,18 +219,35 @@ case class EmitOnceMin(first: Expression, second: Expression, third: Expression)
     nullSafeCodeGen(ctx, ev, (x, y, c) => {
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
-      val cmp = ctx.freshName("cmp"); val res = ctx.freshName("res")
+      val res = ctx.freshName("res")
+      val body = if (elemType == org.apache.spark.sql.types.LongType) {
+        val u = ctx.freshName("u"); val v = ctx.freshName("v")
+        s"""
+        |while ($i < $na && $j < $nb) {
+        |  long $u = $x.getLong($i);
+        |  long $v = $y.getLong($j);
+        |  if ($u == $v) { $res = $u == $c; break; }
+        |  else if ($u < $v) { $i++; }
+        |  else { $j++; }
+        |}
+        |""".stripMargin
+      } else {
+        val cmp = ctx.freshName("cmp")
+        s"""
+        |while ($i < $na && $j < $nb) {
+        |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+        |  if ($cmp == 0) { $res = $x.getUTF8String($i).equals($c); break; }
+        |  else if ($cmp < 0) { $i++; }
+        |  else { $j++; }
+        |}
+        |""".stripMargin
+      }
       s"""
       |int $na = $x.numElements();
       |int $nb = $y.numElements();
       |int $i = 0; int $j = 0;
       |boolean $res = false;
-      |while ($i < $na && $j < $nb) {
-      |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
-      |  if ($cmp == 0) { $res = $x.getUTF8String($i).equals($c); break; }
-      |  else if ($cmp < 0) { $i++; }
-      |  else { $j++; }
-      |}
+      |$body
       |${ev.value} = $res;
       |""".stripMargin
     })

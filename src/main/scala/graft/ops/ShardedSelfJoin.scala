@@ -89,14 +89,25 @@ object ShardedSelfJoin {
     *                  INPUT row — one codegen'd check per banded row
     *                  (O(rows·k), vs the O(candidates) join it guards),
     *                  droppable by conf on a validated production path.
+    * @param emitOnceByConstruction caller's assertion that setCol is
+    *                  sorted/duplicate-free/self-containing BY
+    *                  CONSTRUCTION in the lines building it (e.g.
+    *                  sort_array over an injective encoding with keyCol
+    *                  exploded from the same array) — skips the per-row
+    *                  validation, which would re-check a structural
+    *                  invariant at data cost (measured 1.2 s of the
+    *                  minhash banding's 3.5 s). Data-derived setCols
+    *                  must NOT set this; the conf still force-disables
+    *                  globally.
     */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
             carry: Seq[String] = Nil,
             pairFilter: Option[org.apache.spark.sql.Column] = None,
-            emitOnce: Option[(String, String)] = None): DataFrame = {
+            emitOnce: Option[(String, String)] = None,
+            emitOnceByConstruction: Boolean = false): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     val bandedIn = emitOnce.fold(banded) { case (k, st) =>
-      if (banded.sparkSession.conf
+      if (!emitOnceByConstruction && banded.sparkSession.conf
             .get("spark.graft.lsh.emitOnce.validate", "true").toBoolean)
         banded.where(when(
           array_contains(col(st), col(k)) &&

@@ -41,24 +41,48 @@ object Sketches {
     // signature table, the standard shape of a dedup pipeline.
     val sigs = graft.ops.Lineage.cut(
       tok.groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig")))
-    // bands carry only (doc_id, lang, band, bkey): candidate generation
-    // shuffles 4 narrow columns, never the 128-int signatures (carrying
-    // sigs through the self-join + distinct was the sf0.1 bottleneck —
+    // bands carry only narrow columns, never the 128-int signatures
+    // (carrying sigs through the self-join was the sf0.1 bottleneck —
     // 170 s → ~5 s). Signatures rejoin afterwards via a shuffle
     // equi-join on doc id: sigs is one 128-int array PER DOCUMENT, so
     // broadcasting it is O(corpus) and cannot work at 100 TB. The merge
     // hint pins the large-large-safe plan (SMJ) at every scale.
+    //
+    // Candidate generation runs EMIT-ONCE (the AllPairs exactly-once
+    // discipline): a high-jac pair collides in up to all 16 bands, so
+    // the duplicate factor here is ~16 with NO pre-distinct kills — the
+    // exact profile the r6 emit-once pass predicted would pay (the
+    // jaccard pipeline declined it at duplicate factor ≤4 with pre-kills;
+    // decision log in SURVEY round-6 thirtieth pass). Each banded row
+    // carries the doc's sorted 16-key bucket set (band<<32|bkey —
+    // injective, so sortedness and distinctness hold BY CONSTRUCTION:
+    // sort_array over distinct-band encodings, bk64 exploded from the
+    // same array → emitOnceByConstruction skips the per-row contract
+    // re-check); a pair then survives only its minimum shared bucket and
+    // the O(candidates) distinct shuffle disappears. Cost: +16 longs per
+    // banded row (~128 B, vs the 512 B signature the discipline above
+    // keeps out) and one codegen'd merge scan per raw candidate.
+    // Candidate-stage A/B on the dup-dense sf0.1 fixture (1.36 M pairs,
+    // same phase): distinct 4.05 s → emit-once 2.35 s; end-to-end query
+    // (sig agg + rejoins included) 4.57 → 4.27 s min-of-4 at matched
+    // simhash-canary phase (round 7; the string-only EmitOnceMin bug
+    // this surfaced is noted on the expression). The stage win grows
+    // with the duplicate factor — boilerplate-heavy corpora collide in
+    // more bands at identical distinct cost per raw candidate.
     val banded = sigs
-      .withColumn("band", explode(expr("sequence(0, 15)")))
-      .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
-      .select("doc_id", "lang", "band", "bkey")
-    // skew-safe bucket self-join: a pathological hot (band, bkey) bucket
+      .withColumn("bkeys", sort_array(expr(
+        "transform(sequence(0, 15), b -> shiftleft(cast(b as bigint), 32)" +
+          " + (cast(hash(slice(sig, b * 8 + 1, 8)) as bigint) & 4294967295))")))
+      .select(col("doc_id"), col("lang"), col("bkeys"),
+        explode(col("bkeys")).as("bk64"))
+    // skew-safe bucket self-join: a pathological hot bucket
     // (boilerplate-identical docs at web scale) is sharded across
     // ceil(size/threshold) triangle cells instead of landing in one
     // task — identical pair set, bounded task input (ShardedSelfJoin;
     // SkewSpec pins both properties)
     val cand = graft.ops.ShardedSelfJoin.pairs(
-      banded, Seq("band", "bkey", "lang"), shardThreshold(s))
+      banded, Seq("bk64", "lang"), shardThreshold(s),
+      emitOnce = Some(("bk64", "bkeys")), emitOnceByConstruction = true)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")).hint("merge"), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")).hint("merge"), "doc_b")
