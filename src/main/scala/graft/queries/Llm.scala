@@ -100,7 +100,7 @@ object Llm {
   private[graft] def tokensDistinct(s: org.apache.spark.sql.SparkSession, d: String) =
     tokens(s, d).distinct()
 
-  private def minkUdaf =
+  private[queries] def minkUdaf =
     udaf(new graft.functions.MinKAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, String, Int)]())
 

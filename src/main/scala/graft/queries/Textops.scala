@@ -53,15 +53,19 @@ object Textops {
     // shingles per doc are a 4-band minhash over the shingle set: docs
     // with Jaccard j share a band w.p. ≈ 1-(1-j)^4 (0.97 at the 0.6
     // threshold), and block sizes stay bounded by true dup-cluster size.
-    val wBlock = Window.partitionBy("doc_id").orderBy("shg")
-    // per-doc shingle-set size joins onto the banded frame so it rides
-    // the self-join as a carried int (no per-pair size join)
+    // The 4-smallest selection is the bounded MinKAgg aggregate, not a
+    // per-doc ranking window (the same VERDICT r6 #3 shape the jaccard
+    // family's rarity blocking dropped): identical selection under the
+    // strict (0, shg) per-doc order — shingles are distinct per doc —
+    // with map-side partial combine shuffling one ≤4-element buffer per
+    // (doc, partition) instead of sorting the O(corpus shingles) stream.
     val ntDf = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     // cut: ShardedSelfJoin references the banded frame three times (a/b
     // sides + oversize census) — materialize the 4-rows-per-doc result
     val block = graft.ops.Lineage.cut(sh
-      .withColumn("rn", row_number().over(wBlock)).where(col("rn") <= 4)
-      .select(col("doc_id"), col("lang"), col("shg").as("block_shg"))
+      .groupBy("doc_id", "lang")
+      .agg(graft.queries.Llm.minkUdaf(lit(0L), col("shg"), lit(4)).as("bshg"))
+      .select(col("doc_id"), col("lang"), explode(col("bshg")).as("block_shg"))
       .join(ntDf, "doc_id"))
     // skew-safe band self-join (same helper + guarantees as the LSH band
     // joins and the rarity-block join): a hot (block_shg, lang) cell
