@@ -282,11 +282,12 @@ object CorpusPrep {
       val ntDf = tokC.groupBy("doc_id").agg(count(lit(1)).as("nt"))
       val tokDf = tokC.join(dfTok, "token").join(ntDf, "doc_id")
         .where(col("df") <= maxDf)
-      val wRare = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("token"))
-      val probe = tokDf.withColumn("rn", row_number().over(wRare))
-        .where(col("rn") <= expr("(nt div 10) + 1"))
-        .select(col("doc_id").as("pid"), col("lang"), col("token"), col("nt").as("nt_p"))
+      // prefix selection via the shared bounded MinKAgg stage (the exact
+      // helper llm_containment uses), not a per-doc ranking window over
+      // the df-capped token stream — the last instance of the VERDICT r6
+      // #3 window shape; the query operator and this gate now cannot
+      // drift apart
+      val probe = graft.queries.Llm.probePrefix(tokDf)
       val index = tokDf
         .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
       val cand = probe.join(index, Seq("token", "lang"))
