@@ -57,10 +57,16 @@ object Extras {
       .join(broadcast(prior), "cl")
       .groupBy(col("doc_id"), col("cl"), col("lprior"))
       .agg(r4(col("lprior") + sum("lp")).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cl"))
-    scores.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    // best language per doc via min_by under (score desc, cl asc) — the
+    // top-1 aggregate discipline (llm_token_stats/llm_knn_label family):
+    // cl is unique per (doc_id, cl) group and score is r4'd BEFORE
+    // selection, so the order is strict and the winner row-identical to
+    // the former ranking window, without the per-doc sort shuffle of the
+    // docs×languages score frame.
+    scores.groupBy("doc_id")
+      .agg(min_by(col("cl"), struct((-col("score")).as("ns"), col("cl"))).as("pred_lang"))
       .join(docs.select("doc_id", "lang"), "doc_id")
-      .select(col("doc_id"), col("lang"), col("cl").as("pred_lang"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"))
       .orderBy("doc_id")
   }
 
@@ -168,11 +174,23 @@ object Extras {
       .select(col("vec_id").as("qid"), col("e").as("ea"), col("nrm").as("na"), col("probe"))
     val b = v.select(col("vec_id").as("vid"), col("e").as("eb"), col("nrm").as("nb"),
                      col("bkt").as("probe"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    // top-3 per query via the bounded TopKAgg aggregate, not a ranking
+    // window (the cosine-family discipline): map-side combine shuffles
+    // one ≤3-element buffer per (qid, partition) instead of the whole
+    // probe-join candidate frame. (qid, vid) is unique — b contributes
+    // one row per vector and a shared probe cell matches at most once —
+    // so (rounded cos desc, vid asc) is strict and row-identical to the
+    // window form. Vector payload still dropped before the agg.
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
     a.join(b, Seq("probe")).where(col("qid") =!= col("vid"))
       .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
-      .select("qid", "vid", "cos") // drop vector payload before the window shuffle
-      .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= 3)
+      .select("qid", "vid", "cos")
+      .groupBy("qid")
+      .agg(topk(col("cos"), col("vid"), col("vid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("vid"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
       .orderBy("qid", "rn")
   }
 
