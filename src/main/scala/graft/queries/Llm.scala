@@ -327,18 +327,33 @@ object Llm {
     // small per-doc result instead of recomputing the candidate keying
     // per reference. Both sources carry (doc_id, lang, nt) plus their
     // bucket key columns; the self-join below only differs in `keys`.
-    val (block, blockKeys) =
+    val (block, blockKeys, blockEmitOnce) =
       if (candMode == "minhash") {
         val sigs = tok.groupBy("doc_id", "lang")
           .agg(Sketches.minhash(col("token")).as("sig"))
         // bands carry only narrow columns (llm_minhash discipline: the
-        // 128-int signatures never ride the candidate shuffle)
+        // 128-int signatures never ride the candidate shuffle) — plus
+        // the doc's sorted 16-key bucket set for EMIT-ONCE generation,
+        // the same adoption as the standalone llm_minhash report and the
+        // same reasoning: banding's duplicate factor is ~16 (a true pair
+        // collides in many bands), so even with the size prefilter
+        // killing pre-distinct, the surviving distinct shuffles ~16× the
+        // pair set — while the emit-once merge scan is a codegen'd ≤16-
+        // step filter per raw candidate. Same-phase min-of-3 at sf0.1
+        // (conf-gated, measured via a candidate-mode A/B harness):
+        // 3.99 → 3.43 s at an identical 745,364-pair output (round 7).
+        // bkeys is sorted/duplicate-free BY CONSTRUCTION (band<<32|bkey
+        // injective, bk64 exploded from the same array) → skip the
+        // per-row contract re-check.
         (graft.ops.Lineage.cut(sigs
-          .withColumn("band", explode(expr("sequence(0, 15)")))
-          .withColumn("bkey", expr("hash(slice(sig, band * 8 + 1, 8))"))
-          .select(col("doc_id"), col("lang"), col("band"), col("bkey"))
+          .withColumn("bkeys", sort_array(expr(
+            "transform(sequence(0, 15), b -> shiftleft(cast(b as bigint), 32)" +
+              " + (cast(hash(slice(sig, b * 8 + 1, 8)) as bigint) & 4294967295))")))
+          .select(col("doc_id"), col("lang"), col("bkeys"),
+            explode(col("bkeys")).as("bk64"))
           .join(ntDf, "doc_id")),
-         Seq("band", "bkey", "lang"))
+         Seq("bk64", "lang"),
+         Some(("bk64", "bkeys")))
       } else {
         // NOTE (measured negative result, round 6): routing this path
         // through ShardedSelfJoin's emitOnce (each doc carrying its
@@ -352,7 +367,8 @@ object Llm {
         // corpora with higher duplicate factors.
         //
         (graft.ops.Lineage.cut(rarityBlocked(tok, dfTok, ntDf)),
-         Seq("block_tok", "lang"))
+         Seq("block_tok", "lang"),
+         None)
       }
     // Skew-safe block self-join: a boilerplate-heavy corpus puts
     // thousands of docs in one (block_tok, lang) cell; the triangle-cell
@@ -386,7 +402,9 @@ object Llm {
     val candSz = graft.ops.ShardedSelfJoin.pairs(
         blockIn, blockKeys, thr,
         carry = Seq("nt") ++ candPred.map(_ => "cattr").toSeq,
-        pairFilter = Some(candFilter))
+        pairFilter = Some(candFilter),
+        emitOnce = blockEmitOnce,
+        emitOnceByConstruction = blockEmitOnce.isDefined)
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // Adaptive set representation. Small vocab → each token set is ONE
     // 64-bit mask and intersection is bit_count(a & b); general vocab →
