@@ -164,6 +164,54 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("emit-once over LONG bucket keys equals the distinct path (the banding encoding)") {
+    // the codegen branch llm_minhash's banding rides (band<<32|bkey
+    // encodings): same ≡-distinct-path property as the string pin above,
+    // on the bigint element type — round 7 found the string-only kernel
+    // silently read long arrays as garbage (zero pairs), so the typed
+    // branch gets its own oracle pin, sharding included (thr down to 1)
+    import spark.implicits._
+    val genLayout: Gen[(List[(Long, List[Long])], Int)] = for {
+      n <- Gen.choose(10, 80)
+      nBuckets <- Gen.choose(2, 6)
+      memb <- Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.choose(0, nBuckets - 1)).map(_.distinct.take(4)))
+      thr <- Gen.choose(1, 40)
+    } yield (memb.zipWithIndex.map { case (bs, i) =>
+      // the production encoding shape: a large positive long per bucket
+      (i.toLong, bs.map(b => (b.toLong << 32) + 0x9e3779b9L)) }, thr)
+    (1 to 6).foreach { i =>
+      genLayout.apply(Gen.Parameters.default, Seed(8800L + i)).foreach {
+        case (docs, thr) =>
+          val banded = docs.flatMap { case (id, bs) =>
+            bs.map(b => (id, b, bs.sorted))
+          }.toDF("doc_id", "bkey", "bset")
+          val rowsOut = ops.ShardedSelfJoin.pairs(banded, Seq("bkey"), thr,
+              emitOnce = Some(("bkey", "bset")))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          rowsOut.size shouldBe rowsOut.toSet.size
+          val want = (for {
+            (a, ba) <- docs; (b, bb) <- docs
+            if a < b && ba.exists(bb.contains)
+          } yield (a, b)).toSet
+          rowsOut.toSet should equal(want)
+      }
+    }
+  }
+
+  test("graft_emit_once rejects mismatched element types at analysis, never silently") {
+    // the exact misuse round 7 hit: long arrays through the string
+    // kernel produced garbage comparisons and ZERO pairs with no error —
+    // a typed misuse must now fail analysis
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq((Seq(1L, 2L), Seq(2L, 3L), "s")).toDF("a", "b", "k")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("graft_emit_once(a, b, k)").collect()
+    }
+    ex.getMessage should include("graft_emit_once expects")
+  }
+
   test("emit-once enforces its caller contract loudly instead of silently corrupting pairs") {
     // ADVICE r6: with emitOnce the distinct is skipped, so a setCol that
     // is unsorted, duplicated, or missing the row's own bucket key would
