@@ -14,19 +14,31 @@ import org.apache.spark.sql.functions._
   * to a single node.
   */
 object Tables {
+  /** Cast every top-level column of type `from` to `to` — the ONE
+    * timestamp-flavor normalization helper behind the loader (NTZ →
+    * session-TZ), the Verify dump boundary (session-TZ → NTZ) and the
+    * delivery fingerprint's one-typing-rule hash (NTZ → session-TZ).
+    * A single definition so the three boundaries cannot drift apart
+    * (e.g. a future nested-struct extension lands everywhere at once).
+    * Pure projection — no shuffle, and column pruning still reaches the
+    * scan through it; under the repo-pinned UTC session both directions
+    * are value-preserving. */
+  private[graft] def castTimestampCols(df: DataFrame,
+      from: org.apache.spark.sql.types.DataType, to: String): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == from => f.name
+    }.foldLeft(df)((d, c) =>
+      d.withColumn(c, d.col(s"`${c.replace("`", "``")}`").cast(to)))
+
   /** The r7 driver data writes every timestamp as parquet µs with
     * isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ (the
     * pre-r7 generation carried UTC-adjusted ms → TimestampType). DuckDB
     * reads both as its naive TIMESTAMP, so the oracle sees identical
     * values either way; on the Spark side we cast NTZ → TimestampType at
     * the loader so every downstream operator keeps the one shape it was
-    * built and oracle-verified against. Under the repo-pinned UTC session
-    * the cast is value-preserving. A pure projection — no shuffle, and
-    * column pruning still reaches the scan through it. */
+    * built and oracle-verified against. */
   private def normalizeNtz(df: DataFrame): DataFrame =
-    df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
-    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    castTimestampCols(df, org.apache.spark.sql.types.TimestampNTZType, "timestamp")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))

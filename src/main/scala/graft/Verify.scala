@@ -26,10 +26,8 @@ object Verify {
     // oracle's; under the pinned UTC session the cast is the identity on
     // values. Engine internals and specs keep the one proven type.
     def naiveTs(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.schema.fields.collect {
-        case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
-      }.foldLeft(df)((d, c) =>
-        d.withColumn(c, org.apache.spark.sql.functions.col(c).cast("timestamp_ntz")))
+      Tables.castTimestampCols(df,
+        org.apache.spark.sql.types.TimestampType, "timestamp_ntz")
     SparkEntry.queries.foreach { case (name, fn) =>
       try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

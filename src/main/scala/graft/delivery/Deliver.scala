@@ -38,9 +38,8 @@ object Deliver {
     * already applies to partition values. Value-preserving under the
     * repo-pinned UTC session. */
   private def tsOneRule(df: DataFrame): DataFrame =
-    df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
-    }.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    graft.Tables.castTimestampCols(df,
+      org.apache.spark.sql.types.TimestampNTZType, "timestamp")
 
   /** Order-insensitive, count-sensitive content fingerprint of a
     * DataFrame: xor ⊕ rot32(sum mod 2^64) of per-row xxhash64. The sum

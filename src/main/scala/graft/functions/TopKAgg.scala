@@ -34,9 +34,17 @@ class TopKAgg(val k: Int = 5)
                        Seq[(Double, Long, Long)],
                        Seq[(Double, Long, Long)]] {
 
-  // "a ranks strictly before b" under (score desc, id asc)
-  private def before(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // "a ranks strictly before b" under (score desc, id asc).
+  // Double.compare, not primitive '>': a NaN score (zero-norm vector at
+  // web scale) must rank as the LARGEST value — the order Spark's
+  // descending sort and DuckDB's ORDER BY both use — where primitive
+  // comparisons are all-false on NaN and would let merge order pick the
+  // winner. r4 never emits -0.0 (floor(±0+0.5)/10⁴ = +0.0), so the
+  // -0.0 < +0.0 distinction Double.compare adds is unreachable.
+  private def before(a: (Double, Long, Long), b: (Double, Long, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   def zero: Seq[(Double, Long, Long)] = Vector.empty
 

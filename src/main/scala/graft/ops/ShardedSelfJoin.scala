@@ -86,9 +86,14 @@ object ShardedSelfJoin {
     *                  duplicate or drop pairs (no distinct backstop).
     *                  `spark.graft.lsh.emitOnce.validate` (default true)
     *                  therefore raise_error()s on the first violating
-    *                  INPUT row — one codegen'd check per banded row
-    *                  (O(rows·k), vs the O(candidates) join it guards),
-    *                  droppable by conf on a validated production path.
+    *                  INPUT row. Cost note: the validating filter sits on
+    *                  the banded frame, which this join references THREE
+    *                  times (oversize census + both sides), so the check
+    *                  evaluates up to 3× per banded row — still O(rows·k)
+    *                  against the O(candidates) join it guards, but the
+    *                  constant is 3, which is the measured ~1.2 s on the
+    *                  minhash banding. Droppable by conf on a validated
+    *                  production path.
     * @param emitOnceByConstruction caller's assertion that setCol is
     *                  sorted/duplicate-free/self-containing BY
     *                  CONSTRUCTION in the lines building it (e.g.

@@ -133,9 +133,14 @@ object CorpusPrep {
     //     (xentMax=None) is unchanged and skips the survivor join.
     val gated = xentQuantileMax.fold(gatedAbs) { q =>
       require(q > 0 && q < 1, s"xentQuantileMax must be in (0, 1), got $q")
+      // cut: `scored` is referenced twice below (cuts + keep filter) and
+      // each reference would otherwise re-run the full LM-scoring
+      // subtree (token explode + corpus LM + per-doc agg, the heaviest
+      // stage-0 computation) — plus a second copy already inside
+      // gatedAbs when composed with xentMax. Materialize once.
       val rawScored = graft.queries.Textops.llmLogprobScore(spark, sfDir)
-      val scored = xentMax.fold(rawScored)(_ =>
-        rawScored.join(gatedAbs.select("doc_id"), "doc_id"))
+      val scored = graft.ops.Lineage.cut(xentMax.fold(rawScored)(_ =>
+        rawScored.join(gatedAbs.select("doc_id"), "doc_id")))
       val cuts = scored.groupBy("lang")
         .agg(r4(expr(s"percentile(xent, cast($q as double))")).as("qcut"))
       gatedAbs.join(

@@ -60,7 +60,8 @@ object CorpusReportMain {
       .count()
     val langs = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .orderBy("lang").collect()
-      .map(r => s""""${jsonEscape(r.getString(0))}":${r.getLong(1)}""").mkString(",")
+      .map(r => s""""${jsonEscape(String.valueOf(r.getString(0)))}":${r.getLong(1)}""")
+      .mkString(",")
     // length profile via the SAME bin column llm_token_histogram reports
     // (Textops.lengthBin) — keyed by the bin's token lower bound
     val lenBins = docs.select(graft.queries.Textops.lengthBin(col("text")).as("bin"))

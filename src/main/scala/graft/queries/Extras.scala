@@ -421,32 +421,41 @@ object Extras {
     * driver, and a 100 TB version pair costs exactly two passes. */
   def dqDeltaFrames(prev: org.apache.spark.sql.DataFrame,
                     cur: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // census aliases are INDEX-derived, never name-derived: a delivery
+    // column named "a.b" (or carrying backticks) would make a
+    // name-spliced col("__np_a.b") parse as struct-field access and fail
+    // resolution — the sorted shared column list maps names → positions
+    // once, and everything downstream references positions
+    val names = (prev.columns ++ cur.columns).distinct.sorted
+    val idx = names.zipWithIndex.toMap
     def census(df: org.apache.spark.sql.DataFrame, rowsAs: String, pfx: String) =
       df.agg(
         count(lit(1)).as(rowsAs),
         df.columns.toIndexedSeq.map(c =>
-          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
-            .as(s"$pfx$c")): _*)
+          coalesce(sum(when(df.col(s"`${c.replace("`", "``")}`").isNull, 1L)
+            .otherwise(0L)), lit(0L))
+            .as(s"$pfx${idx(c)}")): _*)
     val p = census(prev, "__rows_prev", "__np_")
     val n = census(cur, "__rows_new", "__nn_")
     val dtP = prev.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val dtN = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
-    val rows = (prev.columns ++ cur.columns).distinct.sorted.map { c =>
+    val rows = names.map { c =>
+      val i = idx(c)
       val (inP, inN) = (dtP.contains(c), dtN.contains(c))
       val nullLong = lit(null).cast("bigint")
       val nullDbl = lit(null).cast("double")
       val rateP = if (!inP) nullDbl else when(col("__rows_prev") === 0, lit(0.0))
-        .otherwise(col(s"__np_$c") * lit(1.0) / col("__rows_prev"))
+        .otherwise(col(s"__np_$i") * lit(1.0) / col("__rows_prev"))
       val rateN = if (!inN) nullDbl else when(col("__rows_new") === 0, lit(0.0))
-        .otherwise(col(s"__nn_$c") * lit(1.0) / col("__rows_new"))
+        .otherwise(col(s"__nn_$i") * lit(1.0) / col("__rows_new"))
       struct(
         lit(c).as("col_name"),
         (if (inP) lit(dtP(c)) else lit(null).cast("string")).as("dtype_prev"),
         (if (inN) lit(dtN(c)) else lit(null).cast("string")).as("dtype_new"),
         lit(inP && inN && dtP.get(c) == dtN.get(c)).as("type_match"),
         col("__rows_prev").as("n_prev"), col("__rows_new").as("n_new"),
-        (if (inP) col(s"__np_$c") else nullLong).as("n_null_prev"),
-        (if (inN) col(s"__nn_$c") else nullLong).as("n_null_new"),
+        (if (inP) col(s"__np_$i") else nullLong).as("n_null_prev"),
+        (if (inN) col(s"__nn_$i") else nullLong).as("n_null_new"),
         r4(rateP).as("null_rate_prev"),
         r4(rateN).as("null_rate_new"),
         (if (inP && inN) r4(rateN - rateP) else nullDbl).as("null_rate_delta"))
