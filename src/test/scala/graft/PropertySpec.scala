@@ -164,6 +164,25 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("TopKAgg ranks NaN scores first, independent of merge order") {
+    // a zero-norm vector yields cos = NaN; Spark's descending sort and
+    // DuckDB's ORDER BY both treat NaN as the largest double, so the
+    // bounded aggregate must too — the primitive '>' form was all-false
+    // on NaN and let reduce/merge order pick the winner (round-7 review)
+    val agg = new graft.functions.TopKAgg(3)
+    val rows = Seq((0.9, 1L, 0L), (Double.NaN, 2L, 0L), (0.5, 3L, 0L), (0.7, 4L, 0L))
+    // every permutation must produce the identical ranked buffer
+    rows.permutations.map(_.foldLeft(agg.zero)(agg.reduce)).toSeq.distinct match {
+      case Seq(only) =>
+        only.map(_._2) shouldBe Seq(2L, 1L, 4L) // NaN first, then 0.9, 0.7
+      case many => fail(s"merge-order-dependent results: $many")
+    }
+    // split-merge equals sequential for a NaN-bearing split point
+    val (l, r) = rows.splitAt(2)
+    agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      .map(_._2) shouldBe Seq(2L, 1L, 4L)
+  }
+
   test("emit-once over LONG bucket keys equals the distinct path (the banding encoding)") {
     // the codegen branch llm_minhash's banding rides (band<<32|bkey
     // encodings): same ≡-distinct-path property as the string pin above,

@@ -242,6 +242,28 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("dq_delta censuses scale linearly per version, rates invariant") {
+    // ×4 the orders rows in place (keys unchanged → every row keeps its
+    // md5 version bucket): both versions' row and null counts must
+    // quadruple at IDENTICAL rates/delta and identical schema columns —
+    // the row-linearity check for the round-7 addition
+    val base = java.nio.file.Files.createTempDirectory("graft_lin_delta").toString
+    val (x1, x4) = (s"$base/x1", s"$base/x4")
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+    df.write.parquet(s"$x1/orders.parquet")
+    Seq.fill(4)(df).reduce(_ union _).write.parquet(s"$x4/orders.parquet")
+    def rows(d: String) = queries.Extras.dqDelta(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getDouble(8), r.getDouble(9), r.getDouble(10)))).toMap
+    val (r1, r4x) = (rows(x1), rows(x4))
+    r4x.keySet shouldBe r1.keySet
+    r1.foreach { case (c, (np, nn, zp, zn, rp, rn, dlt)) =>
+      withClue(c) {
+        r4x(c) shouldBe ((4 * np, 4 * nn, 4 * zp, 4 * zn, rp, rn, dlt))
+      }
+    }
+  }
+
   test("pair-table incremental refresh of an appended translated copy adds exactly the copy's pairs") {
     // x2 = x1 (copy c0, original ids) + a translated copy c1 with ids
     // above x1's max: the watermark-ruled refresh must compute ONLY the
