@@ -112,8 +112,19 @@ object ShardedSelfJoin {
             emitOnceByConstruction: Boolean = false): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     val bandedIn = emitOnce.fold(banded) { case (k, st) =>
-      if (!emitOnceByConstruction && banded.sparkSession.conf
-            .get("spark.graft.lsh.emitOnce.validate", "true").toBoolean)
+      // Validation arbitration (ADVICE r7): an EXPLICIT conf value wins in
+      // BOTH directions — set-true audits even a by-construction caller
+      // (a mistaken assertion silently duplicates/drops pairs with no
+      // backstop, and debugging it must not need a rebuild), set-false
+      // drops the check on a validated production path. Only when the
+      // conf is UNSET does the caller's by-construction assertion skip
+      // the per-row re-check.
+      val validate = banded.sparkSession.conf
+        .getOption("spark.graft.lsh.emitOnce.validate") match {
+          case Some(v) => v.toBoolean
+          case None    => !emitOnceByConstruction
+        }
+      if (validate)
         banded.where(when(
           array_contains(col(st), col(k)) &&
             col(st) === array_sort(col(st)) &&
@@ -122,7 +133,9 @@ object ShardedSelfJoin {
         ).otherwise(raise_error(concat(
           lit(s"ShardedSelfJoin emitOnce contract: '$st' must be a sorted, " +
               s"duplicate-free array containing the row's own '$k'; violated at doc_id="),
-          col("doc_id").cast("string")))))
+          // coalesce: concat() is null-out on null doc_id, and
+          // raise_error(null) would lose the diagnostic (ADVICE r7)
+          coalesce(col("doc_id").cast("string"), lit("<null>"))))))
       else banded
     }
     // Annotate shard counts via a broadcast of ONLY the oversized
@@ -166,20 +179,37 @@ object ShardedSelfJoin {
       .join(b.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         (col("a.p") =!= col("a.q") || aLower))
-    // emit-once: keep the pair only in its minimum shared bucket —
-    // applied on the raw joined frame (the key/set columns are dropped
-    // by the projection below). MUST stay codegen'd: the equivalent
-    // array_min(array_intersect(..)) is CodegenFallback and demotes the
-    // whole join stage to interpreted eval (functions.EmitOnceMin note)
-    val joined = emitOnce.fold(joinedRaw) { case (k, st) =>
-      graft.functions.VectorExprs.register(banded.sparkSession)
-      joinedRaw.where(call_function(
-        "graft_emit_once", col(s"a.$st"), col(s"b.$st"), col(s"a.$k")))
-    }.select(sel: _*)
+    // Operator order (round 8, the reorder that flipped round 6's
+    // measured-negative emit-once on the rarity path): project →
+    // pairFilter → emit-once. The caller's pair predicates (size
+    // prefilter, incremental's new↔old restriction) are PURE functions
+    // of the pair — identical for every bucket copy of it — so filtering
+    // before the emit-once merge scan changes nothing about which single
+    // copy survives, while the scan now taxes only predicate SURVIVORS
+    // (sf0.1: 5.0 M of 8.0 M raw) instead of every raw candidate. A/B at
+    // sf0.1 min-of-3 on the rarity block join: distinct-after-filter
+    // 2.7–3.0 s vs emit-once-after-filter 1.2 s at the identical
+    // 1 659 184-row output. The set/key columns ride the projection under
+    // reserved names and are dropped after the scan — they live only
+    // inside the fused codegen stage, never crossing a shuffle. MUST
+    // stay codegen'd: the equivalent array_min(array_intersect(..)) is
+    // CodegenFallback and demotes the whole join stage to interpreted
+    // eval (functions.EmitOnceMin note).
+    val emitCols = emitOnce.toSeq.flatMap { case (k, st) =>
+      Seq(col(s"a.$st").as("__eo_sa"), col(s"b.$st").as("__eo_sb"),
+          col(s"a.$k").as("__eo_k"))
+    }
+    val joined = joinedRaw.select(sel ++ emitCols: _*)
     val filtered = pairFilter.fold(joined)(joined.where)
+    val emitted = emitOnce.fold(filtered) { case (_, _) =>
+      graft.functions.VectorExprs.register(banded.sparkSession)
+      filtered.where(call_function(
+          "graft_emit_once", col("__eo_sa"), col("__eo_sb"), col("__eo_k")))
+        .drop("__eo_sa", "__eo_sb", "__eo_k")
+    }
     // triangle cells meet a pair once per bucket; with emit-once a pair
     // also survives only ONE bucket, so the output is already duplicate
     // free and the distinct shuffle is unnecessary
-    if (emitOnce.isDefined) filtered else filtered.distinct()
+    if (emitOnce.isDefined) emitted else emitted.distinct()
   }
 }

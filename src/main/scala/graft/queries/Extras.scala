@@ -63,8 +63,18 @@ object Extras {
     // selection, so the order is strict and the winner row-identical to
     // the former ranking window, without the per-doc sort shuffle of the
     // docs×languages score frame.
+    // NaN guard (ADVICE r7): the replaced orderBy(score.desc) ranked NaN
+    // FIRST (Spark's total order treats NaN as largest), but -NaN is
+    // still NaN and sorts LAST under struct ordering — so map NaN to
+    // -Infinity in negated space to keep the NaN-first contract (TopKAgg
+    // pins the same order). score is a log-prob sum (finite negative on
+    // any real input; -Infinity only if a probability underflows to 0),
+    // so -score can never legitimately be -Infinity and the sentinel
+    // cannot collide with a real key.
     scores.groupBy("doc_id")
-      .agg(min_by(col("cl"), struct((-col("score")).as("ns"), col("cl"))).as("pred_lang"))
+      .agg(min_by(col("cl"), struct(
+        when(isnan(col("score")), lit(Double.NegativeInfinity))
+          .otherwise(-col("score")).as("ns"), col("cl"))).as("pred_lang"))
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("pred_lang"))
       .orderBy("doc_id")
@@ -471,6 +481,53 @@ object Extras {
     dqDeltaFrames(o.where(isPrev), o.where(!isPrev))
   }
 
+  /** dq_manifest — the "what did I actually ship" card (VERDICT r7 #5):
+    * deliver orders split into the same two md5-bucket versions dq_drift
+    * and dq_delta read, as a version-partitioned parquet with a PINNED
+    * file layout (repartition on the partition column → exactly one file
+    * per version directory), then read the delivery BACK and census it at
+    * the file level: files per version via the scan's `_metadata.file_path`
+    * distinct (the read-back MEASURES the layout contract, it is not
+    * assumed), rows, distinct order keys, the partition-column value
+    * bounds, and the delivery's LOGICAL byte size — 32 fixed bytes for
+    * the four 8-byte columns plus the two strings' octet lengths per
+    * row. Logical, not physical, bytes on purpose: two deliveries of
+    * identical content differ in physical bytes with codec/block
+    * settings even on one cluster, so the portable manifest quantity —
+    * the one an oracle on the SOURCE rows can also compute — is the
+    * content size. The oracle mirrors the md5 split and byte formula
+    * and pins n_files to the layout-determined 1.
+    *
+    * Scale: the write is a distributed scan→shuffle(version)→write; the
+    * census is one groupBy over the read-back with map-side combine. A
+    * 100 TB delivery raises the repartition width per version (and
+    * n_files with it) — the layout pin is per-job config, the census
+    * machinery is unchanged. */
+  val dqManifest: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    Tables.orders(s, d)
+      .withColumn("version", when(bucket < 80, lit("prev")).otherwise(lit("new")))
+      .repartition(col("version"))
+      .write.mode("overwrite").partitionBy("version").parquet(s"$tmp/orders")
+    s.read.parquet(s"$tmp/orders")
+      // the hidden _metadata struct is projected to a plain column first:
+      // file identity is per-ROW scan metadata (and non-groupable inside
+      // an agg argument), the census then treats it as data
+      .withColumn("__file", col("_metadata.file_path"))
+      .groupBy("version")
+      .agg(
+        countDistinct(col("__file")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        sum(lit(32L) + octet_length(col("o_orderstatus"))
+          + octet_length(col("o_orderpriority"))).as("logical_bytes"))
+      .orderBy("version")
+  }
+
   /** dq_profile — per-column completeness/cardinality profile of the
     * orders delivery (the summary report every delivery tool prints
     * before handoff): rows, nulls, exact distincts, and domain bounds
@@ -657,25 +714,39 @@ object Extras {
       .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .repartition(col("src"))
       .persist()
-    // lineage cut per round — Lineage.cut honors spark.graft.checkpoint
-    // (reliable checkpoints + setCheckpointDir for fault-tolerant 100 TB
-    // runs; same result either way, only durability differs).
+    // lineage cut per BATCH of two rounds — Lineage.cut honors
+    // spark.graft.checkpoint (reliable checkpoints + setCheckpointDir
+    // for fault-tolerant 100 TB runs; same result either way, only
+    // durability differs). Two rounds fuse into one job (round 8): the
+    // chained join→agg→join→agg plan is 2 deep — well inside analyzer
+    // comfort — and halves the per-round fixed costs (job launch,
+    // checkpoint write, driver barrier), which dominate once the label
+    // frame is small. 4 batches = the 8 declared rounds exactly.
+    //
     // Convergence early-exit: min-label propagation is monotone
-    // non-increasing per element, so the label sum strictly decreases
-    // until the fixpoint — an unchanged sum proves NO label changed, and
-    // stopping then yields labels IDENTICAL to running all 8 declared
-    // rounds (the fixpoint is idempotent). The sum is a trivial agg on
-    // the just-checkpointed 1-row-per-doc frame; decimal keeps it exact
-    // at any corpus size.
+    // non-increasing per element, so an unchanged label SUM across a
+    // batch proves NO label changed in EITHER of its two rounds (any
+    // change strictly decreases the sum) — the fixpoint was already
+    // reached, and stopping yields labels IDENTICAL to running all 8
+    // declared rounds (the fixpoint is idempotent; running past it is
+    // harmless, which also makes the 2-round check granularity safe).
+    // The sum rides the SAME job as the batch via Dataset.observe
+    // (ops/Observed.scala discipline — zero extra actions: the former
+    // per-round agg().head() doubled the job count), decimal-exact at
+    // any corpus size.
     var labels = docs.select(col("doc_id").as("dd"), col("doc_id").as("lbl"))
+    def prop(l: org.apache.spark.sql.DataFrame) =
+      edges.join(l, col("dd") === col("src"))
+        .groupBy(col("dst")).agg(min("lbl").as("lbl"))
+        .select(col("dst").as("dd"), col("lbl"))
     var prevSum: java.math.BigDecimal = null
     var converged = false
-    for (_ <- 1 to 8 if !converged) {
+    for (_ <- 1 to 4 if !converged) {
+      val obs = org.apache.spark.sql.Observation()
       labels = graft.ops.Lineage.cut(
-        edges.join(labels, col("dd") === col("src"))
-          .groupBy(col("dst")).agg(min("lbl").as("lbl"))
-          .select(col("dst").as("dd"), col("lbl")))
-      val s = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+        prop(prop(labels))
+          .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")))
+      val s = obs.getAsJava.get("s").asInstanceOf[java.math.BigDecimal]
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
     }
@@ -828,6 +899,7 @@ object Extras {
     "dq_histogram"      -> dqHistogram,
     "dq_drift"          -> dqDrift,
     "dq_delta"          -> dqDelta,
+    "dq_manifest"       -> dqManifest,
     "dq_profile"        -> dqProfile,
     "dq_referential"    -> dqReferential,
     "win_percent"       -> winPercent,
@@ -879,6 +951,25 @@ object Extras {
   private val labelRounds = (1 to 8).map { i =>
     s"l$i AS (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM edges e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
   }.mkString(",\n")
+
+  /** The PINNED orders delivery schema — (column, Spark simpleString
+    * dtype, short census key), name-sorted. This is the ONE declaration
+    * the dq_delta oracle SQL derives its column list and dtype literals
+    * from, and ContractSpec asserts it equals the live fixture's
+    * `Tables.orders` schema — so a driver testdata regeneration that
+    * changes the orders schema (the r7 round changed every timestamp's
+    * parquet flavor) fails fast in `sbt test` rather than silently
+    * diverging the hand-written oracle from the schema-derived Spark
+    * side (ADVICE r7). Dtype strings are Spark `simpleString`s because
+    * that is what dqDeltaFrames emits into the result rows; FIXTURES.md
+    * §1 documents the same schema prose-side. */
+  private[graft] val ordersSchemaPin: Seq[(String, String, String)] = Seq(
+    ("o_custkey", "bigint", "ck"),
+    ("o_orderdate", "timestamp", "od"),
+    ("o_orderkey", "bigint", "ok"),
+    ("o_orderpriority", "string", "op"),
+    ("o_orderstatus", "string", "os"),
+    ("o_totalprice", "double", "tp"))
 
   /** One dq_referential relation block — child orphan census × parent
     * coverage census, mirroring `rel` in dqReferential exactly. */
@@ -1042,7 +1133,13 @@ object Extras {
       // one CASE-sum census per (side, column) over the same md5-bucket
       // version split as dq_drift; rates are exact integer ratios with the
       // 0-guard, r4'd at output, delta r4'd on the exact difference —
-      // mirrors dqDeltaFrames exactly
+      // mirrors dqDeltaFrames exactly. The column list and dtype literals
+      // come from ordersSchemaPin (the one declaration ContractSpec
+      // asserts against the live fixture), not hand-kept literals — the
+      // Spark side derives dtypes from the live schema, so a driver
+      // testdata regeneration that changes the orders schema must fail
+      // fast in `sbt test` instead of silently diverging the two sides
+      // (ADVICE r7; the r7 timestamp-flavor change was this close call).
       val rp = (c: String) => s"CASE WHEN np = 0 THEN 0.0 ELSE pn_$c * 1.0 / np END"
       val rn = (c: String) => s"CASE WHEN nn = 0 THEN 0.0 ELSE cn_$c * 1.0 / nn END"
       val row = (name: String, dt: String, c: String) =>
@@ -1061,22 +1158,29 @@ object Extras {
         |m AS (SELECT
         | CAST(coalesce(sum(CASE WHEN is_prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS np,
         | CAST(coalesce(sum(CASE WHEN NOT is_prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS nn,
-        | ${cs("ck", "o_custkey")},
-        | ${cs("od", "o_orderdate")},
-        | ${cs("ok", "o_orderkey")},
-        | ${cs("op", "o_orderpriority")},
-        | ${cs("os", "o_orderstatus")},
-        | ${cs("tp", "o_totalprice")}
+        | ${ordersSchemaPin.map { case (name, _, key) => cs(key, name) }.mkString(",\n ")}
         | FROM v)
         |SELECT * FROM (
-        | ${row("o_custkey", "bigint", "ck")}
-        | UNION ALL ${row("o_orderdate", "timestamp", "od")}
-        | UNION ALL ${row("o_orderkey", "bigint", "ok")}
-        | UNION ALL ${row("o_orderpriority", "string", "op")}
-        | UNION ALL ${row("o_orderstatus", "string", "os")}
-        | UNION ALL ${row("o_totalprice", "double", "tp")})
+        | ${ordersSchemaPin.map { case (name, dt, key) => row(name, dt, key) }
+             .mkString("\n UNION ALL ")})
         |ORDER BY col_name""".stripMargin
     },
+    "dq_manifest" ->
+      // mirrors dqManifest: same md5 version split, same 32-fixed-bytes +
+      // string-octets logical-size formula; n_files pinned to the
+      // layout-determined 1 (repartition(version) → one task writes each
+      // version directory) — the Spark side MEASURES it via
+      // _metadata.file_path, the oracle asserts the contract. strlen in
+      // DuckDB is byte length (octet_length's varchar twin).
+      """WITH v AS (
+        | SELECT *, CASE WHEN (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100) < 80
+        |   THEN 'prev' ELSE 'new' END AS version
+        | FROM orders)
+        |SELECT version, CAST(1 AS BIGINT) AS n_files, count(*) AS n_rows,
+        | count(DISTINCT o_orderkey) AS n_orders,
+        | min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        | CAST(sum(32 + strlen(o_orderstatus) + strlen(o_orderpriority)) AS BIGINT) AS logical_bytes
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
     "dq_profile" ->
       s"""WITH m AS (
         | SELECT count(*) AS n_rows,

@@ -118,7 +118,13 @@ object Llm {
     tok.join(dfTok, "token")
       .groupBy("doc_id", "lang")
       .agg(minkUdaf(col("df"), col("token"), lit(4)).as("btoks"))
-      .select(col("doc_id"), col("lang"), explode(col("btoks")).as("block_tok"))
+      // btok_set: the doc's block tokens RE-sorted lexicographically (the
+      // MinKAgg array is (df, token)-ordered) for ShardedSelfJoin's
+      // emit-once — sorted, duplicate-free (tok is distinct per doc) and
+      // containing every block_tok the explode emits, all BY CONSTRUCTION
+      // on these three lines
+      .select(col("doc_id"), col("lang"), sort_array(col("btoks")).as("btok_set"),
+        explode(col("btoks")).as("block_tok"))
       .join(ntDf, "doc_id")
 
   /** Containment's probe-prefix stage (pre-join), extracted for the same
@@ -355,20 +361,22 @@ object Llm {
          Seq("bk64", "lang"),
          Some(("bk64", "bkeys")))
       } else {
-        // NOTE (measured negative result, round 6): routing this path
-        // through ShardedSelfJoin's emitOnce (each doc carrying its
-        // block-token set; pairs kept only in the min shared bucket, no
-        // distinct) does NOT pay here — same-phase min-of-3 at sf0.1:
-        // jaccard 5.5 → 5.8 s, dedup_incremental 4.5 → 5.8 s. With the
-        // size prefilter and candPred running pre-distinct on carried
-        // ints, the surviving distinct costs ~0.4 s while the emit-once
-        // scan taxes ALL raw candidates before those cheap kills. The
-        // capability stays in ShardedSelfJoin (property-pinned) for
-        // corpora with higher duplicate factors.
-        //
+        // Emit-once ADOPTED for the rarity path too (round 8, reversing
+        // round 6's measured negative): ShardedSelfJoin now runs the
+        // emit-once merge scan AFTER the size prefilter/candPred instead
+        // of before the projection, so the scan taxes only predicate
+        // survivors (5.0 M of 8.0 M raw at sf0.1) while the candidate
+        // distinct — which shuffled those same survivors — disappears.
+        // A/B at sf0.1 min-of-3: distinct 2.7–3.0 s vs emit-once 1.2 s
+        // at the identical 1 659 184-row candidate output (round 6's
+        // trial scanned all raw candidates pre-filter and lost, 5.5 →
+        // 5.8 s). btok_set is built sorted/duplicate-free/self-containing
+        // by construction in rarityBlocked (three lines above the
+        // explode), so the per-row contract re-check is skipped; the
+        // conf can still force it on for an audit (ADVICE r7).
         (graft.ops.Lineage.cut(rarityBlocked(tok, dfTok, ntDf)),
          Seq("block_tok", "lang"),
-         None)
+         Some(("block_tok", "btok_set")))
       }
     // Skew-safe block self-join: a boilerplate-heavy corpus puts
     // thousands of docs in one (block_tok, lang) cell; the triangle-cell

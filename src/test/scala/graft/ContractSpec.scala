@@ -16,8 +16,18 @@ class ContractSpec extends AnyFunSuite with Matchers {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 131
-    SparkEntry.oracleSql.size shouldBe 127
+    SparkEntry.queries.size shouldBe 132
+    SparkEntry.oracleSql.size shouldBe 128
+  }
+
+  test("dq_delta's oracle schema pin matches the live orders fixture (ADVICE r7)") {
+    // the dq_delta oracle SQL bakes ordersSchemaPin's names/dtypes into
+    // its result literals while the Spark side derives them from the
+    // live schema — if a driver testdata regeneration changes the orders
+    // schema, this is the test that fails instead of Verify diverging
+    val live = Tables.orders(SparkFixture.session, "/root/testdata/sf0.001")
+      .schema.fields.map(f => f.name -> f.dataType.simpleString).sortBy(_._1).toSeq
+    queries.Extras.ordersSchemaPin.map { case (n, dt, _) => (n, dt) } shouldBe live
   }
 
   test("no duplicate keys across query modules (Map ++ would silently drop one)") {

@@ -633,4 +633,36 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     (fresh.isNullAt(1), fresh.getString(2)) shouldBe ((true, "string"))
     (fresh.isNullAt(6), fresh.getLong(7), fresh.getDouble(9)) shouldBe ((true, 0L, 0.0))
   }
+
+  test("dq_manifest measures the pinned delivery layout and recomputes from source exactly") {
+    import org.apache.spark.sql.functions._
+    val out = queries.Extras.dqManifest(spark, sfDir).collect()
+    out.map(_.getString(0)).toSeq shouldBe Seq("new", "prev") // version order
+    // layout contract MEASURED from the delivered files, not assumed
+    out.foreach(_.getLong(1) shouldBe 1L)
+    // row/key/bounds/logical-size censuses must equal an independent
+    // recomputation straight from the source table (the delivery is
+    // lossless, so the read-back census and the source census agree)
+    val src = Tables.orders(spark, sfDir)
+      .withColumn("version",
+        when(conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100 < 80, lit("prev")).otherwise(lit("new")))
+      .groupBy("version")
+      .agg(count(lit(1)), countDistinct(col("o_orderkey")),
+        min("o_orderdate"), max("o_orderdate"),
+        sum(lit(32L) + octet_length(col("o_orderstatus"))
+          + octet_length(col("o_orderpriority"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.foreach { r =>
+      val s = src(r.getString(0))
+      r.getLong(2) shouldBe s.getLong(1)
+      r.getLong(3) shouldBe s.getLong(2)
+      r.getTimestamp(4) shouldBe s.getTimestamp(3)
+      r.getTimestamp(5) shouldBe s.getTimestamp(4)
+      r.getLong(6) shouldBe s.getLong(5)
+    }
+    // both versions are non-trivial on the fixture
+    out.map(_.getLong(2)).sum shouldBe src.values.map(_.getLong(1)).sum
+    out.foreach(_.getLong(2) should be > 0L)
+  }
 }

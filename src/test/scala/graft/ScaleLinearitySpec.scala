@@ -95,6 +95,47 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     n4.toDouble shouldBe (4.0 * n1 +- 0.05 * 4 * n1)
   }
 
+  test("llm_tfidf aggregate form emits exactly one row per doc at any scale") {
+    // the r7 rewrite swapped the per-doc ranking window for a min_by
+    // aggregate; the cardinality contract it must keep is structural —
+    // ONE row per document, ×4 docs → exactly ×4 rows with all doc_ids
+    // distinct (a blowup here would mean the aggregate leaked the full
+    // (doc, term) score frame into the output)
+    val t1 = queries.Llm.llmTfidf(spark, dirs._1)
+    val t4 = queries.Llm.llmTfidf(spark, dirs._2)
+    val n1 = t1.count(); val n4 = t4.count()
+    n1 should be > 0L
+    n4 shouldBe 4 * n1
+    t4.select("doc_id").distinct().count() shouldBe n4
+  }
+
+  test("llm_cosine_topk / llm_knn_label aggregate forms stay per-qid bounded at x4 vectors") {
+    // the r7 TopKAgg/min_by rewrites changed these queries' shuffle shape
+    // (bounded per-group buffers instead of full ranking windows); the
+    // guard is that OUTPUT stays exactly 5 rows (top-5) / 1 row (label
+    // vote) per query vector even when the brute-force candidate frame
+    // grows 16× — replicated vectors with shifted ids, a denser
+    // neighborhood, but never more output per qid
+    val base = java.nio.file.Files.createTempDirectory("graft_lin_knn").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val (x1, x4) = (s"$base/x1", s"$base/x4")
+    emb.write.parquet(s"$x1/embeddings.parquet")
+    (0 until 4).map(i => emb.select((col("vec_id") + lit(i * n)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ union _).write.parquet(s"$x4/embeddings.parquet")
+    val c1 = queries.Llm.llmCosineTopk(spark, x1)
+    val c4 = queries.Llm.llmCosineTopk(spark, x4)
+    c1.count() shouldBe 5 * n
+    c4.count() shouldBe 5 * 4 * n
+    c4.groupBy("qid").count().agg(max("count")).head.getLong(0) shouldBe 5L
+    val k1 = queries.Llm.llmKnnLabel(spark, x1)
+    val k4 = queries.Llm.llmKnnLabel(spark, x4)
+    k1.count() shouldBe n
+    k4.count() shouldBe 4 * n
+    k4.select("qid").distinct().count() shouldBe 4 * n
+  }
+
   test("round-5/6 per-doc operators scale row-exactly on dissimilar copies") {
     // pack_sequences, url_extract and domain_stats are projection/window
     // shapes — one output row per doc (or per domain bucket): any
