@@ -69,16 +69,13 @@ object ShardedSelfJoin {
     *                  its setCol; the min is on the column's own type
     *                  ordering (strings lexicographic) — exact, no
     *                  hashing. PropertySpec pins ≡ the distinct path on
-    *                  random multi-bucket layouts. Measured negative
-    *                  result on the dup-dense fixture (round 6): the
-    *                  jaccard path keeps its distinct — with the size
-    *                  prefilter and candidate predicates killing pairs
-    *                  pre-distinct on carried ints, the surviving
-    *                  distinct costs ~0.4 s while emit-once taxes every
-    *                  raw candidate first (Llm.scala note). Reach for
-    *                  this when the duplicate factor (shared buckets per
-    *                  pair) is high and no cheap pre-distinct kill
-    *                  exists.
+    *                  random multi-bucket layouts. History: round 6
+    *                  measured this NEGATIVE for the rarity path because
+    *                  the scan then ran before the prefilter, taxing
+    *                  every raw candidate; round 8 moved the scan after
+    *                  pairFilter (see the ordering note in the body) and
+    *                  the same path now wins 1.2 s vs 2.7–3.0 s, so
+    *                  every blocking/banding caller uses emit-once.
     *                  Contract enforcement (ADVICE r6): correctness with
     *                  emit-once rests entirely on the caller keeping
     *                  setCol sorted, duplicate-free and containing the

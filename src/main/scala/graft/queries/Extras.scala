@@ -504,14 +504,23 @@ object Extras {
     * n_files with it) — the layout pin is per-job config, the census
     * machinery is unchanged. */
   val dqManifest: Q = (s, d) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    // fixed per-session delivery dir + overwrite, not a fresh temp dir
+    // per call: the bench runs this hermetically 4×/round and Verify/
+    // tests add more — an unbounded createTempDirectory would leak one
+    // full orders copy per invocation on the shared box (review, r8)
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_manifest_${s.sparkContext.applicationId}").toString
     val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
       .cast("long") % 100
-    Tables.orders(s, d)
+    val out = Tables.orders(s, d)
       .withColumn("version", when(bucket < 80, lit("prev")).otherwise(lit("new")))
-      .repartition(col("version"))
+    out.repartition(col("version"))
       .write.mode("overwrite").partitionBy("version").parquet(s"$tmp/orders")
-    s.read.parquet(s"$tmp/orders")
+    // explicit schema on the read-back: a ZERO-ROW source writes no
+    // partition directories, and schema inference over an empty delivery
+    // throws where the empty-input contract (EmptyInputSpec) requires an
+    // empty 7-column census
+    s.read.schema(out.schema).parquet(s"$tmp/orders")
       // the hidden _metadata struct is projected to a plain column first:
       // file identity is per-ROW scan metadata (and non-groupable inside
       // an agg argument), the census then treats it as data

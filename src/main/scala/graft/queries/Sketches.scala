@@ -51,9 +51,9 @@ object Sketches {
     // Candidate generation runs EMIT-ONCE (the AllPairs exactly-once
     // discipline): a high-jac pair collides in up to all 16 bands, so
     // the duplicate factor here is ~16 with NO pre-distinct kills — the
-    // exact profile the r6 emit-once pass predicted would pay (the
-    // jaccard pipeline declined it at duplicate factor ≤4 with pre-kills;
-    // decision log in SURVEY round-6 thirtieth pass). Each banded row
+    // profile where emit-once pays most (since round 8 the rarity path
+    // adopted it too, after ShardedSelfJoin moved the merge scan behind
+    // the pair predicates). Each banded row
     // carries the doc's sorted 16-key bucket set (band<<32|bkey —
     // injective, so sortedness and distinctness hold BY CONSTRUCTION:
     // sort_array over distinct-band encodings, bk64 exploded from the

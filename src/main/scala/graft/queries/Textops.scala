@@ -62,10 +62,15 @@ object Textops {
     val ntDf = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     // cut: ShardedSelfJoin references the banded frame three times (a/b
     // sides + oversize census) — materialize the 4-rows-per-doc result
+    // bshg_set: the doc's 4 block shingles for emit-once — MinKAgg under
+    // the (0, shg) order already returns them lexicographically sorted
+    // and duplicate-free (shingles distinct per doc), with every exploded
+    // block_shg inside; sort_array documents the contract explicitly
     val block = graft.ops.Lineage.cut(sh
       .groupBy("doc_id", "lang")
       .agg(graft.queries.Llm.minkUdaf(lit(0L), col("shg"), lit(4)).as("bshg"))
-      .select(col("doc_id"), col("lang"), explode(col("bshg")).as("block_shg"))
+      .select(col("doc_id"), col("lang"), sort_array(col("bshg")).as("bshg_set"),
+        explode(col("bshg")).as("block_shg"))
       .join(ntDf, "doc_id"))
     // skew-safe band self-join (same helper + guarantees as the LSH band
     // joins and the rarity-block join): a hot (block_shg, lang) cell
@@ -75,12 +80,17 @@ object Textops {
     // min(na,nb)/max(na,nb). As in Llm, the bound is θ − 1/20000 (the
     // final filter thresholds the r4-ROUNDED jac, which rounds half-up
     // at 4 decimals), integer cross-multiplied: min·100000 ≥ max·59995.
+    // emit-once after the size prefilter (round-8 ShardedSelfJoin
+    // ordering, same adoption as the rarity path): the min-shared-shingle
+    // copy survives, the candidate distinct disappears
     val candSz = graft.ops.ShardedSelfJoin.pairs(
         block, Seq("block_shg", "lang"),
         graft.ops.ShardedSelfJoin.confThreshold(s), carry = Seq("nt"),
         pairFilter = Some(
           least(col("nt_a"), col("nt_b")) * 100000L >=
-          greatest(col("nt_a"), col("nt_b")) * 59995L))
+          greatest(col("nt_a"), col("nt_b")) * 59995L),
+        emitOnce = Some(("block_shg", "bshg_set")),
+        emitOnceByConstruction = true)
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // intern the 32-char md5 shingle strings to xxhash64 longs before
     // the set agg (same move + collision argument as Llm's token

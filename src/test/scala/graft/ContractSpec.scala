@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** Driver-contract invariants on SparkEntry itself. */
-class ContractSpec extends AnyFunSuite with Matchers {
+class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("every oracle entry has a query (no orphan oracle SQL)") {
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
@@ -25,7 +25,7 @@ class ContractSpec extends AnyFunSuite with Matchers {
     // its result literals while the Spark side derives them from the
     // live schema — if a driver testdata regeneration changes the orders
     // schema, this is the test that fails instead of Verify diverging
-    val live = Tables.orders(SparkFixture.session, "/root/testdata/sf0.001")
+    val live = Tables.orders(spark, sfDir)
       .schema.fields.map(f => f.name -> f.dataType.simpleString).sortBy(_._1).toSeq
     queries.Extras.ordersSchemaPin.map { case (n, dt, _) => (n, dt) } shouldBe live
   }

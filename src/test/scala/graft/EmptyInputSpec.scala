@@ -84,6 +84,14 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("dq_manifest of an empty table is the empty census (no versions shipped)") {
+    // an empty source writes NO partition directories — the read-back
+    // must see an explicitly-schemaed empty delivery (schema inference
+    // over a data-less dir throws) and census it to zero rows: no
+    // version was shipped, so no manifest row exists
+    SparkEntry.queries("dq_manifest")(spark, emptyDir).count() shouldBe 0L
+  }
+
   test("dq_profile of an empty table is the well-defined 5-row zero profile") {
     // a profile is a statement ABOUT the table, so an empty input yields
     // one row per profiled column (n_rows 0, zero nulls/distincts, NULL

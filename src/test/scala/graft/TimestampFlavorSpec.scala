@@ -24,8 +24,11 @@ import org.scalatest.matchers.should.Matchers
 class TimestampFlavorSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   private def flavorDir(flavor: String): String =
-    getClass.getResource(s"/tsflavors/$flavor/events.parquet").getPath
-      .stripSuffix("/events.parquet")
+    // via toURI, not URL.getPath: getPath keeps %-escapes, so a checkout
+    // under a directory with a space would break the fixture lookup
+    java.nio.file.Paths.get(
+      getClass.getResource(s"/tsflavors/$flavor/events.parquet").toURI)
+      .getParent.toString
 
   private val expected = (0 until 3).map(i =>
     java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T00:00:00.123456Z")
