@@ -182,17 +182,18 @@ object CorpusPrep {
     // 3. near dedup on the original operator's pair semantics (blocked
     //    jaccard over the raw text — cleaning must not change identity),
     //    bounded min-label propagation, keep cluster representative.
-    //    spark.graft.cc.algo=lss swaps in large-star/small-star
-    //    (ops/ConnectedComponents — O(log d) rounds for high-diameter
-    //    dup graphs), identical labels whenever min-label converges
-    //    within its bounded rounds (CorpusPrepSpec pins the equality).
+    //    large-star/small-star by default (ops/ConnectedComponents —
+    //    O(log d) rounds, contracts the dense dup graph in round 1);
+    //    spark.graft.cc.algo=minlabel keeps the bounded min-label loop,
+    //    identical labels whenever min-label converges within its
+    //    bounded rounds (CorpusPrepSpec pins the equality).
     // cut: the edge union below references the pair list twice; the
     // blocked jaccard pipeline must execute once, not per reference
     val pairs = graft.ops.Lineage.cut(
       graft.queries.Llm.jaccardPairsUnsorted(spark, sfDir)
         .where(col("jac") >= jaccardTheta).select("doc_a", "doc_b"))
     val ids = exact.select(col("doc_id"))
-    val labels = if (spark.conf.get("spark.graft.cc.algo", "minlabel") == "lss") {
+    val labels = if (spark.conf.get("spark.graft.cc.algo", "lss") == "lss") {
       val e = pairs
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .join(ids.select(col("doc_id").as("src")), Seq("src"))

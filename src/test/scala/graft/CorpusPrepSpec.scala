@@ -27,15 +27,16 @@ class CorpusPrepSpec extends AnyFunSuite with Matchers with SparkFixture {
       .count() shouldBe 0L
   }
 
-  test("lss clustering produces the identical pipeline output") {
-    // spark.graft.cc.algo=lss swaps the min-label loop for large-star/
-    // small-star; on a converging fixture both fixpoints are min-doc_id
-    // per component, so the full pipeline output must be row-identical
+  test("minlabel clustering produces the identical pipeline output") {
+    // spark.graft.cc.algo=minlabel swaps the default large-star/
+    // small-star for the bounded min-label loop; on a converging
+    // fixture both fixpoints are min-doc_id per component, so the full
+    // pipeline output must be row-identical
     val key = "spark.graft.cc.algo"
-    spark.conf.set(key, "lss")
+    spark.conf.set(key, "minlabel")
     try {
-      val lss = CorpusPrep.run(spark, sfDir).collect()
-      lss should equal(out.collect())
+      val ml = CorpusPrep.run(spark, sfDir).collect()
+      ml should equal(out.collect())
     } finally spark.conf.unset(key)
   }
 

@@ -375,13 +375,15 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     // on any graph where min-label reaches its fixpoint within 8 rounds
     // (the sf0.001 fixture does — the convergence exit fires), the two
     // algorithms' fixpoints are the same function: min doc_id per
-    // component. Pin the equivalence so the lss path stays a drop-in.
+    // component. Pin the equivalence so the conf'd minlabel path stays
+    // a drop-in for the lss default (and the shared oracle stays valid
+    // for both).
     val key = "spark.graft.cc.algo"
-    val base = queries.Extras.llmDedupCluster(spark, sfDir).collect()
-    spark.conf.set(key, "lss")
+    val base = queries.Extras.llmDedupCluster(spark, sfDir).collect() // default: lss
+    spark.conf.set(key, "minlabel")
     try {
-      val lss = queries.Extras.llmDedupCluster(spark, sfDir).collect()
-      lss should equal(base)
+      val ml = queries.Extras.llmDedupCluster(spark, sfDir).collect()
+      ml should equal(base)
     } finally spark.conf.unset(key)
   }
 }
