@@ -300,7 +300,38 @@ object Events {
       .orderBy("touch")
   }
 
+  /** ev_interval_join — per-user event-time interval join: every
+    * purchase joined to the SAME user's clicks in the preceding 10
+    * minutes (strictly before the purchase instant; window-closed at
+    * -10 min inclusive). The batch form of a stream-stream interval
+    * join — Structured Streaming runs the identical predicate with
+    * watermarks bounding both buffers (streaming/EventStreams twin).
+    * Plan shape: equi-join on user_id (SMJ, both sides shuffled once on
+    * the key) with the time predicate as a join filter — per-user
+    * bounded work, never a time-cross-product; the left join keeps
+    * zero-click purchases (direct conversions) in the report. */
+  val evIntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"),
+        col("value").as("purchase_value"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cval"))
+    p.join(c, p("user_id") === c("user_id") &&
+        col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES"), "left")
+      .groupBy(col("event_id"), p("user_id").as("user_id"), col("pts"),
+        col("purchase_value"))
+      .agg(count(col("cts")).as("n_clicks"),
+        r4(coalesce(sum("cval"), lit(0.0))).as("click_value"))
+      .select(col("event_id"), col("user_id"), col("pts"),
+        r4(col("purchase_value")).as("purchase_value"),
+        col("n_clicks"), col("click_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_interval_join"  -> evIntervalJoin,
     "ev_attribution"    -> evAttribution,
     "ev_active_users"   -> evActiveUsers,
     "ev_inter_arrival"  -> evInterArrival,
@@ -318,6 +349,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev_interval_join" ->
+      s"""SELECT p.event_id, p.user_id, p.ts AS pts,
+        | ${r4Sql("p.value")} AS purchase_value,
+        | count(c.ts) AS n_clicks,
+        | ${r4Sql("coalesce(sum(c.value), 0)")} AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id
+        | AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+        |GROUP BY p.event_id, p.user_id, p.ts, p.value
+        |ORDER BY p.event_id""".stripMargin,
     "ev_attribution" ->
       s"""WITH t AS (
         | SELECT event_type, value,

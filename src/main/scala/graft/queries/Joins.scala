@@ -177,7 +177,40 @@ object Joins {
       .orderBy("o_orderpriority")
   }
 
+  /** join_bucketed — co-located bucketed join: both fact tables are
+    * DELIVERED bucketed (and per-bucket sorted) on the join key, so the
+    * later join reads bucket-aligned files and its plan carries NO
+    * shuffle exchange and NO sort under the SortMergeJoin (JoinSpec pins
+    * both). This is the warehouse layout decision that makes every
+    * subsequent key-join over a 100 TB fact table shuffle-free — the
+    * single biggest repeated-cost lever there is; the write prices the
+    * one-time layout cost, exactly like copy_partitioned does for
+    * partition pruning. Bucket count 8 here; on a cluster it scales with
+    * data volume (buckets ≈ data / target-split-size), and both sides
+    * must agree on it for co-location.
+    *
+    * The oracle can't see Spark's bucket layout, so it verifies the
+    * JOIN RESULT over the raw tables — the bucketed copy must be
+    * content-lossless and the co-located join plan answer-identical to
+    * the shuffled one. */
+  val joinBucketed: Q = (s, d) => {
+    // through the delivery surface (delivery/Deliver.copyBucketed), so
+    // the query prices and exercises the layout step the product ships
+    graft.delivery.Deliver.copyBucketed(
+      s, s"$d/lineitem.parquet", "graft_bkt_lineitem", "l_orderkey", 8)
+    graft.delivery.Deliver.copyBucketed(
+      s, s"$d/orders.parquet", "graft_bkt_orders", "o_orderkey", 8)
+    s.table("graft_bkt_lineitem")
+      .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        r4(sum("l_quantity")).as("sum_qty"),
+        sumR4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_bucketed"    -> joinBucketed,
     "join_broadcast"   -> joinBroadcast,
     "join_shuffle"     -> joinShuffle,
     "join_multiway"    -> joinMultiway,
@@ -192,6 +225,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        | floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+        | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_broadcast" ->
       """SELECT p_brand, count(*) AS n_items,
         | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue

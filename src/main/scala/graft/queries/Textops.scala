@@ -715,7 +715,52 @@ object Textops {
       .orderBy("len_lo")
   }
 
+  /** llm_dsir — DSIR-style importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023 — public method): score every doc by how target-like its
+    * hashed unigram bag is. Feature = md5 bucket of the token (engine-
+    * portable hash, B=4096 buckets); p̂ = Laplace-smoothed bucket
+    * distribution over the TARGET slice (here sources src0–src3, the
+    * declared curated subset), q̂ = over the whole corpus; per-doc log
+    * importance weight = Σ_tokens [ln p̂(b) − ln q̂(b)] (the paper's
+    * resampling weight; avg also reported so length-independent
+    * comparisons don't re-divide). Downstream, sampling ∝ exp(w) is
+    * llm_mix_apply's md5-uniform trick with these weights as the rate.
+    *
+    * Scale shape: one explode feeds both distributions and the scoring
+    * join; the bucket-ratio table is ≤B rows BY CONSTRUCTION (hashing
+    * bounds the feature space — the reason DSIR hashes at all), so it
+    * broadcasts at any corpus size and scoring is a map-side join +
+    * per-doc agg. No vocabulary-sized state anywhere. */
+  val llmDsir: Q = (s, d) => {
+    val B = 4096
+    val isTgt = col("source").isin("src0", "src1", "src2", "src3")
+    // cut: the bucketed token stream feeds the two distribution aggs and
+    // the scoring join — materialize once, not three explodes
+    val tok = graft.ops.Lineage.cut(
+      Tables.documents(s, d)
+        .select(col("doc_id"), isTgt.as("tgt"),
+          explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), col("tgt"),
+          (conv(substring(md5(col("t")), 1, 6), 16, 10) % B).cast("long").as("b")))
+    val dist = tok.groupBy("b").agg(
+      count(lit(1)).as("n_r"),
+      count(when(col("tgt"), 1)).as("n_t"))
+    val tots = dist.agg(sum("n_r").as("tot_r"), sum("n_t").as("tot_t"))
+    val ratio = dist.crossJoin(broadcast(tots))
+      .select(col("b"),
+        (log((col("n_t") + 1.0) / (col("tot_t") + B)) -
+         log((col("n_r") + 1.0) / (col("tot_r") + B))).as("lr"))
+    tok.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        r4(sum("lr")).as("dsir_logw"),
+        r4(avg("lr")).as("dsir_avg"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dsir"           -> llmDsir,
     "llm_token_histogram" -> llmTokenHistogram,
     "llm_bigram_score"   -> llmBigramScore,
     "llm_code_detect"    -> llmCodeDetect,
@@ -737,6 +782,24 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dsir" ->
+      s"""WITH tok AS (
+        | SELECT doc_id, source IN ('src0','src1','src2','src3') AS tgt,
+        |  CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 6)) AS BIGINT) % 4096 AS b
+        | FROM documents),
+        |dist AS (
+        | SELECT b, count(*) AS n_r,
+        |  count(*) FILTER (WHERE tgt) AS n_t
+        | FROM tok GROUP BY b),
+        |tots AS (SELECT sum(n_r) AS tot_r, sum(n_t) AS tot_t FROM dist),
+        |ratio AS (
+        | SELECT b, ln((n_t + 1.0) / (tot_t + 4096)) - ln((n_r + 1.0) / (tot_r + 4096)) AS lr
+        | FROM dist CROSS JOIN tots)
+        |SELECT doc_id, count(*) AS n_tok,
+        | ${r4Sql("sum(lr)")} AS dsir_logw,
+        | ${r4Sql("avg(lr)")} AS dsir_avg
+        |FROM tok JOIN ratio USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_token_histogram" ->
       s"""WITH b AS (
         | SELECT least(len(string_split(text, ' ')) // 16, 19) AS bin,

@@ -99,6 +99,33 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** ev_interval_join twin: stream-stream interval self-join — each
+    * purchase joined to the SAME user's clicks in the preceding 10
+    * minutes. Watermarks on BOTH sides + the two-sided time bound in
+    * the join condition are exactly what lets Structured Streaming
+    * evict each buffer (a click older than purchase-watermark − 10 min
+    * can never match again): state stays O(10 min of events), the only
+    * stream-stream join shape that survives 100 TB/day. Inner by
+    * default (rows emit as matches arrive); "leftOuter" additionally
+    * emits unmatched purchases once the watermark closes their window —
+    * the batch query's zero-click rows, just later. */
+  def intervalJoin(events: DataFrame, watermarkDelay: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"), col("value").as("purchase_value"))
+      .withWatermark("pts", watermarkDelay)
+    val c = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"),
+        col("value").as("cval"))
+      .withWatermark("cts", watermarkDelay)
+    p.join(c, col("p_user") === col("c_user") &&
+        col("cts") < col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 10 MINUTES"), joinType)
+      .select(col("event_id"), col("p_user").as("user_id"), col("pts"),
+        col("purchase_value"), col("cts"), col("cval"))
+  }
+
   /** Same running state on the Spark 4 `transformWithState` API — the
     * successor to mapGroupsWithState: explicit named state with TTL
     * support, timers, and state-store-backed ValueState. Preferred for

@@ -74,6 +74,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("join_bucketed's own join is exchange-free (query-level pin)") {
+    // the query writes through Deliver.copyBucketed and joins the two
+    // catalog tables; with auto-broadcast off (the 100 TB regime — no
+    // side fits in memory) the plan must be SMJ with NO Exchange on
+    // either side. A regression here (bucket-count mismatch, a select
+    // that drops the bucket spec) would silently reintroduce the
+    // repeated-shuffle cost the operator exists to remove.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(Joins.joinBucketed(spark, sfDir))
+      plan should include("SortMergeJoin")
+      // the agg above the join re-shuffles by o_orderstatus (expected);
+      // assert no exchange BELOW the join by checking the join inputs
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      plan.substring(joinIdx) should not include "Exchange"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("near-dup signature rejoins are shuffle joins, never per-document broadcasts") {
     // sigs/sets are one row PER DOCUMENT — broadcasting them is O(corpus)
     // and OOMs at 100 TB. The merge hints must pin SMJ on both rejoins.

@@ -722,4 +722,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     val aLast = streamed.filter(_._2 == "a").last
     (aLast._4, aLast._5, aLast._6) shouldBe ((4L, 450.0, 1200L))
   }
+
+  test("interval self-join: stream matches the batch join; watermark emits outer rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // user 1: clicks at :05/:09 precede the :12 purchase within 10 min,
+    // the :01 click is outside the window; user 2's :30 purchase has no
+    // clicks at all (outer-only row)
+    val rows = Seq(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(5), 1, "click", 2.0),
+      Ev(3, ts(9), 1, "click", 3.0), Ev(4, ts(12), 1, "purchase", 40.0),
+      Ev(5, ts(30), 2, "purchase", 50.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(rows: _*)
+    val streamed = runToMemory("ivj") {
+      EventStreams.intervalJoin(stream.toDF())
+    }.collect().map(r => (r.getLong(0), r.getTimestamp(4))).toSet
+    val batch = EventStreams.intervalJoin(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(4))).toSet
+    streamed should equal(batch)
+    streamed shouldBe Set((4L, ts(5)), (4L, ts(9)))
+
+    // leftOuter: the zero-click purchase emits with null click columns
+    // once a later event advances the watermark past its join window
+    val stream2 = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(stream2.toDF(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode(OutputMode.Append).start()
+    stream2.addData(rows: _*)
+    q.processAllAvailable()
+    // sentinels far in the future on BOTH sides (the global watermark is
+    // the min over the two withWatermark nodes); a second batch is needed
+    // because the advanced watermark only applies from the NEXT microbatch
+    stream2.addData(Ev(98, ts(600), 3, "click", 0.0),
+                    Ev(99, ts(600), 3, "purchase", 0.0))
+    q.processAllAvailable()
+    stream2.addData(Ev(97, ts(601), 3, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val outer = spark.table("ivjo")
+      .where($"event_id" === 5L).collect()
+    outer should have size 1
+    outer.head.isNullAt(4) shouldBe true
+  }
 }
