@@ -104,12 +104,37 @@ object Deliver {
                    bucketCol: String, nBuckets: Int,
                    srcFormat: String = "parquet",
                    schema: Option[String] = None,
-                   readOptions: Map[String, String] = Map.empty): DeliveryReport = {
+                   readOptions: Map[String, String] = Map.empty,
+                   location: Option[String] = None,
+                   columns: Seq[String] = Nil): DeliveryReport = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val in = read(spark, src, srcFormat, schema, readOptions)
-    in.write.format("parquet").mode("overwrite")
+    // a MANAGED table's warehouse directory outlives the in-memory
+    // catalog: a fresh session that re-delivers the same table name hits
+    // LOCATION_ALREADY_EXISTS on the stale directory (the catalog no
+    // longer knows the table, so mode=overwrite never engages). Drop any
+    // same-session entry, then clear a stale managed location; an
+    // explicit `location` makes the table EXTERNAL (callers that want a
+    // per-run path, e.g. join_bucketed's temp dir) and skips the sweep.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (location.isEmpty) {
+      val wh = spark.sessionState.conf.warehousePath.stripSuffix("/")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$table")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val raw = read(spark, src, srcFormat, schema, readOptions)
+    // optional projection (deliver only the join-relevant columns), then
+    // pre-shuffle into nBuckets on the bucket column: repartition's hash
+    // is the SAME pmod(murmur3, n) as the bucket id, so every write task
+    // holds exactly one bucket and each bucket lands as ONE file —
+    // without it each of the source's input splits spills a file per
+    // bucket it touches (splits × buckets files, slow write, small-file
+    // read-back)
+    val in = (if (columns.isEmpty) raw else raw.select(columns.map(org.apache.spark.sql.functions.col): _*))
+      .repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+    val w = in.write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+    location.fold(w)(l => w.option("path", l)).saveAsTable(table)
     manifest(spark, tableLocation(spark, table))
   }
 

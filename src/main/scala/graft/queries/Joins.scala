@@ -195,11 +195,18 @@ object Joins {
     * the shuffled one. */
   val joinBucketed: Q = (s, d) => {
     // through the delivery surface (delivery/Deliver.copyBucketed), so
-    // the query prices and exercises the layout step the product ships
+    // the query prices and exercises the layout step the product ships;
+    // a fresh temp location per call (external table) keeps reruns and
+    // fresh sessions from colliding on a stale warehouse directory
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/lineitem.parquet", "graft_bkt_lineitem", "l_orderkey", 8)
+      s, s"$d/lineitem.parquet", "graft_bkt_lineitem", "l_orderkey", 8,
+      location = Some(s"$tmp/lineitem"),
+      columns = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/orders.parquet", "graft_bkt_orders", "o_orderkey", 8)
+      s, s"$d/orders.parquet", "graft_bkt_orders", "o_orderkey", 8,
+      location = Some(s"$tmp/orders"),
+      columns = Seq("o_orderkey", "o_orderstatus"))
     s.table("graft_bkt_lineitem")
       .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
