@@ -135,7 +135,11 @@ object Deliver {
     val w = in.write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
     location.fold(w)(l => w.option("path", l)).saveAsTable(table)
-    manifest(spark, tableLocation(spark, table))
+    // manifest under the delivered schema: a zero-row bucketed write
+    // produces no data files at all (bucketed tasks skip empty output),
+    // and a schema-less parquet read of the bare directory would fail
+    // inference instead of reporting the empty delivery
+    manifest(spark, tableLocation(spark, table), schema = Some(in.schema.toDDL))
   }
 
   /** Storage directory of a catalog table (for manifest/verify of

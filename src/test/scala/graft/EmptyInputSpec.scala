@@ -47,7 +47,10 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "ev_attribution", "source_text", "llm_code_detect",
     "llm_ccnet_bucket", "llm_domain_cap", "llm_domain_rank", "llm_bigram_score",
     "ev_cohort_ltv", "llm_token_histogram", "llm_mix_apply", "llm_cluster_sizes",
-    "dq_freshness")
+    "dq_freshness",
+    // round-8 additions: the bucketed delivery join, the interval join's
+    // empty-both-sides left join, and dsir's empty distribution tables
+    "join_bucketed", "ev_interval_join", "llm_dsir")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
