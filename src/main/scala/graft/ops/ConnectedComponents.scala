@@ -54,13 +54,27 @@ object ConnectedComponents {
     * Returns (labels, roundsUsed): labels has one row per NON-ISOLATED
     * node — (node, label) with label = min node id of its component,
     * roots included. Isolated nodes never appear in an edge list; union
-    * them in caller-side (see llm_dedup_cluster). */
-  def largeStarSmallStar(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    * them in caller-side (see llm_dedup_cluster).
+    *
+    * @param preOriented caller's assertion that `edges` is already
+    *        duplicate-free with src < dst per row and no self-loops —
+    *        true for the near-dup pair pipeline's output (emit-once /
+    *        distinct guarantees uniqueness, doc_a < doc_b orientation is
+    *        structural) — which skips the normalization distinct, a full
+    *        edge-frame shuffle the first round would otherwise pay
+    *        twice (once here, once inside round 1). The algorithm
+    *        orients src > dst internally, so the input's (lo, hi) rows
+    *        are swapped projection-only. */
+  def largeStarSmallStar(edges: DataFrame, maxRounds: Int = 50,
+                         preOriented: Boolean = false): (DataFrame, Int) = {
     var e = Lineage.cut(
-      edges.where(col("src") =!= col("dst"))
-        .select(greatest(col("src"), col("dst")).as("src"),
-                least(col("src"), col("dst")).as("dst"))
-        .distinct())
+      if (preOriented)
+        edges.select(col("dst").as("src"), col("src").as("dst"))
+      else
+        edges.where(col("src") =!= col("dst"))
+          .select(greatest(col("src"), col("dst")).as("src"),
+                  least(col("src"), col("dst")).as("dst"))
+          .distinct())
     var rounds = 0
     var stable = false
     var prev: (Long, java.math.BigDecimal) = null

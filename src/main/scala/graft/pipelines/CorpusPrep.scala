@@ -198,7 +198,10 @@ object CorpusPrep {
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .join(ids.select(col("doc_id").as("src")), Seq("src"))
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
-      val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(e)
+      // id-filtered pair rows stay duplicate-free with doc_a < doc_b →
+      // skip the normalization distinct (preOriented contract)
+      val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
+        e, preOriented = true)
       ids.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))
     } else {

@@ -717,8 +717,12 @@ object Extras {
       _.select(col("rep").as("doc_id")).distinct())
     val repLabels =
       if (s.conf.get("spark.graft.cc.algo", "lss") == "lss") {
+        // the raw pair list is duplicate-free with doc_a < doc_b by
+        // construction → skip the normalization distinct; the collapsed
+        // quotient edges are neither, so the mapping path normalizes
         val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
-          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          preOriented = mapping.isEmpty)
         // isolated docs have no edges → label themselves
         docs.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))

@@ -376,7 +376,13 @@ object Llm {
         // conf can still force it on for an audit (ADVICE r7).
         (graft.ops.Lineage.cut(rarityBlocked(tok, dfTok, ntDf)),
          Seq("block_tok", "lang"),
-         Some(("block_tok", "btok_set")))
+         // conf escape hatch (spark.graft.pairs.rarityEmitOnce=false →
+         // the pre-round-8 candidate distinct) for corpus shapes where
+         // the duplicate factor after kills is so low the distinct wins;
+         // the output pair set is identical either way
+         if (s.conf.get("spark.graft.pairs.rarityEmitOnce", "true").toBoolean)
+           Some(("block_tok", "btok_set"))
+         else None)
       }
     // Skew-safe block self-join: a boilerplate-heavy corpus puts
     // thousands of docs in one (block_tok, lang) cell; the triangle-cell
