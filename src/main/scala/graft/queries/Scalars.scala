@@ -142,7 +142,34 @@ object Scalars {
         array_max(map_keys(col("m"))).cast("long").as("max_ln"))
       .orderBy("l_orderkey")
 
+  /** fn_struct — nested struct scalar family (§2.8 gap beside map/array/
+    * json): named_struct packing, nested field access, whole-struct
+    * equality, and struct reconstruction under a filter. The oracle
+    * verifies VALUES with plain column expressions (field access of a
+    * just-packed struct is the packed column; struct equality is
+    * pairwise equality) — the Spark side is what exercises the struct
+    * machinery, the same division as the sink/roundtrip queries. All
+    * codegen'd projections, shuffle only for the total order. */
+  val fnStruct: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), struct(
+        col("o_orderstatus").as("status"),
+        struct(col("o_totalprice").as("total"),
+               (col("o_totalprice") * 0.1).as("fee")).as("money")).as("ord"))
+      .where(col("ord.money.total") > 100000.0)
+      .select(
+        col("o_orderkey"),
+        col("ord.status").as("status"),
+        r4(col("ord.money.total")).as("total"),
+        r4(col("ord.money.fee")).as("fee"),
+        // whole-struct comparison: repack and compare (true by
+        // construction — pins struct equality semantics end-to-end)
+        (col("ord.money") === struct(col("ord.money.total").as("total"),
+          col("ord.money.fee").as("fee"))).cast("long").as("self_eq"))
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "fn_struct"  -> fnStruct,
     "fn_map"     -> fnMap,
     "fn_string"  -> fnString,
     "fn_regex"   -> fnRegex,
@@ -156,6 +183,13 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_struct" ->
+      s"""SELECT o_orderkey, o_orderstatus AS status,
+        | ${r4Sql("o_totalprice")} AS total,
+        | ${r4Sql("o_totalprice * 0.1")} AS fee,
+        | CAST(1 AS BIGINT) AS self_eq
+        |FROM orders WHERE o_totalprice > 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "fn_map" ->
       s"""SELECT l_orderkey,
         | count(*) AS n_items,

@@ -126,7 +126,52 @@ object Scans {
       .orderBy("lang")
   }
 
+  /** source_binary — media-lake ingest through Spark's `binaryFile`
+    * source: one object per asset (the layout image/audio/video corpora
+    * actually ship in), read back as (path, length, content) rows. The
+    * delivery half writes each doc's payload as its own `<doc_id>.bin`
+    * via foreachPartition (distributed, one writer per partition — on a
+    * cluster the temp dir becomes a shared-FS/objstore URI, the code
+    * shape is unchanged); the ingest half is the real product surface:
+    * `format("binaryFile")` splits per FILE across executors, so a
+    * billion-asset bucket scans in parallel with no driver listing
+    * bottleneck beyond the InMemoryFileIndex. Mime derives from the
+    * multimodal column model's doc_id%3 rule (Multimodal
+    * .attachFakePayload), and the per-mime census must reproduce the
+    * SOURCE table's octet counts exactly — the roundtrip-lossless
+    * upgrade pattern of source_csv/orc/text. */
+  val sourceBinary: Q = (s, d) => {
+    val tmp = Files.createTempDirectory("graft_bin").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+    // pathGlobFilter, not a glob path: a glob that matches zero files
+    // (empty corpus) errors at resolution, while filtering an existing
+    // directory yields the well-typed empty frame (binaryFile's schema
+    // is fixed, nothing to infer)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(tmp)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        length(col("content")).cast("long").as("nbytes"))
+      .withColumn("mime",
+        element_at(lit(Array("image/png", "audio/wav", "video/mp4")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n_assets"),
+           sum("nbytes").as("total_bytes"),
+           max("nbytes").as("max_bytes"),
+           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("mime")
+  }
+
   val queries: Map[String, Q] = Map(
+    "source_binary"    -> sourceBinary,
     "source_text"      -> sourceText,
     "scan_parquet"     -> scanParquet,
     "scan_pruned"      -> scanPruned,
@@ -138,6 +183,13 @@ object Scans {
   )
 
   val oracle: Map[String, String] = Map(
+    "source_binary" ->
+      """SELECT ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
+        | count(*) AS n_assets,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | CAST(max(strlen(text)) AS BIGINT) AS max_bytes,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY mime ORDER BY mime""".stripMargin,
     "source_text" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,

@@ -16,8 +16,8 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 135
-    SparkEntry.oracleSql.size shouldBe 131
+    SparkEntry.queries.size shouldBe 137
+    SparkEntry.oracleSql.size shouldBe 133
   }
 
   test("dq_delta's oracle schema pin matches the live orders fixture (ADVICE r7)") {

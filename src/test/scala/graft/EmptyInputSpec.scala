@@ -50,7 +50,8 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "dq_freshness",
     // round-8 additions: the bucketed delivery join, the interval join's
     // empty-both-sides left join, and dsir's empty distribution tables
-    "join_bucketed", "ev_interval_join", "llm_dsir")
+    "join_bucketed", "ev_interval_join", "llm_dsir", "fn_struct",
+    "source_binary")
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
