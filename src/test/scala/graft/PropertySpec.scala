@@ -491,6 +491,36 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("preOriented lss equals the normalizing path on random oriented graphs") {
+    // the preOriented contract (round 8): when edges are already unique
+    // with src < dst and loop-free, skipping the normalization distinct
+    // must change nothing — pin against the same generator, normalized
+    // caller-side the way the pair pipeline guarantees structurally
+    import spark.implicits._
+    val genGraph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(5L, 60L)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1); b <- Gen.choose(0L, n - 1)
+      } yield (a, b))
+    } yield edges
+    (1 to 6).foreach { i =>
+      genGraph.apply(Gen.Parameters.default, Seed(900L + i)).foreach { raw =>
+        val oriented = raw.filter(e => e._1 != e._2)
+          .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+        if (oriented.nonEmpty) {
+          val df = oriented.toDF("src", "dst")
+          val base = ops.ConnectedComponents.largeStarSmallStar(df)._1
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val fast = ops.ConnectedComponents.largeStarSmallStar(
+              df, preOriented = true)._1
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          fast should equal(base)
+        }
+      }
+    }
+  }
+
   test("graft_icount equals size(array_intersect) on generated sorted distinct long arrays") {
     // the scoring-path contract (VectorExprs.SortedInterCount): on sorted,
     // duplicate-free arrays the merge count must equal the engine's own

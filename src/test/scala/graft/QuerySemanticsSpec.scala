@@ -665,4 +665,29 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.map(_.getLong(2)).sum shouldBe src.values.map(_.getLong(1)).sum
     out.foreach(_.getLong(2) should be > 0L)
   }
+
+  test("interval join keeps every purchase exactly once and counts only in-window clicks") {
+    // row contract: LEFT join + per-purchase groupBy => output rows ==
+    // purchase events, each exactly once; n_clicks re-derivable by a
+    // per-row recount against the raw events
+    val ev = Tables.events(spark, sfDir)
+    val out = graft.queries.Events.evIntervalJoin(spark, sfDir)
+    val nPurch = ev.where(col("event_type") === "purchase").count()
+    out.count() shouldBe nPurch
+    out.select("event_id").distinct().count() shouldBe nPurch
+    // independent recount for a sample: SQL-free Scala oracle
+    val clicks = ev.where(col("event_type") === "click")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val sample = out.orderBy("event_id").limit(200).collect()
+    val purch = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2).getTime)).toMap
+    sample.foreach { r =>
+      val (uid, pts) = purch(r.getLong(0))
+      val want = clicks.count { case (u, c) =>
+        u == uid && c < pts && c >= pts - 600000L }
+      r.getLong(4) shouldBe want
+    }
+  }
 }

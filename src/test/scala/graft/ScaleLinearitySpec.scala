@@ -109,6 +109,18 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
     t4.select("doc_id").distinct().count() shouldBe n4
   }
 
+  test("llm_dsir emits exactly one weight row per doc at any scale") {
+    // structural cardinality contract of the scoring join + per-doc agg:
+    // ×4 docs → exactly ×4 rows, all doc_ids distinct (a blowup would
+    // mean the bucket-ratio join leaked the token frame into the output)
+    val t1 = queries.Textops.llmDsir(spark, dirs._1)
+    val t4 = queries.Textops.llmDsir(spark, dirs._2)
+    val n1 = t1.count(); val n4 = t4.count()
+    n1 should be > 0L
+    n4 shouldBe 4 * n1
+    t4.select("doc_id").distinct().count() shouldBe n4
+  }
+
   test("llm_cosine_topk / llm_knn_label aggregate forms stay per-qid bounded at x4 vectors") {
     // the r7 TopKAgg/min_by rewrites changed these queries' shuffle shape
     // (bounded per-group buffers instead of full ranking windows); the
