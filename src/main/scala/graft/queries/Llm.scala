@@ -118,13 +118,25 @@ object Llm {
     tok.join(dfTok, "token")
       .groupBy("doc_id", "lang")
       .agg(minkUdaf(col("df"), col("token"), lit(4)).as("btoks"))
-      // btok_set: the doc's block tokens RE-sorted lexicographically (the
-      // MinKAgg array is (df, token)-ordered) for ShardedSelfJoin's
-      // emit-once — sorted, duplicate-free (tok is distinct per doc) and
-      // containing every block_tok the explode emits, all BY CONSTRUCTION
-      // on these three lines
-      .select(col("doc_id"), col("lang"), sort_array(col("btoks")).as("btok_set"),
-        explode(col("btoks")).as("block_tok"))
+      // Block keys INTERNED to xxhash64 (round 8): the candidate
+      // self-join is the pipeline's dominant stage (~45% — an ~8M-row
+      // SMJ whose key was a token STRING and whose emit-once arrays were
+      // string arrays); hashing makes the join key and the ≤4-element
+      // emit-once merge scan pure long compares. The OUTPUT pair set is
+      // unchanged: token selection (and its df tie-break) still happens
+      // on real tokens, a 64-bit collision can only MERGE two blocks
+      // (candidate superset), and exact scoring + the θ filter decide
+      // membership — so the string-blocking oracle SQL stays valid
+      // (JaccardRecallSpec re-pins recall 1.0). btok_set: hashed keys
+      // sorted + deduped (array_distinct keeps sort order; the dedup
+      // also keeps the emit-once duplicate-free contract airtight under
+      // a within-doc hash collision), block_tok exploded from the SAME
+      // array — the by-construction contract, unchanged.
+      .select(col("doc_id"), col("lang"),
+        array_distinct(sort_array(
+          expr("transform(btoks, t -> xxhash64(t))"))).as("btok_set"))
+      .select(col("doc_id"), col("lang"), col("btok_set"),
+        explode(col("btok_set")).as("block_tok"))
       .join(ntDf, "doc_id")
 
   /** Containment's probe-prefix stage (pre-join), extracted for the same
