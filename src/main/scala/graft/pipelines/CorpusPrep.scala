@@ -296,10 +296,15 @@ object CorpusPrep {
       // the df-capped token stream — the last instance of the VERDICT r6
       // #3 window shape; the query operator and this gate now cannot
       // drift apart
+      // interned probe-join key (round 8) — same rewrite as the
+      // operator's (Llm.llmContainment): selection on tokens, join on
+      // xxhash64 longs, output identical
       val probe = graft.queries.Llm.probePrefix(tokDf)
+        .withColumn("tk", xxhash64(col("token"))).drop("token")
       val index = tokDf
-        .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
-      val cand = probe.join(index, Seq("token", "lang"))
+        .select(col("doc_id").as("iid"), col("lang"),
+          xxhash64(col("token")).as("tk"), col("nt").as("nt_i"))
+      val cand = probe.join(index, Seq("tk", "lang"))
         .where(col("pid") =!= col("iid"))
         .select(least(col("pid"), col("iid")).as("doc_a"),
                 greatest(col("pid"), col("iid")).as("doc_b"),

@@ -557,10 +557,18 @@ object Llm {
     val ntDf = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
     val tokDf = tok.join(dfTok, "token").join(ntDf, "doc_id")
       .where(col("df") <= maxDf)
+    // probe-join key interned to xxhash64 (round 8, same argument as the
+    // rarity blocks): prefix selection — the oracle-mirrored, lossless-
+    // at-θ part — stays on real tokens inside probePrefix; only the
+    // (token, lang) equi-join compares longs. A collision merges two
+    // tokens' cells → candidate superset → exact scoring decides, so the
+    // pigeonhole guarantee and the oracle are untouched.
     val probe = probePrefix(tokDf)
+      .withColumn("tk", xxhash64(col("token"))).drop("token")
     val index = tokDf
-      .select(col("doc_id").as("iid"), col("lang"), col("token"), col("nt").as("nt_i"))
-    val cand = probe.join(index, Seq("token", "lang"))
+      .select(col("doc_id").as("iid"), col("lang"),
+        xxhash64(col("token")).as("tk"), col("nt").as("nt_i"))
+    val cand = probe.join(index, Seq("tk", "lang"))
       .where(col("pid") =!= col("iid"))
       .select(
         least(col("pid"), col("iid")).as("doc_a"),

@@ -66,11 +66,21 @@ object Textops {
     // the (0, shg) order already returns them lexicographically sorted
     // and duplicate-free (shingles distinct per doc), with every exploded
     // block_shg inside; sort_array documents the contract explicitly
+    // block keys interned to xxhash64 AFTER the selection (same move +
+    // oracle argument as the rarity path, round 8): the 4-smallest
+    // choice — the part the oracle mirrors, since 4-band recall is
+    // < 1 and candidates affect output — still happens on the md5
+    // strings; only the self-join key and the emit-once arrays become
+    // longs (a collision can only merge two blocks → candidate
+    // superset, and exact scoring decides membership)
     val block = graft.ops.Lineage.cut(sh
       .groupBy("doc_id", "lang")
       .agg(graft.queries.Llm.minkUdaf(lit(0L), col("shg"), lit(4)).as("bshg"))
-      .select(col("doc_id"), col("lang"), sort_array(col("bshg")).as("bshg_set"),
-        explode(col("bshg")).as("block_shg"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(sort_array(
+          expr("transform(bshg, t -> xxhash64(t))"))).as("bshg_set"))
+      .select(col("doc_id"), col("lang"), col("bshg_set"),
+        explode(col("bshg_set")).as("block_shg"))
       .join(ntDf, "doc_id"))
     // skew-safe band self-join (same helper + guarantees as the LSH band
     // joins and the rarity-block join): a hot (block_shg, lang) cell
@@ -179,10 +189,15 @@ object Textops {
       .withColumn("bucket", split.cast("long"))
       .withColumn("part",
         when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test")))
+    // shingle identity interned to xxhash64 for the join/df-cap/count
+    // stages (round 8, the jaccard-family interning move): the 32-char
+    // md5 strings become longs through the test⋈train join, the anti-
+    // join and both countDistincts; a collision merges two shingles
+    // (P ≈ 6e-11 corpus-wide, the documented interning trade)
     val trainAll = sh.where(col("part") === "train")
-      .select(col("doc_id").as("train_doc"), col("shg"))
+      .select(col("doc_id").as("train_doc"), xxhash64(col("shg")).as("shg"))
     val test = sh.where(col("part") === "test")
-      .select(col("doc_id").as("test_doc"), col("shg"))
+      .select(col("doc_id").as("test_doc"), xxhash64(col("shg")).as("shg"))
     // df-cap: drop boilerplate shingles (train-df > maxDf) before the
     // join. The dropped set is small by construction (each member has
     // > maxDf occurrences, so there are < |train|/maxDf of them) — no
