@@ -52,6 +52,38 @@ object Aggs {
            approx_count_distinct(col("l_suppkey")).as("apx_supp"))
       .orderBy("l_returnflag")
 
+  /** agg_hll_partial — MERGEABLE distinct-count sketches across delivery
+    * versions (the capability approx_count_distinct alone doesn't
+    * expose): per version (dq_drift's md5 split), a Datasketches HLL
+    * sketch of o_custkey persists as the version's distinct-count
+    * STATE; the corpus-wide distinct then comes from `hll_union_agg`
+    * over the two sketches — never re-scanning the versions. This is
+    * the incremental-delivery pattern at 100 TB: each daily delivery
+    * ships a KB-size sketch with its manifest, and any cross-version
+    * distinct count is a union of sketches instead of a full-history
+    * scan. Output carries the exact counts beside the estimates so the
+    * row is self-diagnosing; no DuckDB oracle (sketch values are
+    * engine-specific by declared design, like agg_approx_distinct) —
+    * SketchSpec gates every estimate within 5% of its exact twin and
+    * pins union-estimate == full-scan-estimate. */
+  val aggHllPartial: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6),
+      16, 10).cast("long") % 100
+    val vers = Tables.orders(s, d)
+      .withColumn("version", when(bucket < 80, "v_prev").otherwise("v_new"))
+    val sk = graft.ops.Lineage.cut(vers.groupBy("version")
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+           countDistinct("o_custkey").as("n_exact")))
+    val per = sk.select(col("version"),
+      hll_sketch_estimate(col("sk")).as("n_est"), col("n_exact"))
+    val total = sk.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+      .crossJoin(broadcast(
+        vers.agg(countDistinct("o_custkey").as("n_exact"))))
+      .select(lit("total_merged").as("version"), col("n_est"), col("n_exact"))
+    per.unionAll(total).orderBy("version")
+  }
+
   /** agg_grouping_sets — ((flag,status),(flag),()) in one pass; subtotal
     * rows surfaced via coalesce-to-'ALL' so no output column is null. */
   val aggGroupingSets: Q = (s, d) =>
@@ -139,6 +171,7 @@ object Aggs {
     "agg_hash"            -> aggHash,
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_hll_partial"     -> aggHllPartial,
     "agg_grouping_sets"   -> aggGroupingSets,
     "agg_rollup"          -> aggRollup,
     "agg_cube"            -> aggCube,

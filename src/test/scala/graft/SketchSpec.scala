@@ -106,4 +106,20 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
     val precision = found.count(exact.contains).toDouble / found.length
     precision should be >= 0.8
   }
+
+  test("agg_hll_partial estimates within 5% of exact; sketch union == full-scan sketch") {
+    val rows = queries.Aggs.aggHllPartial(spark, sfDir).collect()
+    rows.length shouldBe 3
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      math.abs(est - exact).toDouble / exact should be <= 0.05
+    }
+    // the merged estimate must equal what a single full-scan sketch
+    // would say — union of partials is lossless for HLL by construction
+    import org.apache.spark.sql.functions._
+    val full = Tables.orders(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("e"))
+      .head().getLong(0)
+    rows.find(_.getString(0) == "total_merged").get.getLong(1) shouldBe full
+  }
 }
