@@ -108,21 +108,26 @@ object Deliver {
                    location: Option[String] = None,
                    columns: Seq[String] = Nil): DeliveryReport = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // resolve the SOURCE before touching the target: a bad src path must
+    // fail with the previous delivery intact, never after the drop/sweep
+    // below has destroyed it (fail-before-destroy, review r8)
+    val raw = read(spark, src, srcFormat, schema, readOptions)
     // a MANAGED table's warehouse directory outlives the in-memory
     // catalog: a fresh session that re-delivers the same table name hits
     // LOCATION_ALREADY_EXISTS on the stale directory (the catalog no
     // longer knows the table, so mode=overwrite never engages). Drop any
-    // same-session entry, then clear a stale managed location; an
-    // explicit `location` makes the table EXTERNAL (callers that want a
-    // per-run path, e.g. join_bucketed's temp dir) and skips the sweep.
+    // same-session entry, then clear a stale managed location (under the
+    // catalog's LOWERCASED name — the identifier is case-normalized, the
+    // filesystem is not); an explicit `location` makes the table
+    // EXTERNAL (callers that want a per-run path) and skips the sweep.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     if (location.isEmpty) {
       val wh = spark.sessionState.conf.warehousePath.stripSuffix("/")
-      val p = new org.apache.hadoop.fs.Path(s"$wh/$table")
+      val p = new org.apache.hadoop.fs.Path(
+        s"$wh/${table.toLowerCase(java.util.Locale.ROOT)}")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val raw = read(spark, src, srcFormat, schema, readOptions)
     // optional projection (deliver only the join-relevant columns), then
     // pre-shuffle into nBuckets on the bucket column: repartition's hash
     // is the SAME pmod(murmur3, n) as the bucket id, so every write task

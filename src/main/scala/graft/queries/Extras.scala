@@ -504,12 +504,19 @@ object Extras {
     * n_files with it) — the layout pin is per-job config, the census
     * machinery is unchanged. */
   val dqManifest: Q = (s, d) => {
-    // fixed per-session delivery dir + overwrite, not a fresh temp dir
-    // per call: the bench runs this hermetically 4×/round and Verify/
-    // tests add more — an unbounded createTempDirectory would leak one
-    // full orders copy per invocation on the shared box (review, r8)
+    // fixed per-(session, dataset) delivery dir + overwrite, not a fresh
+    // temp dir per call: the bench runs this hermetically 4×/round and
+    // Verify/tests add more — an unbounded createTempDirectory would
+    // leak one full orders copy per invocation on the shared box
+    // (review, r8). Keyed by a hash of the dataset dir too: the write
+    // is eager but the returned frame READS the path lazily, so a
+    // dataset-independent dir would silently re-bind an earlier
+    // invocation's frame to whichever dataset was delivered last
+    // (review, r8 second pass)
+    val dKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_manifest_${s.sparkContext.applicationId}").toString
+      s"graft_manifest_${s.sparkContext.applicationId}_$dKey").toString
     val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
       .cast("long") % 100
     val out = Tables.orders(s, d)
@@ -699,10 +706,18 @@ object Extras {
     // dup-heavy corpus for both cc algorithms.
     val collapse = s.conf.get("spark.graft.dedup.collapseExact", "false").toBoolean
     val mapping = if (!collapse) None else Some(graft.ops.Lineage.cut {
+      // null text or null lang rows map to THEMSELVES: sha2(NULL)=NULL
+      // would group all null-text docs into one rep (and null lang
+      // null-joins out of the pair pipeline entirely), while the
+      // uncollapsed path keeps them as token-less singletons — grouping
+      // only non-null rows preserves the pinned path identity (review r8)
       val h = docsAll.select(col("doc_id"), col("lang"),
         sha2(col("text").cast("binary"), 256).as("h"))
-      val reps = h.groupBy("lang", "h").agg(min("doc_id").as("rep"))
-      h.join(reps, Seq("lang", "h")).select(col("doc_id"), col("rep"))
+      val nn = h.where(col("lang").isNotNull && col("h").isNotNull)
+      val reps = nn.groupBy("lang", "h").agg(min("doc_id").as("rep"))
+      nn.join(reps, Seq("lang", "h")).select(col("doc_id"), col("rep"))
+        .unionAll(h.where(col("lang").isNull || col("h").isNull)
+          .select(col("doc_id"), col("doc_id").as("rep")))
     })
     val pairs = mapping.fold(pairsRaw) { m =>
       // quotient edges: endpoints → reps; self-loops (intra-group pairs)

@@ -196,9 +196,14 @@ object Joins {
   val joinBucketed: Q = (s, d) => {
     // through the delivery surface (delivery/Deliver.copyBucketed), so
     // the query prices and exercises the layout step the product ships;
-    // a fresh temp location per call (external table) keeps reruns and
-    // fresh sessions from colliding on a stale warehouse directory
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+    // a FIXED per-(session, dataset) external location + overwrite, not
+    // a fresh temp dir per call — the bench runs this 4×/round and an
+    // unbounded createTempDirectory would strand a projected fact-table
+    // copy per invocation (dq_manifest discipline; review r8)
+    val dKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bkt_${s.sparkContext.applicationId}_$dKey").toString
     graft.delivery.Deliver.copyBucketed(
       s, s"$d/lineitem.parquet", "graft_bkt_lineitem", "l_orderkey", 8,
       location = Some(s"$tmp/lineitem"),

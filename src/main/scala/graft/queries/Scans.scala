@@ -141,7 +141,19 @@ object Scans {
     * SOURCE table's octet counts exactly — the roundtrip-lossless
     * upgrade pattern of source_csv/orc/text. */
   val sourceBinary: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_bin").toString
+    // fixed per-(session, dataset) dir, swept at ENTRY: a fresh temp dir
+    // per call would strand one file-per-doc payload copy per invocation
+    // (4 bench passes/round + Verify/tests — review r8); sweeping before
+    // the write also guarantees no stale .bin from a larger prior corpus
+    // survives into the census. The returned frame reads the path
+    // LAZILY, so the sweep must never run at the END of this function.
+    val dKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bin_${s.sparkContext.applicationId}_$dKey")
+    if (dir.exists) dir.listFiles.foreach(_.delete())
+    dir.mkdirs()
+    val tmp = dir.toString
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>

@@ -757,7 +757,7 @@ object Textops {
         .select(col("doc_id"), isTgt.as("tgt"),
           explode(split(col("text"), " ")).as("t"))
         .select(col("doc_id"), col("tgt"),
-          (conv(substring(md5(col("t")), 1, 6), 16, 10) % B).cast("long").as("b")))
+          (conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long") % B).as("b")))
     val dist = tok.groupBy("b").agg(
       count(lit(1)).as("n_r"),
       count(when(col("tgt"), 1)).as("n_t"))

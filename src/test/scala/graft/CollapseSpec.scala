@@ -29,7 +29,14 @@ class CollapseSpec extends AnyFunSuite with Matchers with SparkFixture {
       (col("doc_id") + lit(10 * n)).as("doc_id"),
       col("text"), concat(col("lang"), lit("_x")).as("lang"),
       col("source"), col("n_chars"))
-    docs.unionAll(dups).unionAll(crossLang)
+    // two NULL-text docs in one lang: sha2(NULL)=NULL — the collapse
+    // must map them to THEMSELVES (token-less singletons on the default
+    // path), never group them into one rep (review r8)
+    val nullText = docs.orderBy("doc_id").limit(2).select(
+      (col("doc_id") + lit(20 * n)).as("doc_id"),
+      lit(null).cast("string").as("text"), col("lang"),
+      col("source"), col("n_chars"))
+    docs.unionAll(dups).unionAll(crossLang).unionAll(nullText)
       .write.mode("overwrite").parquet(s"$base/documents.parquet")
     base
   }
