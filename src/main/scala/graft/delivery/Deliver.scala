@@ -108,10 +108,45 @@ object Deliver {
                    location: Option[String] = None,
                    columns: Seq[String] = Nil): DeliveryReport = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // resolve the SOURCE before touching the target: a bad src path must
-    // fail with the previous delivery intact, never after the drop/sweep
-    // below has destroyed it (fail-before-destroy, review r8)
+    // single-part names only: the stale-location sweep below resolves
+    // $warehouse/<lowercased name>, but a qualified `db.tbl` lives at
+    // $warehouse/db.db/tbl — the backtick-quoted DROP would treat the
+    // whole string as one identifier and the sweep would miss the real
+    // managed dir, resurrecting the LOCATION_ALREADY_EXISTS failure this
+    // code exists to prevent (ADVICE r8)
+    require(!table.contains("."),
+      s"copyBucketed requires a single-part table name in the current " +
+      s"database, got '$table' (the stale-managed-location sweep resolves " +
+      "warehouse/<name> and cannot see a db-qualified path)")
+    // resolve the SOURCE — and eagerly ANALYZE the full input plan
+    // (projection + bucket repartition; Dataset transformations analyze
+    // at construction) — before touching the target: a bad src path, a
+    // misspelled `columns` entry or a bucketCol absent from the
+    // projection must all fail with the previous delivery intact, never
+    // after the drop/sweep below has destroyed it (fail-before-destroy,
+    // review r8 + ADVICE r8). The projection delivers only the
+    // join-relevant columns; the repartition pre-shuffles into nBuckets
+    // on the bucket column — repartition's hash is the SAME
+    // pmod(murmur3, n) as the bucket id, so every write task holds
+    // exactly one bucket and each bucket lands as ONE file — without it
+    // each of the source's input splits spills a file per bucket it
+    // touches (splits × buckets files, slow write, small-file read-back)
     val raw = read(spark, src, srcFormat, schema, readOptions)
+    val projected =
+      if (columns.isEmpty) raw
+      else raw.select(columns.map(org.apache.spark.sql.functions.col): _*)
+    // bucketCol must SURVIVE the projection, checked explicitly: eager
+    // analysis alone doesn't catch it, because repartition gets the same
+    // missing-reference courtesy as orderBy-after-select (the analyzer
+    // silently re-adds the dropped column from the source), deferring
+    // the real failure to the bucketBy writer — which runs after the
+    // drop below
+    require(projected.schema.fieldNames.exists(
+        spark.sessionState.analyzer.resolver(_, bucketCol)),
+      s"bucketCol '$bucketCol' must be among the delivered columns " +
+      s"${projected.schema.fieldNames.mkString("[", ", ", "]")}")
+    val in = projected
+      .repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
     // a MANAGED table's warehouse directory outlives the in-memory
     // catalog: a fresh session that re-delivers the same table name hits
     // LOCATION_ALREADY_EXISTS on the stale directory (the catalog no
@@ -128,15 +163,6 @@ object Deliver {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    // optional projection (deliver only the join-relevant columns), then
-    // pre-shuffle into nBuckets on the bucket column: repartition's hash
-    // is the SAME pmod(murmur3, n) as the bucket id, so every write task
-    // holds exactly one bucket and each bucket lands as ONE file —
-    // without it each of the source's input splits spills a file per
-    // bucket it touches (splits × buckets files, slow write, small-file
-    // read-back)
-    val in = (if (columns.isEmpty) raw else raw.select(columns.map(org.apache.spark.sql.functions.col): _*))
-      .repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
     val w = in.write.format("parquet").mode("overwrite")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
     location.fold(w)(l => w.option("path", l)).saveAsTable(table)

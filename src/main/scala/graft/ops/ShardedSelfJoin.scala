@@ -102,11 +102,24 @@ object ShardedSelfJoin {
     *                  must NOT set this; the conf still force-disables
     *                  globally.
     */
+  /** @param uniqueMembership caller's assertion that every row appears
+    *                  in exactly ONE bucket (a partitioning coarse
+    *                  quantizer like an IVF cell — unlike multi-band
+    *                  LSH or multi-token blocking). Each unordered pair
+    *                  then meets in exactly one bucket, hence exactly
+    *                  one triangle cell, so the candidate stream is
+    *                  duplicate-free by construction and BOTH dedup
+    *                  mechanisms (emit-once scan, distinct shuffle) are
+    *                  skipped. Asserting it on multi-bucket data would
+    *                  silently duplicate pairs; SkewSpec pins the
+    *                  semdedup caller's pair set against the naive join.
+    */
   def pairs(banded: DataFrame, keys: Seq[String], threshold: Int,
             carry: Seq[String] = Nil,
             pairFilter: Option[org.apache.spark.sql.Column] = None,
             emitOnce: Option[(String, String)] = None,
-            emitOnceByConstruction: Boolean = false): DataFrame = {
+            emitOnceByConstruction: Boolean = false,
+            uniqueMembership: Boolean = false): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
     val bandedIn = emitOnce.fold(banded) { case (k, st) =>
       // Validation arbitration (ADVICE r7): an EXPLICIT conf value wins in
@@ -205,8 +218,9 @@ object ShardedSelfJoin {
         .drop("__eo_sa", "__eo_sb", "__eo_k")
     }
     // triangle cells meet a pair once per bucket; with emit-once a pair
-    // also survives only ONE bucket, so the output is already duplicate
-    // free and the distinct shuffle is unnecessary
-    if (emitOnce.isDefined) emitted else emitted.distinct()
+    // also survives only ONE bucket — and with single-bucket membership
+    // it only HAS one bucket — so in both cases the output is already
+    // duplicate free and the distinct shuffle is unnecessary
+    if (emitOnce.isDefined || uniqueMembership) emitted else emitted.distinct()
   }
 }

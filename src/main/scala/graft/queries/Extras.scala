@@ -243,13 +243,30 @@ object Extras {
     * stays at the candidate budget, exactly the ann_ivf story. */
   val llmSemdedup: Q = (s, d) => {
     val v = bucketed(s, d)
-    val a = v.select(col("vec_id"), col("e").as("ea"), col("nrm").as("na"), col("bkt"))
-    val b = v.select(col("vec_id").as("vid_b"), col("e").as("eb"), col("nrm").as("nb"),
-                     col("bkt"))
-    val dups = a.join(b, Seq("bkt")).where(col("vid_b") < col("vec_id"))
-      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+    // pair generation routed through ShardedSelfJoin (VERDICT r8 #4):
+    // the within-cell quadratic IS the SemDeDup design, but a DEGENERATE
+    // cell (a web corpus's boilerplate embeddings all landing
+    // near-parallel in one cell) is precisely the hot-bucket case the
+    // triangle sharding exists for — per-task join input bounded at the
+    // shard threshold, pair SET identical to the naive cell self-join
+    // (SkewSpec pins it). Cell membership is unique per vector (a
+    // partitioning quantizer), so pairs are duplicate-free by
+    // construction: no emit-once scan, no distinct shuffle
+    // (uniqueMembership).
+    val prs = graft.ops.ShardedSelfJoin.pairs(
+      v.select(col("vec_id").as("doc_id"), col("e"), col("nrm"), col("bkt")),
+      keys = Seq("bkt"),
+      threshold = graft.ops.ShardedSelfJoin.confThreshold(s),
+      carry = Seq("e", "nrm"),
+      uniqueMembership = true)
+    // pairs normalizes doc_a < doc_b, so the HIGHER id (doc_b) is the
+    // potential duplicate and doc_a its lower-id witness — the same
+    // (vid_b < vec_id) orientation as the pre-r9 direct join
+    val dups = prs
+      .withColumn("cos",
+        r4(expr("graft_dot(e_a, e_b)") / (col("nrm_a") * col("nrm_b"))))
       .where(col("cos") >= 0.35)
-      .groupBy("vec_id").agg(min("vid_b").as("dup_of"))
+      .groupBy(col("doc_b").as("vec_id")).agg(min("doc_a").as("dup_of"))
     v.select(col("vec_id"), col("bkt").cast("int").as("bkt"))
       .join(dups, Seq("vec_id"), "left")
       .withColumn("keep", col("dup_of").isNull.cast("long"))

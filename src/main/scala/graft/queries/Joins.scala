@@ -199,21 +199,26 @@ object Joins {
     // a FIXED per-(session, dataset) external location + overwrite, not
     // a fresh temp dir per call — the bench runs this 4×/round and an
     // unbounded createTempDirectory would strand a projected fact-table
-    // copy per invocation (dq_manifest discipline; review r8)
+    // copy per invocation (dq_manifest discipline; review r8). The
+    // CATALOG names carry the same dataset key as the location (ADVICE
+    // r8): session-global fixed names would let interleaved invocations
+    // for two datasets in one session race on DROP TABLE/saveAsTable —
+    // one call's delivered frame dropped out from under the other's
+    // not-yet-executed join.
     val dKey = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bkt_${s.sparkContext.applicationId}_$dKey").toString
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/lineitem.parquet", "graft_bkt_lineitem", "l_orderkey", 8,
+      s, s"$d/lineitem.parquet", s"graft_bkt_lineitem_$dKey", "l_orderkey", 8,
       location = Some(s"$tmp/lineitem"),
       columns = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/orders.parquet", "graft_bkt_orders", "o_orderkey", 8,
+      s, s"$d/orders.parquet", s"graft_bkt_orders_$dKey", "o_orderkey", 8,
       location = Some(s"$tmp/orders"),
       columns = Seq("o_orderkey", "o_orderstatus"))
-    s.table("graft_bkt_lineitem")
-      .join(s.table("graft_bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+    s.table(s"graft_bkt_lineitem_$dKey")
+      .join(s.table(s"graft_bkt_orders_$dKey"), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_lines"),
         r4(sum("l_quantity")).as("sum_qty"),

@@ -126,7 +126,11 @@ object Llm {
       // unchanged: token selection (and its df tie-break) still happens
       // on real tokens, a 64-bit collision can only MERGE two blocks
       // (candidate superset), and exact scoring + the θ filter decide
-      // membership — so the string-blocking oracle SQL stays valid
+      // membership. (The SCORING side's own collision exposure — two
+      // different tokens of one pair's union colliding inside the
+      // interned |∩| count — is the separate, also-bounded case argued
+      // at the `sets` interning site below: P ≈ Σ|sa|·|sb|/2^64 ≈ 6e-11
+      // corpus-wide at sf0.1.) So the string-blocking oracle SQL stays valid
       // (JaccardRecallSpec re-pins recall 1.0). btok_set: hashed keys
       // sorted + deduped (array_distinct keeps sort order; the dedup
       // also keeps the emit-once duplicate-free contract airtight under

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Det._
@@ -14,6 +13,24 @@ import graft.ops.Det._
   * only the temp paths become cluster URIs.
   */
 object Scans {
+
+  /** Fixed per-(session, dataset, tag) scratch directory for the
+    * roundtrip queries. A fresh `createTempDirectory` per invocation
+    * strands one table copy per call (4 bench passes/round + Verify +
+    * tests — review r8 fixed join_bucketed/dq_manifest/source_binary,
+    * this back-ports the same discipline, VERDICT r8 #3); a FIXED dir
+    * plus `mode("overwrite")` bounds the footprint to one copy per
+    * (session, dataset) and the overwrite delete guarantees no stale
+    * file from a larger prior corpus survives into the read-back. */
+  private[queries] def scratchDir(s: org.apache.spark.sql.SparkSession,
+                                  d: String, tag: String): String = {
+    val dKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${s.sparkContext.applicationId}_$dKey")
+    dir.mkdirs()
+    dir.toString
+  }
 
   /** scan_parquet — full vectorized scan of lineitem, totally ordered.
     * Raw columns only (no arithmetic) so doubles are bit-identical to the
@@ -35,7 +52,7 @@ object Scans {
     * then aggregate; oracle aggregates the original table, so the roundtrip
     * must be lossless to match. */
   val sinkParquet: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_sink").toString
+    val tmp = scratchDir(s, d, "sink")
     Tables.lineitem(s, d).write.mode("overwrite").parquet(s"$tmp/lineitem")
     s.read.parquet(s"$tmp/lineitem")
       .groupBy("l_returnflag")
@@ -48,7 +65,7 @@ object Scans {
     * Roundtrip: parquet → csv → explicit-schema read → aggregate. Java's
     * shortest-roundtrip double formatting makes the hop lossless. */
   val sourceCsv: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_csv").toString
+    val tmp = scratchDir(s, d, "csv")
     Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").option("header", "true").csv(s"$tmp/orders")
@@ -61,7 +78,7 @@ object Scans {
 
   /** source_json — same shape over JSON-lines with explicit schema. */
   val sourceJson: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_json").toString
+    val tmp = scratchDir(s, d, "json")
     Tables.events(s, d)
       .select("event_id", "user_id", "event_type", "value")
       .write.mode("overwrite").json(s"$tmp/events")
@@ -77,7 +94,7 @@ object Scans {
     * later partition pruning free; here the read-back aggregate proves the
     * copy was lossless. */
   val copyPartitioned: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_copy").toString
+    val tmp = scratchDir(s, d, "copy")
     Tables.lineitem(s, d)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$tmp/li")
     s.read.parquet(s"$tmp/li")
@@ -91,7 +108,7 @@ object Scans {
     * oracle aggregates the original parquet — the roundtrip must be
     * lossless to match, same upgrade as source_csv/source_json). */
   val sourceOrc: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_orc").toString
+    val tmp = scratchDir(s, d, "orc")
     Tables.part(s, d).write.mode("overwrite").orc(s"$tmp/part")
     s.read.orc(s"$tmp/part")
       .groupBy("p_type")
@@ -109,7 +126,7 @@ object Scans {
     * as source_csv/orc. Scale: the text source splits by line across
     * executors like every Hadoop FileSystem format. */
   val sourceText: Q = (s, d) => {
-    val tmp = Files.createTempDirectory("graft_text").toString
+    val tmp = scratchDir(s, d, "text")
     Tables.documents(s, d)
       .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
       .write.mode("overwrite").text(s"$tmp/docs")
@@ -143,24 +160,26 @@ object Scans {
   val sourceBinary: Q = (s, d) => {
     // fixed per-(session, dataset) dir, swept at ENTRY: a fresh temp dir
     // per call would strand one file-per-doc payload copy per invocation
-    // (4 bench passes/round + Verify/tests — review r8); sweeping before
-    // the write also guarantees no stale .bin from a larger prior corpus
-    // survives into the census. The returned frame reads the path
-    // LAZILY, so the sweep must never run at the END of this function.
-    val dKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bin_${s.sparkContext.applicationId}_$dKey")
-    if (dir.exists) dir.listFiles.foreach(_.delete())
-    dir.mkdirs()
+    // (4 bench passes/round + Verify/tests — review r8); this sink is
+    // one-file-per-doc (no mode("overwrite") dir semantics), so unlike
+    // the scratchDir queries it needs the explicit sweep to guarantee no
+    // stale .bin from a larger prior corpus survives into the census.
+    // The returned frame reads the path LAZILY, so the sweep must never
+    // run at the END of this function.
+    val dir = new java.io.File(scratchDir(s, d, "bin"))
+    dir.listFiles.foreach(_.delete())
     val tmp = dir.toString
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
         it.foreach { r =>
+          // null text is in-domain (the collapse path builds null-text
+          // docs): deliver it as a zero-byte object instead of NPE-ing
+          // the writer; the oracle mirrors with coalesce(strlen,0)
+          val bytes = r.getAs[Array[Byte]](1)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
-            r.getAs[Array[Byte]](1))
+            if (bytes == null) Array.empty[Byte] else bytes)
         }
       }
     // pathGlobFilter, not a glob path: a glob that matches zero files
@@ -198,8 +217,8 @@ object Scans {
     "source_binary" ->
       """SELECT ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 + 1 AS INT)] AS mime,
         | count(*) AS n_assets,
-        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
-        | CAST(max(strlen(text)) AS BIGINT) AS max_bytes,
+        | CAST(sum(coalesce(strlen(text), 0)) AS BIGINT) AS total_bytes,
+        | CAST(max(coalesce(strlen(text), 0)) AS BIGINT) AS max_bytes,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY mime ORDER BY mime""".stripMargin,
     "source_text" ->

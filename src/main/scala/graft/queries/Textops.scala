@@ -192,12 +192,21 @@ object Textops {
     // shingle identity interned to xxhash64 for the join/df-cap/count
     // stages (round 8, the jaccard-family interning move): the 32-char
     // md5 strings become longs through the test⋈train join, the anti-
-    // join and both countDistincts; a collision merges two shingles
-    // (P ≈ 6e-11 corpus-wide, the documented interning trade)
+    // join and both countDistincts. Unlike the jaccard family — where a
+    // collision only widens a CANDIDATE set that exact scoring then
+    // filters — here the hash IS the counted identity, so a collision
+    // would silently perturb n_shared/n_train_docs and which shingles
+    // the df-cap drops (P ≈ 6e-11 corpus-wide). For audit runs that need
+    // the zero-collision guarantee, spark.graft.contamination.intern=
+    // false falls back to the raw shingle strings — byte-identical
+    // semantics to the oracle SQL, at string-key join cost (the escape-
+    // hatch discipline of spark.graft.pairs.rarityEmitOnce; ADVICE r8).
+    val intern = s.conf.get("spark.graft.contamination.intern", "true").toBoolean
+    val shgKey = (c: org.apache.spark.sql.Column) => if (intern) xxhash64(c) else c
     val trainAll = sh.where(col("part") === "train")
-      .select(col("doc_id").as("train_doc"), xxhash64(col("shg")).as("shg"))
+      .select(col("doc_id").as("train_doc"), shgKey(col("shg")).as("shg"))
     val test = sh.where(col("part") === "test")
-      .select(col("doc_id").as("test_doc"), xxhash64(col("shg")).as("shg"))
+      .select(col("doc_id").as("test_doc"), shgKey(col("shg")).as("shg"))
     // df-cap: drop boilerplate shingles (train-df > maxDf) before the
     // join. The dropped set is small by construction (each member has
     // > maxDf occurrences, so there are < |train|/maxDf of them) — no

@@ -102,4 +102,14 @@ class ContaminationSpec extends AnyFunSuite with Matchers with SparkFixture {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("intern=false audit path (raw string shingles) is output-identical to the interned default") {
+    val (dir, _, _) = corpus
+    val interned = queries.Textops.llmContamination(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.contamination.intern", "false")
+    try {
+      val raw = queries.Textops.llmContamination(spark, dir).collect().toSeq
+      raw should contain theSameElementsInOrderAs interned
+    } finally spark.conf.unset("spark.graft.contamination.intern")
+  }
 }

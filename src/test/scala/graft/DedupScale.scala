@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev aid (round 9, VERDICT r8 #1/#2): MEASURE the heavy dedup
+  * family's scaling on a dup-heavy corpus instead of asserting it.
+  *
+  * StressGen.documentsDup synthesizes an m×-larger documents table with
+  * bounded duplicate structure (exact clusters of 2–5, near-dup and
+  * distinct replicas — see its scaladoc): total near-dup pairs grow
+  * LINEARLY in corpus size by construction, so any super-linear runtime
+  * curve here indicts a pipeline stage, not the data. For each
+  * multiplier the five heavy queries run hermetically (cache + persist
+  * sweep between timed runs, min over SPARK_GRAFT_ITERS passes), then
+  * llm_dedup_cluster re-runs with spark.graft.dedup.collapseExact=true
+  * for the A/B the knob has never had on a corpus where duplicates
+  * actually exist (CollapseSpec pins its CORRECTNESS; this measures its
+  * value). Results land in BASELINE.md as the round-9 scaling row.
+  *
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "Test/runMain graft.DedupScale 1 10 30"`
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.jaccard.setRepr", "array")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    def timed(fn: => DataFrame): (Double, Long) = {
+      val runs = (1 to iters).map { _ =>
+        sweep()
+        val t0 = System.nanoTime()
+        val n = fn.queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+
+    val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "llm_exact_dedup" -> queries.Llm.llmExactDedup,
+      "llm_jaccard_pairs" -> queries.Llm.llmJaccardPairs,
+      "llm_pair_table" -> queries.Llm.llmPairTable,
+      "llm_minhash" -> queries.Sketches.llmMinhash,
+      "llm_dedup_cluster" -> queries.Extras.llmDedupCluster,
+      "llm_cluster_sizes" -> queries.Extras.llmClusterSizes)
+
+    // warmup: JIT + codegen on the pristine fixture
+    queries.Llm.llmExactDedup(spark, src).queryExecution.toRdd.count()
+
+    val results = scala.collection.mutable.Map[(String, Int), Double]()
+    for (m <- mults) {
+      val dir =
+        if (m == 1) src
+        else {
+          val d = s"${sys.props("java.io.tmpdir")}/graft_dedup_x$m"
+          graft.tools.StressGen.documentsDup(spark, src, d, m)
+          d
+        }
+      for ((name, q) <- ops) {
+        val (sec, rows) = timed(q(spark, dir))
+        results((name, m)) = sec
+        println(f"x$m%-3d $name%-20s $sec%8.2f s  rows=$rows")
+      }
+      // collapseExact A/B on the corpus where duplicates actually exist
+      spark.conf.set("spark.graft.dedup.collapseExact", "true")
+      try {
+        val (sec, rows) = timed(queries.Extras.llmDedupCluster(spark, dir))
+        results((s"dedup_cluster[collapse]", m)) = sec
+        println(f"x$m%-3d dedup_cluster[collapse] $sec%6.2f s  rows=$rows  " +
+          f"(off=${results(("llm_dedup_cluster", m))}%.2f s)")
+      } finally spark.conf.unset("spark.graft.dedup.collapseExact")
+    }
+    // fitted per-step scaling exponents: e = ln(t2/t1) / ln(m2/m1);
+    // e ≈ 1 is linear, e > 1.2 flags the stage for the fix list
+    for ((name, _) <- ops :+ ("dedup_cluster[collapse]" ->
+           null.asInstanceOf[(SparkSession, String) => DataFrame]);
+         Seq(m1, m2) <- mults.sliding(2)) {
+      (results.get((name, m1)), results.get((name, m2))) match {
+        case (Some(t1), Some(t2)) if t1 > 0 =>
+          val e = math.log(t2 / t1) / math.log(m2.toDouble / m1)
+          println(f"exponent $name%-24s x$m1->x$m2: $e%5.2f  (${t1}%.2f -> ${t2}%.2f s)")
+        case _ =>
+      }
+    }
+    spark.stop()
+  }
+}

@@ -317,6 +317,41 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.sql("DROP TABLE IF EXISTS dlv_orders_b")
   }
 
+  test("copyBucketed fails before destroying on bad columns/bucketCol; rejects qualified names") {
+    try {
+      // a good delivery to protect
+      graft.delivery.Deliver.copyBucketed(
+        spark, s"$sfDir/orders.parquet", "dlv_fbd", "o_orderkey", 2,
+        columns = Seq("o_orderkey", "o_orderstatus"))
+      val before = spark.table("dlv_fbd").count()
+      before should be > 0L
+      // misspelled projection column: must throw at ANALYSIS, with the
+      // previous delivery intact (ADVICE r8 — the projection/repartition
+      // used to analyze only after the DROP + warehouse sweep)
+      an[org.apache.spark.sql.AnalysisException] should be thrownBy
+        graft.delivery.Deliver.copyBucketed(
+          spark, s"$sfDir/orders.parquet", "dlv_fbd", "o_orderkey", 2,
+          columns = Seq("o_orderkey", "o_orderstatusX"))
+      spark.table("dlv_fbd").count() shouldBe before
+      // bucketCol absent from the projection: same fail-before-destroy.
+      // This one needs the explicit require — the analyzer's
+      // missing-reference courtesy resolves the repartition column from
+      // the un-projected source, deferring the AnalysisException to the
+      // bucketed WRITER (i.e. after the drop) without it
+      an[IllegalArgumentException] should be thrownBy
+        graft.delivery.Deliver.copyBucketed(
+          spark, s"$sfDir/orders.parquet", "dlv_fbd", "o_orderkey", 2,
+          columns = Seq("o_orderstatus"))
+      spark.table("dlv_fbd").count() shouldBe before
+      // qualified names would be swept at the wrong warehouse path —
+      // rejected up front (ADVICE r8)
+      an[IllegalArgumentException] should be thrownBy
+        graft.delivery.Deliver.copyBucketed(
+          spark, s"$sfDir/orders.parquet", "somedb.dlv_fbd", "o_orderkey", 2)
+      spark.table("dlv_fbd").count() shouldBe before
+    } finally spark.sql("DROP TABLE IF EXISTS dlv_fbd")
+  }
+
   test("DeliverMain CLI: parquet→csv with schema read-back verifies; bad flag rejected") {
     val tmp = Files.createTempDirectory("dlv").toString
     spark.read.parquet(s"$sfDir/orders.parquet")

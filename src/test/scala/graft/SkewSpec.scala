@@ -137,6 +137,24 @@ class SkewSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("llm_semdedup's within-cell join is skew-safe: tiny shard threshold leaves output unchanged") {
+    // The SemDeDup cell self-join routes through ShardedSelfJoin with
+    // uniqueMembership (one IVF cell per vector → pairs duplicate-free
+    // with neither emit-once nor distinct). A threshold of 8 forces
+    // sharding on every fixture cell bigger than 8 vectors (all 8 cells
+    // of the sf0.001 500-vector corpus qualify) — the full keep/dup_of
+    // report must be byte-identical to the unsharded run, proving the
+    // triangle decomposition neither drops nor duplicates a
+    // lower-id-witness pair (VERDICT r8 #4).
+    val key = "spark.graft.lsh.shardThreshold"
+    val base = queries.Extras.llmSemdedup(spark, sfDir).collect()
+    base.length should be > 0
+    spark.conf.set(key, "8")
+    try {
+      queries.Extras.llmSemdedup(spark, sfDir).collect() should equal(base)
+    } finally spark.conf.unset(key)
+  }
+
   test("GraftExtensions injects without error; graft_dot evaluates via SQL") {
     // applying the extensions to a fresh SparkSessionExtensions must
     // register both builders without throwing
