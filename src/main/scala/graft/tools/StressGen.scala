@@ -19,44 +19,48 @@ import org.apache.spark.sql.functions._
 object StressGen {
   private val OFF = 100000000L
 
-  /** Dup-heavy documents replication: k× the corpus, one row per
-    * (original doc, replica i ∈ [0, k)), with replica text classed
-    * deterministically per (doc, i):
+  /** Dup-heavy documents replication: k× the corpus as ⌈k/5⌉ mutually
+    * token-disjoint COHORTS of (up to) 5 replicas each. Replica
+    * i ∈ [0, k) belongs to cohort g = i/5 with role r = i%5; within a
+    * cohort every replica's tokens carry the cohort suffix (cohort 0
+    * keeps the pristine text), so cohorts share zero vocabulary —
+    * cross-cohort Jaccard is 0 — while INSIDE a cohort each doc heads a
+    * controlled duplicate cluster, deterministic per doc via
+    * c(doc) = 2 + (xxhash64(doc_id) mod 4) ∈ [2, 5]:
     *
-    *   - replica 0               the original text;
-    *   - i < c(doc) − 1          EXACT duplicate (text unchanged), where
-    *                             c(doc) = 2 + (xxhash64(doc_id) mod 4) ∈
-    *                             [2, 5] — every doc heads an exact-dup
-    *                             cluster of min(k, c) members, the
-    *                             "duplicate factor 2-5×" of a scraped
-    *                             corpus, and cluster size stays BOUNDED
-    *                             as k grows (naive cloning would make
-    *                             every cluster k-wide, turning the
-    *                             candidate space quadratic in k by
-    *                             construction rather than by defect);
-    *   - else (doc_id + i) ≡ 0 (mod 3)   NEAR duplicate — one replica-
-    *                             unique token appended, token-set
-    *                             Jaccard n/(n+1) ≈ 0.96 ≥ the 0.8
-    *                             near-dup floor;
-    *   - else                    DISTINCT — every token suffixed with
-    *                             the replica index, Jaccard 0 against
-    *                             every other replica class.
+    *   - r < c            EXACT duplicates (cohort text unchanged) — an
+    *                      exact cluster of c ∈ [2, 5] members, the
+    *                      duplicate factor 2-5× of a scraped corpus;
+    *   - r == c (c < 5)   ONE near duplicate: a cohort-unique token
+    *                      appended, token-set Jaccard n/(n+1) ≈ 0.96 ≥
+    *                      the 0.8 near-dup floor against the cluster;
+    *   - r > c            DISTINCT: every token additionally suffixed
+    *                      with the replica index — Jaccard 0 against
+    *                      every other replica class.
     *
-    * Per-doc pair counts are therefore bounded by small constants
-    * (exact ≤ C(5,2), near ≤ C(⌈k/3⌉,2) at fixed k) — TOTAL near-dup
-    * pairs grow LINEARLY in corpus size, so a super-linear runtime
-    * curve in DedupScale indicts the implementation, not the data. */
+    * The cohort decomposition is what makes the MEASUREMENT mean
+    * something: duplicate-cluster sizes, per-doc near-pair counts and
+    * the base corpus's own intra-cohort near-dup structure are all
+    * k-independent (only cohort COUNT grows), so total near-dup pairs
+    * grow LINEARLY in corpus size by construction — a super-linear
+    * runtime curve in DedupScale indicts a pipeline stage, not the
+    * data. (A naive k× clone instead grows every cluster k-wide —
+    * quadratic pair counts baked into the corpus.) Exact-dup share is
+    * c̄/5 = 70% of rows at any k ≥ 5: heavy enough that the
+    * collapseExact A/B measures the knob where it matters. */
   def documentsDup(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     val base = spark.read.parquet(s"$src/documents.parquet")
     val out = (0 until k).map { i =>
+      val g = i / 5; val r = i % 5
       val c = pmod(xxhash64(col("doc_id")), lit(4)) + lit(2) // 2..5
+      val cohortSql =
+        if (g == 0) "text"
+        else s"array_join(transform(split(text, ' '), t -> concat(t, '_g$g')), ' ')"
       val text =
-        if (i == 0) col("text")
-        else when(lit(i) < c - 1, col("text"))
-          .when(pmod(col("doc_id") + lit(i), lit(3)) === 0,
-            concat(col("text"), lit(s" pert$i")))
+        when(lit(r) < c, expr(cohortSql))
+          .when(lit(r) === c, concat(expr(cohortSql), lit(s" pert_g$g")))
           .otherwise(expr(
-            s"array_join(transform(split(text, ' '), t -> concat(t, '_r$i')), ' ')"))
+            s"array_join(transform(split($cohortSql, ' '), t -> concat(t, '_x$i')), ' ')"))
       base.select(
         (col("doc_id") + lit(i * OFF)).as("doc_id"),
         text.as("text"),
@@ -64,7 +68,7 @@ object StressGen {
         length(text).cast(base.schema("n_chars").dataType).as("n_chars"))
     }.reduce(_ union _)
     out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    println(s"stress: documents x$k (dup-heavy) -> ${out.count()} rows")
+    println(s"stress: documents x$k (dup-heavy, ${(k + 4) / 5} cohorts) -> ${out.count()} rows")
   }
 
   def main(args: Array[String]): Unit = {

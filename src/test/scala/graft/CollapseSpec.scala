@@ -5,10 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 /** Exact-dedup-first collapse (`spark.graft.dedup.collapseExact`,
-  * VERDICT r7 #1b): on a DUP-HEAVY corpus — the case the knob exists
-  * for — clustering over (lang, sha2)-group representatives with
-  * expansion must be row-identical to clustering the raw corpus, for
-  * both cc algorithms. The synthetic fixture can't pin this (4992/5000
+  * VERDICT r7 #1b; DEFAULT since round 9 — DedupScale measured it 1.9×
+  * on the ×30 dup-heavy stress corpus): on a DUP-HEAVY corpus — the
+  * case the knob exists for — clustering over (lang, sha2)-group
+  * representatives with expansion must be row-identical to clustering
+  * the raw corpus, for both cc algorithms (each identity test pins its
+  * baseline to collapse=false explicitly). The synthetic fixture can't pin this (4992/5000
   * distinct texts), so the spec builds one: every third doc gets two
   * byte-identical extra copies (dup factor 3 on a third of the corpus),
   * plus one identical-text pair under DIFFERENT langs to pin that the
@@ -47,7 +49,13 @@ class CollapseSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("collapseExact cluster assignment is identical on a dup-heavy corpus (lss)") {
-    val base = queries.Extras.llmDedupCluster(spark, dupDir).collect()
+    // base pinned to the UNCOLLAPSED path explicitly — collapse is the
+    // default since round 9, so an unset baseline would compare the
+    // collapsed path to itself
+    var base: Array[org.apache.spark.sql.Row] = null
+    withConfs("spark.graft.dedup.collapseExact" -> "false") {
+      base = queries.Extras.llmDedupCluster(spark, dupDir).collect()
+    }
     base.length should be > 0
     withConfs("spark.graft.dedup.collapseExact" -> "true") {
       queries.Extras.llmDedupCluster(spark, dupDir).collect() should equal(base)
@@ -56,7 +64,10 @@ class CollapseSpec extends AnyFunSuite with Matchers with SparkFixture {
 
   test("collapseExact cluster assignment is identical on a dup-heavy corpus (minlabel)") {
     withConfs("spark.graft.cc.algo" -> "minlabel") {
-      val base = queries.Extras.llmDedupCluster(spark, dupDir).collect()
+      var base: Array[org.apache.spark.sql.Row] = null
+      withConfs("spark.graft.dedup.collapseExact" -> "false") {
+        base = queries.Extras.llmDedupCluster(spark, dupDir).collect()
+      }
       withConfs("spark.graft.dedup.collapseExact" -> "true") {
         queries.Extras.llmDedupCluster(spark, dupDir).collect() should equal(base)
       }

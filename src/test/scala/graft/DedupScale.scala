@@ -24,8 +24,14 @@ object DedupScale {
     val mults = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 10, 30)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt)
+    // SPARK_GRAFT_SHUFFLE overrides the partition count: a real cluster
+    // scales partitions with data (partitions ≈ data / target-split),
+    // while pinning them at 32 as the corpus grows 30× conflates "work
+    // grew" with "a 32nd of the shuffle stopped fitting in memory" —
+    // the override separates the two in the scaling record
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.graft.jaccard.setRepr", "array")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -46,13 +52,19 @@ object DedupScale {
       (runs.map(_._1).min, runs.head._2)
     }
 
+    // SPARK_GRAFT_ONLY=q1,q2 measures a subset; SPARK_GRAFT_REUSE=1
+    // skips regenerating a stress corpus whose _SUCCESS already exists —
+    // together they make long x30 sessions restartable per query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
     val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "llm_exact_dedup" -> queries.Llm.llmExactDedup,
       "llm_jaccard_pairs" -> queries.Llm.llmJaccardPairs,
       "llm_pair_table" -> queries.Llm.llmPairTable,
       "llm_minhash" -> queries.Sketches.llmMinhash,
       "llm_dedup_cluster" -> queries.Extras.llmDedupCluster,
-      "llm_cluster_sizes" -> queries.Extras.llmClusterSizes)
+      "llm_cluster_sizes" -> queries.Extras.llmClusterSizes
+    ).filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warmup: JIT + codegen on the pristine fixture
     queries.Llm.llmExactDedup(spark, src).queryExecution.toRdd.count()
@@ -63,7 +75,8 @@ object DedupScale {
         if (m == 1) src
         else {
           val d = s"${sys.props("java.io.tmpdir")}/graft_dedup_x$m"
-          graft.tools.StressGen.documentsDup(spark, src, d, m)
+          if (!(reuse && new java.io.File(s"$d/documents.parquet/_SUCCESS").exists))
+            graft.tools.StressGen.documentsDup(spark, src, d, m)
           d
         }
       for ((name, q) <- ops) {
@@ -72,13 +85,15 @@ object DedupScale {
         println(f"x$m%-3d $name%-20s $sec%8.2f s  rows=$rows")
       }
       // collapseExact A/B on the corpus where duplicates actually exist
-      spark.conf.set("spark.graft.dedup.collapseExact", "true")
-      try {
-        val (sec, rows) = timed(queries.Extras.llmDedupCluster(spark, dir))
-        results((s"dedup_cluster[collapse]", m)) = sec
-        println(f"x$m%-3d dedup_cluster[collapse] $sec%6.2f s  rows=$rows  " +
-          f"(off=${results(("llm_dedup_cluster", m))}%.2f s)")
-      } finally spark.conf.unset("spark.graft.dedup.collapseExact")
+      if (only.forall(_.contains("llm_dedup_cluster"))) {
+        spark.conf.set("spark.graft.dedup.collapseExact", "true")
+        try {
+          val (sec, rows) = timed(queries.Extras.llmDedupCluster(spark, dir))
+          results((s"dedup_cluster[collapse]", m)) = sec
+          println(f"x$m%-3d dedup_cluster[collapse] $sec%6.2f s  rows=$rows  " +
+            f"(off=${results.getOrElse(("llm_dedup_cluster", m), Double.NaN)}%.2f s)")
+        } finally spark.conf.unset("spark.graft.dedup.collapseExact")
+      }
     }
     // fitted per-step scaling exponents: e = ln(t2/t1) / ln(m2/m1);
     // e ≈ 1 is linear, e > 1.2 flags the stage for the fix list
