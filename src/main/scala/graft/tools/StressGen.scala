@@ -71,6 +71,36 @@ object StressGen {
     println(s"stress: documents x$k (dup-heavy, ${(k + 4) / 5} cohorts) -> ${out.count()} rows")
   }
 
+  /** Replicate one table `times`× with the `shifted` key columns offset
+    * per copy (FKs to unreplicated dimensions stay valid; co-shifted
+    * key pairs — l_orderkey/o_orderkey — stay joined). */
+  def replicate(spark: SparkSession, src: String, dst: String,
+                name: String, times: Int, shifted: Seq[String]): Unit = {
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    val out = (0 until times).map { i =>
+      shifted.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * OFF)))
+    }.reduce(_ union _)
+    out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    println(s"stress: $name x$times -> ${out.count()} rows")
+  }
+
+  /** Core-engine replication for CoreScale (round 9): the relational
+    * tables k× with ALL entity keys shifted — orders/lineitem co-shift
+    * the order key (the join stays k-partite), events shift event_id
+    * AND user_id so each copy is an independent user population (same
+    * per-user history ⇒ per-key work constant, key COUNT grows — the
+    * linear-by-construction analogue of documentsDup's cohorts; the
+    * legacy main keeps user_id fixed, which multiplies per-user window
+    * depth instead — a different, also-interesting stress). Dimensions
+    * copy once. */
+  def coreStress(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(replicate(spark, src, dst, _, 1, Nil))
+    replicate(spark, src, dst, "orders", k, Seq("o_orderkey"))
+    replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey"))
+    replicate(spark, src, dst, "events", k, Seq("event_id", "user_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt
     val kDocsArg = args.lift(3).getOrElse("3")
@@ -84,25 +114,16 @@ object StressGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(name: String, times: Int, shifted: Seq[String]): Unit = {
-      val base = spark.read.parquet(s"$src/$name.parquet")
-      val out = (0 until times).map { i =>
-        shifted.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * OFF)))
-      }.reduce(_ union _)
-      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"stress: $name x$times -> ${out.count()} rows")
-    }
-
     Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(replicate(_, 1, Nil))
-    replicate("orders", k, Seq("o_orderkey"))
-    replicate("lineitem", k, Seq("l_orderkey"))
-    replicate("events", k, Seq("event_id"))
+      .foreach(replicate(spark, src, dst, _, 1, Nil))
+    replicate(spark, src, dst, "orders", k, Seq("o_orderkey"))
+    replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey"))
+    replicate(spark, src, dst, "events", k, Seq("event_id"))
     if (kDocsArg.startsWith("dup:"))
       documentsDup(spark, src, dst, kDocsArg.stripPrefix("dup:").toInt)
     else
-      replicate("documents", kDocsArg.toInt, Seq("doc_id"))
-    replicate("embeddings", kEmb, Seq("vec_id"))
+      replicate(spark, src, dst, "documents", kDocsArg.toInt, Seq("doc_id"))
+    replicate(spark, src, dst, "embeddings", kEmb, Seq("vec_id"))
     spark.stop()
   }
 }
