@@ -49,5 +49,8 @@ object GraftExtensions {
     ("graft_emit_once",
       new ExpressionInfo(classOf[EmitOnceMin].getName, "graft_emit_once"),
       exprs => EmitOnceMin(exprs(0), exprs(1), exprs(2))),
+    ("graft_cms_est",
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_est"),
+      exprs => CmsEstimate(exprs(0), exprs(1))),
   )
 }

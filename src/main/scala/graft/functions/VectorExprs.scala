@@ -253,6 +253,49 @@ case class EmitOnceMin(first: Expression, second: Expression, third: Expression)
     })
 }
 
+/** graft_cms_est(sketch, key) — point-frequency estimate from a
+  * serialized Count-Min sketch (the binary `count_min_sketch(...)`
+  * aggregate and CmsMergeAgg produce). COLD-PATH decode by design: it
+  * runs on post-aggregation frames of a few rows per version/probe key
+  * (agg_cms_partial: ≤ versions × probe keys), never inside a per-row
+  * hot loop, so it is a deliberate CodegenFallback — each eval re-reads
+  * the ~eps⁻¹-column sketch, which would be the wrong trade anywhere
+  * whole-stage codegen matters (contrast every expression above). The
+  * estimate path hashes the key's UTF-8 bytes exactly as the SQL
+  * aggregate's addBinary did, so estimates are consistent with how the
+  * sketch was built (SketchSpec's est ≥ exact gate would catch any
+  * divergence loudly — a mismatched hash reads ~0 for present keys). */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_cms_est"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_est expects (binary, string), got ($a, $b)")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    // byte[] dispatch: estimateCountForBinaryItem over the SAME UTF-8
+    // bytes addBinary consumed — symmetric by construction, no
+    // String-vs-UTF8String encoding question at all
+    cms.estimateCount(key.asInstanceOf[UTF8String].getBytes)
+  }
+}
+
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
   * Column from a custom Expression. Idempotent. The function table is

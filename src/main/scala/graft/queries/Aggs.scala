@@ -84,6 +84,50 @@ object Aggs {
     per.unionAll(total).orderBy("version")
   }
 
+  /** agg_cms_partial — MERGEABLE point-frequency sketches across
+    * delivery versions: the Count-Min twin of agg_hll_partial (round
+    * 9). Per version (the same md5 split), Spark's built-in
+    * `count_min_sketch` aggregate persists the version's FREQUENCY
+    * state as a ~50 KB binary; the corpus-wide per-key counts then come
+    * from graft.functions.CmsMergeAgg's sketch union — never
+    * re-scanning the versions — probed here for every o_orderpriority
+    * via the cold-path graft_cms_est decode. This is the heavy-hitters
+    * side of the incremental-delivery pattern at 100 TB: each daily
+    * delivery ships its sketch with the manifest, and "how often does
+    * key X appear across all of history" is a sketch union + O(1)
+    * probe. Exact counts ride beside the estimates so every row
+    * self-diagnoses against the CMS guarantee (est ≥ exact always;
+    * est ≤ exact + eps·N w.p. confidence). No DuckDB oracle (sketch
+    * bytes are engine-specific by declared design, like
+    * agg_hll_partial) — SketchSpec gates both bounds per row and pins
+    * union-estimates == full-scan-sketch estimates. Scale shape: one
+    * corpus scan → ≤versions sketch rows → all later work is on
+    * KB-size state; the probe join broadcasts 3 sketch rows. */
+  val aggCmsPartial: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
+    val cmsMerge = udaf(new graft.functions.CmsMergeAgg)
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6),
+      16, 10).cast("long") % 100
+    val vers = Tables.orders(s, d)
+      .withColumn("version", when(bucket < 80, "v_prev").otherwise("v_new"))
+    // fixed (eps, confidence, seed) literals: mergeability requires
+    // identical sketch geometry, and the declared parameters ARE the
+    // operator contract (eps 0.001 → width 2719, depth 5, ~106 KB)
+    val sk = graft.ops.Lineage.cut(vers.groupBy("version")
+      .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("sk")))
+    val merged = sk.agg(cmsMerge(col("sk")).as("sk"))
+      .select(lit("total_merged").as("version"), col("sk"))
+    val exact = vers.groupBy("version", "o_orderpriority")
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(vers.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("version", lit("total_merged")))
+    exact.join(broadcast(sk.unionAll(merged)), "version")
+      .select(col("version"), col("o_orderpriority").as("priority"),
+        expr("graft_cms_est(sk, o_orderpriority)").as("n_est"), col("n_exact"))
+      .orderBy("version", "priority")
+  }
+
   /** agg_grouping_sets — ((flag,status),(flag),()) in one pass; subtotal
     * rows surfaced via coalesce-to-'ALL' so no output column is null. */
   val aggGroupingSets: Q = (s, d) =>
@@ -172,6 +216,7 @@ object Aggs {
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
+    "agg_cms_partial"     -> aggCmsPartial,
     "agg_grouping_sets"   -> aggGroupingSets,
     "agg_rollup"          -> aggRollup,
     "agg_cube"            -> aggCube,

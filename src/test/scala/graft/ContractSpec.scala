@@ -10,14 +10,14 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
   }
 
-  test("exactly the five declared sketches lack oracle SQL") {
+  test("exactly the six declared sketches lack oracle SQL") {
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe
       Set("agg_approx_distinct", "agg_approx_percentile", "llm_minhash",
-        "llm_simhash", "agg_hll_partial")
+        "llm_simhash", "agg_hll_partial", "agg_cms_partial")
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 138
+    SparkEntry.queries.size shouldBe 139
     SparkEntry.oracleSql.size shouldBe 133
   }
 

@@ -122,4 +122,32 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
       .head().getLong(0)
     rows.find(_.getString(0) == "total_merged").get.getLong(1) shouldBe full
   }
+
+  test("agg_cms_partial: est in [exact, exact + eps*N] per row; union == full-scan sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Aggs.aggCmsPartial(spark, sfDir).collect()
+    // 2 versions + total_merged, 5 priorities each
+    rows.length shouldBe 15
+    val nTotal = Tables.orders(spark, sfDir).count()
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      // the CMS guarantee, both sides: never under, over by at most
+      // eps·N of the sketch's own population (nTotal bounds every
+      // version's N) — with the fixed seed this is deterministic
+      est should be >= exact
+      (est - exact).toDouble should be <= 0.001 * nTotal
+    }
+    // union of the version sketches must estimate exactly what one
+    // full-scan sketch does: CMS union is cell-wise addition, lossless
+    graft.functions.VectorExprs.register(spark)
+    val full = Tables.orders(spark, sfDir)
+      .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("sk"))
+    val fullEst = full.select(explode(lit(Array(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))).as("p"), col("sk"))
+      .select(col("p"), expr("graft_cms_est(sk, p)").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_.getString(0) == "total_merged").foreach { r =>
+      r.getLong(2) shouldBe fullEst(r.getString(1))
+    }
+  }
 }
