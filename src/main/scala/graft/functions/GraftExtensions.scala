@@ -52,5 +52,8 @@ object GraftExtensions {
     ("graft_cms_est",
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_est"),
       exprs => CmsEstimate(exprs(0), exprs(1))),
+    ("graft_bloom_might",
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might"),
+      exprs => BloomMightContain(exprs(0), exprs(1))),
   )
 }

@@ -296,6 +296,42 @@ case class CmsEstimate(left: Expression, right: Expression)
   }
 }
 
+/** graft_bloom_might(sketch, key) — membership probe of a serialized
+  * Bloom filter (BloomBuildAgg/BloomMergeAgg frames). Same cold-path
+  * CodegenFallback posture as graft_cms_est: agg_bloom_partial probes a
+  * FIXED ≤versions×probe-keys row set (each eval re-reads the ~117 KB
+  * bitmap — never put this in a per-corpus-row loop; the
+  * dedup-incremental scale path would instead broadcast ONE
+  * deserialized filter per executor, a different mechanism). false =
+  * definitely absent; true = present or an FP at the declared fpp. */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_might expects (binary, bigint), got ($a, $b)")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+      .mightContainLong(key.asInstanceOf[Long])
+  }
+}
+
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
   * Column from a custom Expression. Idempotent. The function table is

@@ -128,6 +128,54 @@ object Aggs {
       .orderBy("version", "priority")
   }
 
+  /** agg_bloom_partial — MERGEABLE membership sketches across delivery
+    * versions: the Bloom third leg of the versioned-sketch family
+    * (agg_hll_partial = distinct counts, agg_cms_partial =
+    * frequencies). Per version (the same md5 split), BloomBuildAgg
+    * persists the version's o_custkey membership as a ~117 KB bitmap
+    * (100k/1% declared geometry); the all-history filter is
+    * BloomMergeAgg's bitmap OR. The report probes each sketch with 20
+    * DETERMINISTIC keys — custkeys 1–10 (in-domain at every SF) and
+    * −10…−1 (absent by domain: custkeys are positive) — and carries
+    * exact membership beside every probe so rows self-diagnose against
+    * the Bloom guarantee: might ≥ present always (a miss is DEFINITE
+    * absence — the property that lets an incremental dedup skip the
+    * exact anti-join for the Bloom-negative majority at 100 TB), and
+    * absent-key hits are FPs bounded by the declared fpp. No DuckDB
+    * oracle (sketch, like the other two) — SketchSpec gates no-false-
+    * negatives per row, bounds measured FPR at 3× fpp over 10k absent
+    * probes, and pins union-probes == full-scan-filter probes. Scale
+    * shape: one corpus scan → ≤versions bitmap rows → all probing is
+    * on KB-size broadcast state. */
+  val aggBloomPartial: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
+    val bloomBuild = udaf(new graft.functions.BloomBuildAgg)
+    val bloomMerge = udaf(new graft.functions.BloomMergeAgg)
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6),
+      16, 10).cast("long") % 100
+    val vers = Tables.orders(s, d)
+      .withColumn("version", when(bucket < 80, "v_prev").otherwise("v_new"))
+    val sk = graft.ops.Lineage.cut(vers.groupBy("version")
+      .agg(bloomBuild(col("o_custkey")).as("sk")))
+    val all = sk.unionAll(
+      sk.agg(bloomMerge(col("sk")).as("sk"))
+        .select(lit("total_merged").as("version"), col("sk")))
+    val probeKeys = ((1L to 10L) ++ (-10L to -1L)).toArray
+    // exact membership per version; the merged row's truth is the union
+    val exact = vers.select(col("version"), col("o_custkey")).distinct()
+      .unionAll(vers.select(lit("total_merged").as("version"),
+        col("o_custkey")).distinct())
+      .withColumn("present", lit(1L))
+    all.select(col("version"), col("sk"),
+        explode(lit(probeKeys)).as("probe_key"))
+      .join(exact.withColumnRenamed("o_custkey", "probe_key"),
+        Seq("version", "probe_key"), "left")
+      .select(col("version"), col("probe_key"),
+        expr("graft_bloom_might(sk, probe_key)").cast("long").as("might"),
+        coalesce(col("present"), lit(0L)).as("present"))
+      .orderBy("version", "probe_key")
+  }
+
   /** agg_grouping_sets — ((flag,status),(flag),()) in one pass; subtotal
     * rows surfaced via coalesce-to-'ALL' so no output column is null. */
   val aggGroupingSets: Q = (s, d) =>
@@ -217,6 +265,7 @@ object Aggs {
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
     "agg_cms_partial"     -> aggCmsPartial,
+    "agg_bloom_partial"   -> aggBloomPartial,
     "agg_grouping_sets"   -> aggGroupingSets,
     "agg_rollup"          -> aggRollup,
     "agg_cube"            -> aggCube,

@@ -150,4 +150,36 @@ class SketchSpec extends AnyFunSuite with Matchers with SparkFixture {
       r.getLong(2) shouldBe fullEst(r.getString(1))
     }
   }
+
+  test("agg_bloom_partial: no false negatives; measured FPR under 3x fpp; union == full-scan filter") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Aggs.aggBloomPartial(spark, sfDir).collect()
+    // 2 versions + total_merged, 20 probe keys each
+    rows.length shouldBe 60
+    // the Bloom guarantee per row: a present key is NEVER missed
+    rows.foreach { r => r.getLong(2) should be >= r.getLong(3) }
+    // absent-by-domain keys (negative probes) may only hit as FPs —
+    // with 1% fpp and 20 absent probes across 3 filters, more than a
+    // couple of hits means the hashing/geometry broke, not bad luck
+    val absentHits = rows.filter(r => r.getLong(1) < 0).map(_.getLong(2)).sum
+    absentHits.toInt should be <= 2
+    // probe the MERGED filter directly with 10k absent keys for a real
+    // FPR measurement (test-side deserialize once, no per-row decode),
+    // and pin union == full-scan filter on in-domain keys
+    val bloomBuild = udaf(new graft.functions.BloomBuildAgg)
+    val fullBytes = Tables.orders(spark, sfDir)
+      .agg(bloomBuild(col("o_custkey")).as("sk")).head().getAs[Array[Byte]](0)
+    val full = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(fullBytes))
+    val fp = (1 to 10000).count(i => full.mightContainLong(-1000000L - i))
+    fp.toDouble / 10000 should be <= 3 * graft.functions.BloomAggs.Fpp
+    // union-vs-full-scan: identical answers on every probe key
+    rows.filter(_.getString(0) == "total_merged").foreach { r =>
+      r.getLong(2) shouldBe (if (full.mightContainLong(r.getLong(1))) 1L else 0L)
+    }
+    // in-domain probes 1..10 must be genuinely present in the fixture
+    // (otherwise the no-false-negative gate tests nothing)
+    rows.filter(r => r.getString(0) == "total_merged" && r.getLong(1) > 0)
+      .map(_.getLong(3)).sum should be >= 5L
+  }
 }
