@@ -287,6 +287,10 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
+    // the zero-length array is the merge Aggregators' identity (an
+    // empty-corpus version): its population is empty, so every
+    // estimate is 0 — readFrom would EOF on it
+    if (bytes.isEmpty) return 0L
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     // byte[] dispatch: estimateCountForBinaryItem over the SAME UTF-8
@@ -326,6 +330,10 @@ case class BloomMightContain(left: Expression, right: Expression)
 
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
+    // zero-length = the merge identity (empty-corpus version): an
+    // empty population contains nothing — definite absence, and
+    // readFrom would EOF on it
+    if (bytes.isEmpty) return false
     org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
       .mightContainLong(key.asInstanceOf[Long])

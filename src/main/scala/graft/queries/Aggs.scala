@@ -81,6 +81,14 @@ object Aggs {
       .crossJoin(broadcast(
         vers.agg(countDistinct("o_custkey").as("n_exact"))))
       .select(lit("total_merged").as("version"), col("n_est"), col("n_exact"))
+      // an empty corpus has no version sketches to union, but the
+      // global agg still emits one row (union of zero sketches = the
+      // empty sketch, estimate 0) — drop it so empty input yields zero
+      // rows, consistent with the per-version half (no versions → no
+      // rows; round 9, EmptyInputSpec). n_exact = 0 exactly when the
+      // corpus has no keys at all (custkey is non-null), so this never
+      // fires on a non-empty corpus
+      .where(col("n_exact") > 0)
     per.unionAll(total).orderBy("version")
   }
 

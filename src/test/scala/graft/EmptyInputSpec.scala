@@ -51,7 +51,23 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // round-8 additions: the bucketed delivery join, the interval join's
     // empty-both-sides left join, and dsir's empty distribution tables
     "join_bucketed", "ev_interval_join", "llm_dsir", "fn_struct",
-    "source_binary")
+    "source_binary",
+    // round-9 additions: the versioned-sketch trio — empty corpora must
+    // yield zero rows, not an EOF from decoding a zero-length sketch
+    "agg_hll_partial", "agg_cms_partial")
+
+  // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
+  // empty corpus it is 20 well-defined rows (one zero-sketch merged
+  // version, all probes absent), not zero rows like the representative
+  // gate expects
+  test("agg_bloom_partial on an empty corpus: 20 all-absent probes of the zero sketch") {
+    val rows = SparkEntry.queries("agg_bloom_partial")(spark, emptyDir).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      r.getLong(2) shouldBe 0L // might: the zero sketch contains nothing
+      r.getLong(3) shouldBe 0L // present: nothing exists
+    }
+  }
 
   representative.foreach { name =>
     test(s"$name returns an empty result on zero-row inputs without throwing") {
