@@ -38,10 +38,19 @@ object BloomAggs {
 /** Build one version's membership sketch from its raw long keys. The
   * buffer is the live BloomFilter object (kryo-encoded between
   * partials); per-row cost is one putLong — map-side combine works
-  * because bitmap OR is associative and commutative. */
-class BloomBuildAgg extends Aggregator[Long, BloomFilter, Array[Byte]] {
+  * because bitmap OR is associative and commutative.
+  *
+  * Geometry defaults to the agg_bloom_partial declared contract;
+  * callers sizing a filter to a DIFFERENT population (llm_dedup_bloom's
+  * old-corpus filter, which should track the corpus key count at scale)
+  * pass their own — sketches only merge with like geometry, so a
+  * non-default build is for standalone/probe use, never for feeding
+  * BloomMergeAgg beside contract-geometry version sketches. */
+class BloomBuildAgg(expectedItems: Long = BloomAggs.ExpectedItems,
+                    fpp: Double = BloomAggs.Fpp)
+    extends Aggregator[Long, BloomFilter, Array[Byte]] {
   override def zero: BloomFilter =
-    BloomFilter.create(BloomAggs.ExpectedItems, BloomAggs.Fpp)
+    BloomFilter.create(expectedItems, fpp)
   override def reduce(b: BloomFilter, key: Long): BloomFilter = {
     b.putLong(key); b
   }

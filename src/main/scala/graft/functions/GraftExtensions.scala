@@ -55,5 +55,8 @@ object GraftExtensions {
     ("graft_bloom_might",
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_might"),
       exprs => BloomMightContain(exprs(0), exprs(1))),
+    ("graft_bloom_probe",
+      new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
+      exprs => BloomProbe.fromArgs(exprs)),
   )
 }

@@ -340,6 +340,104 @@ case class BloomMightContain(left: Expression, right: Expression)
   }
 }
 
+/** graft_bloom_probe(sketch, key) — the HOT-PATH membership probe the
+  * graft_bloom_might scaladoc points at ("the dedup-incremental scale
+  * path would instead broadcast ONE deserialized filter per executor"):
+  * the sketch side must be FOLDABLE (a literal — the driver-materialized
+  * filter, bounded at the declared geometry size by construction), so
+  * the bitmap is deserialized exactly once per JVM into a transient
+  * lazy val and shipped to executors through the codegen references
+  * array — per corpus row the generated code is one virtual
+  * mightContainLong call inside whole-stage codegen, never a readFrom.
+  * This mirrors how Spark's own runtime bloom-filter join evaluates its
+  * pushed filter (a decode-once reference object over a constant
+  * bloom), re-expressed here over the engine's BloomBuildAgg/
+  * BloomMergeAgg sketch bytes so a delivery-version artifact can feed
+  * it directly. Empty bytes = the merge identity (empty population):
+  * constant false, definite absence. */
+case class BloomProbe(sketch: Array[Byte], child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+  override def nullable: Boolean = sketch == null || child.nullable
+
+  // the bitmap is a CONSTRUCTOR FIELD, not a Literal child: a ~117 KB
+  // binary literal would be hex-printed into every plan/explain string
+  // (and checked byte-wise by every plan transform); as a field it
+  // serializes with the expression exactly once and prints as a size
+  override def toString: String =
+    s"graft_bloom_probe(sketch[${if (sketch == null) "null" else s"${sketch.length}B"}], $child)"
+  override def sql: String = toString
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case a =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_probe expects a bigint key, got $a")
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+
+  // decoded ONCE per JVM; null stands for "empty population" (empty
+  // bytes — the merge Aggregators' identity) so eval never readFroms
+  @transient private lazy val decoded: org.apache.spark.util.sketch.BloomFilter =
+    if (sketch == null || sketch.isEmpty) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (sketch == null) return null // null sketch → null verdict
+    val k = child.eval(input)
+    if (k == null) null
+    else if (decoded == null) false // empty population contains nothing
+    else decoded.mightContainLong(k.asInstanceOf[Long])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode, TrueLiteral}
+    if (sketch == null) {
+      ev.copy(isNull = TrueLiteral, value = JavaCode.defaultLiteral(dataType))
+    } else if (decoded == null) {
+      ev.copy(isNull = FalseLiteral, value = FalseLiteral)
+    } else {
+      // the deserialized filter rides the references array (Spark's
+      // BloomFilterImpl is Serializable — the same mechanism the
+      // built-in runtime-filter probe uses), so executors never decode
+      val bf = ctx.addReferenceObj("graftBloomProbe", decoded,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      val k = child.genCode(ctx)
+      ev.copy(code = code"""
+        |${k.code}
+        |boolean ${ev.isNull} = ${k.isNull};
+        |boolean ${ev.value} = false;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $bf.mightContainLong(${k.value});
+        |}
+        |""".stripMargin)
+    }
+  }
+}
+
+object BloomProbe {
+  /** Registry builder: the sketch argument must be a foldable binary
+    * expression (a literal — the driver-materialized filter); it is
+    * unwrapped to a field here so plans never carry a blob literal.
+    * Per-row sketch COLUMNS are graft_bloom_might's job. */
+  def fromArgs(exprs: Seq[Expression]): Expression = exprs(0) match {
+    case sk if sk.foldable && sk.dataType == org.apache.spark.sql.types.BinaryType =>
+      BloomProbe(sk.eval(null).asInstanceOf[Array[Byte]], exprs(1))
+    case other =>
+      throw new IllegalArgumentException(
+        "graft_bloom_probe requires a FOLDABLE binary sketch (a literal) as " +
+        s"its first argument, got $other — for per-row sketch columns use " +
+        "graft_bloom_might")
+  }
+}
+
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
   * Column from a custom Expression. Idempotent. The function table is

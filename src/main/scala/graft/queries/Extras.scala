@@ -955,6 +955,72 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** llm_dedup_bloom — Bloom-ACCELERATED exact incremental dedup: the
+    * same daily-refresh verdict as llm_dedup_incremental's exact half
+    * (old = md5 bucket < 80, immutable; per new doc dup_exact / keep),
+    * but the new batch is pre-screened against a membership sketch of
+    * the old corpus before any join. A Bloom miss is DEFINITE absence
+    * (exact dup ⇒ equal text ⇒ equal xxhash64 key ⇒ the filter contains
+    * it — no false negatives, the guarantee SketchSpec gates), so the
+    * miss majority takes the no-shuffle fast path; only the might-
+    * contain sliver (true dups + the fpp FPs + xxhash64-collision FPs,
+    * all resolved exactly below) pays the sha256 equi-join. OUTPUT IS
+    * EXACT — the sketch only routes rows, never decides them — which is
+    * why this query keeps a full DuckDB oracle while the sketch family
+    * itself is oracle-exempt.
+    *
+    * Scale shape (the 100 TB refresh): at a ~1% daily-new rate with a
+    * mostly-novel batch, the exact anti-join shuffles the ENTIRE batch
+    * against the historical digest set every day; here the shuffled
+    * side shrinks to dup_rate + fpp of the batch, and the old corpus
+    * contributes one aggregation into a KB–MB bitmap — which in the
+    * versioned-delivery composition is not even a scan but
+    * BloomMergeAgg over the per-version sketches agg_bloom_partial
+    * already ships (bitmap OR, lossless). The filter is materialized on
+    * the driver as ONE bounded row (size fixed by the declared
+    * geometry, independent of corpus rows — same bounded-scalar class
+    * as the convergence probes) and enters the plan as a foldable
+    * literal, so graft_bloom_probe decodes it once per JVM and probes
+    * inside whole-stage codegen; Spark's own runtime bloom-filter join
+    * moves its filter the same way. Geometry: spark.graft.dedup
+    * .bloomItems/.bloomFpp (defaults: the sketch-family contract) —
+    * size items to the OLD corpus key count at scale; over-population
+    * only degrades FPR (more rows re-checked), never correctness. */
+  val llmDedupBloom: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
+    val items = s.conf.get("spark.graft.dedup.bloomItems", "100000").toLong
+    val fpp = s.conf.get("spark.graft.dedup.bloomFpp", "0.01").toDouble
+    def bkt(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 100
+    val docs = Tables.documents(s, d).withColumn("bucket", bkt(col("doc_id")))
+    // null text stays in-domain end-to-end: its key/digest are null, so
+    // it skips the filter build, probes null → fast path, and can never
+    // equi-join — dup_exact 0 on both engines by null semantics
+    val oldDocs = docs.where(col("bucket") < 80)
+    val bloomBuild = udaf(new graft.functions.BloomBuildAgg(items, fpp))
+    val sketch: Array[Byte] = oldDocs
+      .select(xxhash64(col("text")).as("k")).where(col("k").isNotNull)
+      .agg(bloomBuild(col("k")).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val newProbed = graft.ops.Lineage.cut(
+      docs.where(col("bucket") >= 80)
+        .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("h"),
+          coalesce(
+            call_function("graft_bloom_probe", lit(sketch), xxhash64(col("text"))),
+            lit(false)).as("might")))
+    // fast path: definitely-new rows never reach an exchange
+    val fast = newProbed.where(!col("might"))
+      .select(col("doc_id"), lit(0L).as("dup_exact"))
+    val oldSha = oldDocs
+      .select(sha2(col("text").cast("binary"), 256).as("h")).distinct()
+      .withColumn("dup", lit(1L))
+    val checked = newProbed.where(col("might")).join(oldSha, Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(0L)).as("dup_exact"))
+    fast.unionByName(checked)
+      .withColumn("keep", (col("dup_exact") === 0).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** dq_freshness — delivery-freshness profile of the events feed: per
     * event type, volume, first/last-seen second, staleness vs the
     * corpus watermark (max ts over ALL types), and the share of the
@@ -988,6 +1054,7 @@ object Extras {
   val queries: Map[String, Q] = Map(
     "dq_freshness"      -> dqFreshness,
     "llm_dedup_incremental" -> llmDedupIncremental,
+    "llm_dedup_bloom"   -> llmDedupBloom,
     "llm_sample_balanced" -> llmSampleBalanced,
     "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
@@ -1135,6 +1202,23 @@ object Extras {
         |FROM newdocs n
         | LEFT JOIN oldsha o ON o.h = n.h
         | LEFT JOIN nearold no ON no.nid = n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    // the Bloom only routes rows between the fast path and the exact
+    // join — the VERDICT is the plain exact SQL below, so the oracle is
+    // full-strength even though a sketch sits on the engine side
+    "llm_dedup_bloom" ->
+      """WITH bk AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        | FROM documents),
+        |oldsha AS (SELECT DISTINCT sha256(d.text) AS h
+        | FROM documents d JOIN bk ON bk.doc_id = d.doc_id WHERE bk.b < 80),
+        |newdocs AS (SELECT d.doc_id, sha256(d.text) AS h
+        | FROM documents d JOIN bk ON bk.doc_id = d.doc_id WHERE bk.b >= 80)
+        |SELECT n.doc_id,
+        | CAST(CASE WHEN o.h IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dup_exact,
+        | CAST(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM newdocs n
+        | LEFT JOIN oldsha o ON o.h = n.h
         |ORDER BY n.doc_id""".stripMargin,
     "llm_sample_balanced" ->
       """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),

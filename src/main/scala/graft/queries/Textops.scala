@@ -357,6 +357,58 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_shard_balance — token-balanced GLOBAL output sharding (the
+    * dataset-publishing step after packing): every doc gets its offset
+    * in the corpus-wide doc_id-ordered token stream and the shard that
+    * offset falls in, target = ⌈total_tokens / 64⌉ per shard — so shard
+    * files land within one document of equal token counts and the
+    * manifest is a pure function of the corpus. Unlike
+    * llm_pack_sequences (which SHARDS FIRST precisely to avoid global
+    * order), here the global stream order IS the contract — and a
+    * naive `sum over (order by doc_id)` window funnels the corpus
+    * through ONE partition. Instead: the classic two-pass distributed
+    * prefix sum. Pass 1 buckets docs by contiguous doc_id ranges
+    * (width `spark.graft.shard.bucketWidth`, default 4096) and aggs
+    * per-bucket token totals — a corpus/width-row frame whose ONLY
+    * unpartitioned window runs over that bounded table (100 TB at
+    * width 1M ⇒ ~10⁵ rows on one task; recurse the same trick if ever
+    * deeper). Pass 2 joins the broadcast prefix offsets back and runs
+    * the running sum per-bucket — Window.partitionBy(bucket), every
+    * partition ≤ width docs, embarrassingly parallel. bucket is
+    * monotone in doc_id, so bucket-prefix + within-bucket running sum
+    * ≡ the global running sum, exactly, in integers. The oracle states
+    * the spec (one global window); the engine states the plan. */
+  val llmShardBalance: Q = (s, d) => {
+    val width = s.conf.get("spark.graft.shard.bucketWidth", "4096").toLong
+    require(width >= 1, s"spark.graft.shard.bucketWidth must be >= 1, got $width")
+    val nShards = 64L // declared contract; the oracle pins the same literal
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        // null text = zero tokens (in-domain, mirrored in the oracle)
+        when(col("text").isNull, lit(0L))
+          .otherwise(size(split(col("text"), " ")).cast("long")).as("n_tok"))
+      .withColumn("b", expr(s"doc_id div $width"))
+    val buckets = docs.groupBy("b").agg(sum("n_tok").as("bt"))
+    val wb = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the corpus TOTAL rides the same tiny frame as the prefix offsets
+    // (one more window over corpus/width rows) instead of a third
+    // full-corpus scan + cross join — the base table is read exactly
+    // twice, the two passes any non-cached prefix sum needs
+    val wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = buckets
+      .withColumn("boff", sum("bt").over(wb) - col("bt"))
+      .withColumn("tot", sum("bt").over(wt))
+      .select("b", "boff", "tot")
+    val ww = Window.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "b")
+      .withColumn("off", col("boff") + sum("n_tok").over(ww) - col("n_tok"))
+      .withColumn("shard", expr(s"off div greatest(1L, (tot + ${nShards - 1}) div $nShards)"))
+      .select("doc_id", "n_tok", "off", "shard")
+      .orderBy("doc_id")
+  }
+
   /** llm_logprob_score — perplexity-proxy quality score (the CCNet-family
     * cheap LM filter): train a corpus unigram LM with add-one smoothing,
     * score each doc by its mean token cross-entropy −log2 p(t). Low
@@ -797,6 +849,7 @@ object Textops {
     "llm_logprob_score"  -> llmLogprobScore,
     "llm_ccnet_bucket"   -> llmCcnetBucket,
     "llm_pack_sequences" -> llmPackSequences,
+    "llm_shard_balance"  -> llmShardBalance,
     "llm_ngram_jaccard"  -> llmNgramJaccard,
     "llm_stopword_scrub" -> llmStopwordScrub,
     "llm_regex_tokens"   -> llmRegexTokens,
@@ -806,6 +859,23 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle is the SPEC (one global running-sum window); the
+    // engine computes the same integers via the two-pass prefix sum
+    "llm_shard_balance" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN text IS NULL THEN 0
+        |   ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tok
+        | FROM documents),
+        |tot AS (SELECT sum(n_tok) AS t FROM toks),
+        |o AS (
+        | SELECT doc_id, n_tok,
+        |  CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS off
+        | FROM toks)
+        |SELECT o.doc_id, o.n_tok, o.off,
+        | CAST(o.off // greatest(1, (tot.t + 63) // 64) AS BIGINT) AS shard
+        |FROM o, tot ORDER BY o.doc_id""".stripMargin,
     "llm_dsir" ->
       s"""WITH tok AS (
         | SELECT doc_id, source IN ('src0','src1','src2','src3') AS tgt,

@@ -54,7 +54,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "source_binary",
     // round-9 additions: the versioned-sketch trio — empty corpora must
     // yield zero rows, not an EOF from decoding a zero-length sketch
-    "agg_hll_partial", "agg_cms_partial")
+    "agg_hll_partial", "agg_cms_partial",
+    // bloom-routed exact dedup (the driver-side head() on the empty
+    // corpus must yield the zero filter, not throw) + the two-pass
+    // prefix-sum sharder
+    "llm_dedup_bloom", "llm_shard_balance")
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
   // empty corpus it is 20 well-defined rows (one zero-sketch merged
