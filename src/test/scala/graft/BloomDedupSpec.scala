@@ -110,6 +110,36 @@ class BloomDedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     empty.eval(row) shouldBe false
   }
 
+  test("per-version sketch union routes EVERY new-doc key exactly like the full-scan filter") {
+    // the scaladoc's 100 TB composition: the old-corpus filter is not a
+    // re-scan but BloomMergeAgg over the per-version sketches the
+    // delivery already ships. SketchSpec pins union == full-scan on 20
+    // fixed probes; this pins it over the ENTIRE new batch's key set —
+    // the population llm_dedup_bloom would actually route with it.
+    // (Same geometry on every version sketch — the mergeInPlace
+    // contract; identical bitmap parameters make the union bit-for-bit
+    // the filter a full scan builds, so routing is identical too.)
+    graft.functions.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir).withColumn("bucket", bkt(col("doc_id")))
+    val oldKeys = docs.where(col("bucket") < 80)
+      .select(xxhash64(col("text")).as("k"), (col("bucket") % 4).as("version"))
+      .where(col("k").isNotNull)
+    val build = udaf(new graft.functions.BloomBuildAgg())
+    val merge = udaf(new graft.functions.BloomMergeAgg)
+    val unioned: Array[Byte] = oldKeys.groupBy("version")
+      .agg(build(col("k")).as("sk"))
+      .agg(merge(col("sk")).as("sk")).head().getAs[Array[Byte]](0)
+    val fullScan: Array[Byte] = oldKeys
+      .agg(build(col("k")).as("sk")).head().getAs[Array[Byte]](0)
+    val newKeys = docs.where(col("bucket") >= 80)
+      .select(xxhash64(col("text")).as("k")).where(col("k").isNotNull)
+    val diverging = newKeys.select(
+      call_function("graft_bloom_probe", lit(unioned), col("k")).as("u"),
+      call_function("graft_bloom_probe", lit(fullScan), col("k")).as("f"))
+      .where(col("u") =!= col("f")).count()
+    diverging shouldBe 0L
+  }
+
   test("llm_shard_balance ≡ at bucket widths 1, 7 and default (partition-independence of the prefix sum)") {
     val base = SparkEntry.queries("llm_shard_balance")(spark, sfDir).collect().toSeq
     base should not be empty
