@@ -993,9 +993,13 @@ object Extras {
     def bkt(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 100
     val docs = Tables.documents(s, d).withColumn("bucket", bkt(col("doc_id")))
-    // null text stays in-domain end-to-end: its key/digest are null, so
-    // it skips the filter build, probes null → fast path, and can never
-    // equi-join — dup_exact 0 on both engines by null semantics
+    // null text stays in-domain end-to-end: Spark's xxhash64 is
+    // null-TOLERANT (a null input hashes to the seed, the expression
+    // never returns null — the isNotNull guard below is for schema
+    // generality, not the fixture), so a null-text new doc routes like
+    // any other row; whichever path it takes, its sha2 digest IS null
+    // and an equality join never matches null — dup_exact 0 on both
+    // engines by null semantics, exactly the oracle's verdict
     val oldDocs = docs.where(col("bucket") < 80)
     val bloomBuild = udaf(new graft.functions.BloomBuildAgg(items, fpp))
     val sketch: Array[Byte] = oldDocs
