@@ -71,6 +71,31 @@ object StressGen {
     println(s"stress: documents x$k (dup-heavy, ${(k + 4) / 5} cohorts) -> ${out.count()} rows")
   }
 
+  /** Novel-heavy documents replication (round 9, llm_dedup_bloom's
+    * regime): k× the corpus with copy i > 0 suffixing EVERY token with
+    * the copy index — copies are mutually token-disjoint and
+    * byte-distinct, so the corpus keeps the base's ~99.8% distinctness
+    * at any k. This is the daily-refresh shape a bloom-routed dedup is
+    * FOR: almost the whole new batch is novel, the filter's miss
+    * majority is nearly everything. (documentsDup is the opposite
+    * regime — 70% exact-dup mass — and doubles as the bloom worst
+    * case: a might-rate near the dup share.) */
+  def documentsNovel(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    val base = spark.read.parquet(s"$src/documents.parquet")
+    val out = (0 until k).map { i =>
+      val text =
+        if (i == 0) col("text")
+        else expr(s"array_join(transform(split(text, ' '), t -> concat(t, '_n$i')), ' ')")
+      base.select(
+        (col("doc_id") + lit(i * OFF)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast(base.schema("n_chars").dataType).as("n_chars"))
+    }.reduce(_ union _)
+    out.write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"stress: documents x$k (novel-heavy) -> ${out.count()} rows")
+  }
+
   /** Replicate one table `times`× with the `shifted` key columns offset
     * per copy (FKs to unreplicated dimensions stay valid; co-shifted
     * key pairs — l_orderkey/o_orderkey — stay joined). */
