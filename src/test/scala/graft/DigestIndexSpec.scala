@@ -84,6 +84,51 @@ class DigestIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
       .head().getLong(2) shouldBe 1L
   }
 
+  test("continuous ingest: foreachBatch refresh→extend over a stream ≡ sequential batch replay") {
+    // the firehose shape a 100 TB/day pipeline actually runs: each
+    // microbatch verdicts against the index as of the PREVIOUS batch,
+    // then rolls the index forward out-of-place — exactly-once dedup
+    // state without ever touching historical text. (Within-batch
+    // duplicates are the batch's own exact groupBy, by contract.)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dix_stream").toString
+    val day0 = docs.where(col("bucket") < 80)
+    pipelines.DigestIndex.buildFrom(spark, day0, "day0", s"$base/ix_boot")
+    val oldTexts = day0.select("text").limit(2).collect().map(_.getString(0))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    var cur = s"$base/ix_boot"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        got ++= pipelines.DigestIndex.refresh(spark, df, cur).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val next = s"$base/ix_$id"
+        pipelines.DigestIndex.extend(spark, df, cur, next)
+        cur = next
+      }.start()
+    try {
+      mem.addData((1000001L, oldTexts(0)), (1000002L, "novel alpha beta"))
+      q.processAllAvailable()
+      mem.addData((1000003L, "novel alpha beta"), (1000004L, "novel gamma delta"))
+      q.processAllAvailable()
+      mem.addData((1000005L, "novel gamma delta"), (1000006L, oldTexts(1)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential truth: a text is dup iff seen in day0 or any EARLIER batch
+    val want = Seq(
+      (1000001L, 1L, 0L), // day-0 text → dup
+      (1000002L, 0L, 1L), // novel
+      (1000003L, 1L, 0L), // batch-1 novel, re-sent → dup via extend
+      (1000004L, 0L, 1L),
+      (1000005L, 1L, 0L), // batch-2 novel, re-sent → dup
+      (1000006L, 1L, 0L)) // the other day-0 text
+    got.sortBy(_._1).toSeq shouldBe want
+  }
+
   test("extend refuses to write in place; refresh refuses unstamped directories") {
     intercept[IllegalArgumentException] {
       pipelines.DigestIndex.extend(spark,
