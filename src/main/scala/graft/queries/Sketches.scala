@@ -24,23 +24,39 @@ object Sketches {
   private def shardThreshold(s: org.apache.spark.sql.SparkSession): Int =
     graft.ops.ShardedSelfJoin.confThreshold(s)
 
+  /** Per-(doc, lang) MinHash(128) signature frame over a docs frame —
+    * the one hash pipeline shared by llm_minhash and
+    * pipelines.SignatureIndex: identical token distinct + UDAF ⇒
+    * identical signatures, the property the index's refresh-parity pin
+    * rests on. Unmaterialized; callers own the Lineage.cut. */
+  def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig"))
+
+  /** The 16×8 LSH band-key array over `sig`: band<<32 | bucket32 —
+    * injective in (band, bucket), so the array is sorted-distinct by
+    * construction after sort_array (the emitOnceByConstruction
+    * contract). Shared with pipelines.SignatureIndex, whose stored
+    * band rows must collide exactly like the in-query banding. */
+  val BandKeysExpr: String =
+    "transform(sequence(0, 15), b -> shiftleft(cast(b as bigint), 32)" +
+      " + (cast(hash(slice(sig, b * 8 + 1, 8)) as bigint) & 4294967295))"
+
   /** llm_minhash — MinHash(128) signatures + 16×8 LSH banding: candidate
     * pairs sharing any band bucket, estimated Jaccard = signature
     * agreement, kept at est ≥ 0.7. The band join S-curve detects
     * jac 0.9 pairs w.p. >0.9999 (16 bands of 8 rows). */
   val llmMinhash: Q = (s, d) => {
     graft.functions.VectorExprs.register(s)
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
-      .distinct()
     // materialize signatures ONCE (eager lineage cut): the plan below
     // references sigs three times (banding + both rejoins) and each
     // reference would otherwise re-run the UDAF over the full token
     // stream — the dominant cost. Same hygiene as llm_dedup_cluster's
     // edge materialization; on a cluster this is a persisted/checkpointed
-    // signature table, the standard shape of a dedup pipeline.
-    val sigs = graft.ops.Lineage.cut(
-      tok.groupBy("doc_id", "lang").agg(minhash(col("token")).as("sig")))
+    // signature table, the standard shape of a dedup pipeline — which
+    // pipelines.SignatureIndex now materializes as an actual artifact.
+    val sigs = graft.ops.Lineage.cut(signatures(Tables.documents(s, d)))
     // bands carry only narrow columns, never the 128-int signatures
     // (carrying sigs through the self-join was the sf0.1 bottleneck —
     // 170 s → ~5 s). Signatures rejoin afterwards via a shuffle
@@ -70,9 +86,7 @@ object Sketches {
     // with the duplicate factor — boilerplate-heavy corpora collide in
     // more bands at identical distinct cost per raw candidate.
     val banded = sigs
-      .withColumn("bkeys", sort_array(expr(
-        "transform(sequence(0, 15), b -> shiftleft(cast(b as bigint), 32)" +
-          " + (cast(hash(slice(sig, b * 8 + 1, 8)) as bigint) & 4294967295))")))
+      .withColumn("bkeys", sort_array(expr(BandKeysExpr)))
       .select(col("doc_id"), col("lang"), col("bkeys"),
         explode(col("bkeys")).as("bk64"))
     // skew-safe bucket self-join: a pathological hot bucket
