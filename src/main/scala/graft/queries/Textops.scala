@@ -835,7 +835,44 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_bpe_merges — the distributed tokenizer-training primitive: one
+    * BPE iteration's merge-candidate table (Sennrich et al., "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016 —
+    * public method). Counts adjacent character-pair frequencies across
+    * the corpus and emits the top-50 pairs by weighted count — the
+    * pairs a BPE trainer would merge first.
+    *
+    * Scale shape: the classic two-stage collapse every real distributed
+    * BPE/WordPiece trainer uses. Stage 1 reduces the O(corpus-tokens)
+    * stream to the word-frequency table (map-side partial combine; the
+    * shuffle carries one row per distinct word per partition, and the
+    * result is VOCAB-sized — ~10⁵-10⁷ rows at any corpus size, not
+    * corpus-sized). Stage 2 enumerates character pairs over the
+    * DISTINCT vocab only, weighting each pair by the word's corpus
+    * count — O(vocab × word_len) work, independent of corpus row count;
+    * a 100 TB corpus and a 1 GB corpus with the same vocabulary pay the
+    * same stage-2 price. Top-50 is orderBy+limit =
+    * TakeOrderedAndProject: each partition keeps a bounded 50-row heap,
+    * no global sort materializes. Iterating BPE re-runs stage 2 on the
+    * (re-segmented) vocab table — never the corpus — which is why the
+    * word-count collapse is the contract here. Single-char words carry
+    * no pair and are filtered before the explode. */
+  val llmBpeMerges: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    words
+      .select(col("w"), col("n_w"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 2)").as("pair"), col("n_w"))
+      .groupBy("pair").agg(sum("n_w").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_bpe_merges"     -> llmBpeMerges,
     "llm_dsir"           -> llmDsir,
     "llm_token_histogram" -> llmTokenHistogram,
     "llm_bigram_score"   -> llmBigramScore,
@@ -859,6 +896,18 @@ object Textops {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_bpe_merges" ->
+      """WITH words AS (
+        | SELECT w, count(*) AS n_w FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE len(w) >= 2 GROUP BY w),
+        |pairs AS (
+        | SELECT substr(w, i, 2) AS pair, n_w FROM (
+        |  SELECT w, n_w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM words))
+        |SELECT pair, CAST(sum(n_w) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     // the oracle is the SPEC (one global running-sum window); the
     // engine computes the same integers via the two-pass prefix sum
     "llm_shard_balance" ->

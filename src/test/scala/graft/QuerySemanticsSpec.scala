@@ -690,4 +690,21 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       r.getLong(4) shouldBe want
     }
   }
+
+  test("llm_bpe_merges matches a driver-side brute force over the raw corpus") {
+    val out = queries.Textops.llmBpeMerges(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent recomputation: no word-count collapse, no vocab table —
+    // walk every token of every doc and tally adjacent char pairs
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().flatMap(r => Option(r.getString(0)))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.split(" ", -1) if w.length >= 2; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      counts(p) = counts.getOrElse(p, 0L) + 1L
+    }
+    val expTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    out shouldBe expTop
+    all(out.map(_._1.length)) shouldBe 2
+  }
 }
