@@ -627,7 +627,53 @@ object Llm {
       .orderBy("mime")
   }
 
+  /** llm_embed_quantize — int8 scalar quantization of the embedding
+    * column, the standard compression step before shipping vectors to an
+    * ANN index at corpus scale (symmetric per-dimension absmax scaling,
+    * q = round(x/absmax·127) ∈ [−127,127] — the scheme FAISS calls
+    * SQ8/"QT_8bit_direct"-family and every vector DB applies at ingest;
+    * 4× smaller than float32, which at 100 TB of embeddings is the
+    * difference between an index that fits executor memory and one that
+    * doesn't). Output is the per-dimension calibration + error census a
+    * pipeline records next to the quantized artifact: the scale
+    * (absmax), value count, and the total/max absolute reconstruction
+    * error — the numbers that tell you whether SQ8 is safe for this
+    * embedding family or you need PQ.
+    *
+    * Scale shape: one posexplode pass → per-dim absmax (bounded agg: D
+    * rows regardless of corpus size, map-side combined) → broadcast
+    * rejoin BY CONSTRUCTION (the table is dimension-width) → per-dim
+    * error census (bounded agg again). No corpus-sized state, no
+    * quadratic anything; the explode stream never materializes.
+    *
+    * Determinism: errors are summed as exact scaled integers
+    * (floor(err·1e7 + 0.5), order-free — the §7.3 discipline), absmax is
+    * an order-free max r4'd once at output. Quantization math is the
+    * identical IEEE expression on both engines (floor(v + 0.5), never
+    * engine round()). A zero absmax (all-zero dimension) quantizes to 0
+    * with zero error by the CASE guard. */
+  val llmEmbedQuantize: Q = (s, d) => {
+    val x = Tables.embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("p", "v")))
+      .select((col("p") + 1).cast("long").as("dim"), col("v").cast("double").as("x"))
+    // bounded: one row per dimension (64 in the fixture; ≤ model width always)
+    val scales = x.groupBy("dim").agg(max(abs(col("x"))).as("absmax"))
+    val err = x.join(broadcast(scales), "dim")
+      .withColumn("qv",
+        when(col("absmax") === 0, lit(0.0))
+          .otherwise(floor(col("x") / col("absmax") * 127 + lit(0.5))))
+      .withColumn("e7",
+        floor(abs(col("x") - col("qv") * col("absmax") / 127) * 1e7 + lit(0.5)))
+    err.groupBy("dim")
+      .agg(r4(max(col("absmax"))).as("absmax"),
+        count(lit(1)).as("n"),
+        sum(col("e7")).cast("long").as("err_e7"),
+        max(col("e7")).cast("long").as("max_err_e7"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_embed_quantize"    -> llmEmbedQuantize,
     "llm_multimodal_stats"  -> llmMultimodalStats,
     "llm_exact_dedup"       -> llmExactDedup,
     "llm_cosine_topk"       -> llmCosineTopk,
@@ -643,6 +689,23 @@ object Llm {
   private val cosSql = r4Sql("list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])")
 
   val oracle: Map[String, String] = Map(
+    "llm_embed_quantize" ->
+      """WITH x AS (
+        | SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        | FROM embeddings),
+        |s AS (SELECT dim, max(abs(x)) AS absmax FROM x GROUP BY dim),
+        |e AS (
+        | SELECT x.dim, s.absmax,
+        |   floor(abs(x.x - (CASE WHEN s.absmax = 0 THEN 0
+        |     ELSE floor(x.x / s.absmax * 127 + 0.5) END) * s.absmax / 127)
+        |     * 10000000 + 0.5) AS e7
+        | FROM x JOIN s ON x.dim = s.dim)
+        |SELECT dim, floor(max(absmax) * 10000 + 0.5) / 10000 AS absmax,
+        |  count(*) AS n,
+        |  CAST(sum(e7) AS BIGINT) AS err_e7,
+        |  CAST(max(e7) AS BIGINT) AS max_err_e7
+        |FROM e GROUP BY dim ORDER BY dim""".stripMargin,
     "llm_multimodal_stats" ->
       s"""SELECT mime, count(*) AS n,
         | CAST(sum(length(text)) AS BIGINT) AS sum_bytes,

@@ -324,6 +324,33 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     pPlan should not include "Window"
   }
 
+  test("llm_bpe_merges: bounded top-50, and the pair stage aggregates the vocab, not the corpus") {
+    val plan = planOf(queries.Textops.llmBpeMerges(spark, sfDir))
+    // top-50 must be TakeOrderedAndProject (bounded per-partition heap),
+    // never a global Sort + Limit over the full pair table
+    plan should include("TakeOrderedAndProject")
+    plan should not include "Window"
+    // both collapses are hash aggregates with a partial (map-side) phase:
+    // the word-count shuffle carries one row per distinct word per
+    // partition, the pair-count shuffle one row per distinct pair
+    "HashAggregate".r.findAllMatchIn(plan).size should be >= 4
+  }
+
+  test("llm_embed_quantize's scale table reaches the error join as a broadcast at any corpus size") {
+    // the per-dim absmax table is ≤ model-width rows BY CONSTRUCTION —
+    // the rejoin must be a BroadcastHashJoin on dim even when size stats
+    // say otherwise (auto-broadcast off = the 100 TB regime); an SMJ
+    // here would shuffle the exploded value stream a second time
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(queries.Llm.llmEmbedQuantize(spark, sfDir))
+      plan should include regex "BroadcastHashJoin \\[dim"
+      plan should not include "SortMergeJoin"
+      plan should not include "CartesianProduct"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

@@ -691,6 +691,53 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("llm_embed_quantize matches a driver-side brute force and respects the SQ8 error bound") {
+    val out = queries.Llm.llmEmbedQuantize(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent recomputation in plain scala doubles
+    val vecs = Tables.embeddings(spark, sfDir).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val exp = (1 to dims).map { dim =>
+      val xs = vecs.map(v => v(dim - 1).toDouble)
+      val absmax = xs.map(math.abs).max
+      val e7s = xs.map { x =>
+        val qv = if (absmax == 0) 0.0 else math.floor(x / absmax * 127 + 0.5)
+        math.floor(math.abs(x - qv * absmax / 127) * 1e7 + 0.5).toLong
+      }
+      (dim.toLong, math.floor(absmax * 10000 + 0.5) / 10000,
+        xs.length.toLong, e7s.sum, e7s.max)
+    }
+    out shouldBe exp
+    // the symmetric-SQ8 guarantee: reconstruction error ≤ half a
+    // quantization step = absmax/254 (+1 for the e7 grain)
+    out.foreach { case (_, absmax, _, _, maxE7) =>
+      maxE7 should be <= (math.floor(absmax / 254 * 1e7 + 0.5) + 10000).toLong
+    }
+  }
+
+  test("set multiset variants keep per-key multiplicity arithmetic (min / truncated difference)") {
+    import org.apache.spark.sql.functions.col
+    val a = Tables.customer(spark, sfDir).where(col("c_mktsegment") === "BUILDING")
+      .select("c_nationkey").collect().map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val b = Tables.customer(spark, sfDir).where(col("c_acctbal") > 5000)
+      .select("c_nationkey").collect().map(_.getInt(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val inter = queries.Sets.queries("set_intersect_all")(spark, sfDir)
+      .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val excpt = queries.Sets.queries("set_except_all")(spark, sfDir)
+      .collect().map(_.getInt(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val keys = a.keySet ++ b.keySet
+    keys.foreach { k =>
+      inter.getOrElse(k, 0) shouldBe math.min(a.getOrElse(k, 0), b.getOrElse(k, 0))
+      excpt.getOrElse(k, 0) shouldBe math.max(0, a.getOrElse(k, 0) - b.getOrElse(k, 0))
+    }
+    // the fixture must actually exercise multiplicities > 1, or this
+    // test (and the ALL-vs-DISTINCT distinction) is vacuous
+    inter.values.max should be > 1
+  }
+
   test("llm_bpe_merges matches a driver-side brute force over the raw corpus") {
     val out = queries.Textops.llmBpeMerges(spark, sfDir).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1)))
