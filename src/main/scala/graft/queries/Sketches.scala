@@ -137,7 +137,124 @@ object Sketches {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** llm_ann_pq — product-quantization ANN (Jégou/Douze/Schmid,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI
+    * 2011 — the public method behind every billion-vector FAISS IVF-PQ
+    * deployment). Vectors are split into M subspaces; each subspace
+    * gets a K-centroid codebook trained by Lloyd iterations; a vector's
+    * code is M bytes (nearest centroid per subspace) — 64-d float32
+    * compresses 32× to 8 bytes. Queries rank candidates by ADC
+    * (asymmetric distance): per query a bounded M×K table of
+    * query-to-centroid partial distances, approximate d² = sum of M
+    * table lookups over the candidate's code. Output: top-3 neighbours
+    * per query (qid < 10) by approximate d², ties by vid.
+    *
+    * No oracle by declared design (a k-means codebook is
+    * engine-specific, like the minhash/simhash signatures); PqSpec
+    * gates ADC error against exact d², pins recall@3 vs the exact
+    * answer, run-to-run determinism, and the bounded-codebook plan.
+    *
+    * Default geometry M=16 / K=64 / 3 rounds calibrated by PqCalibrate
+    * at sf0.001 (the fixture's random vectors are PQ's WORST case — no
+    * cluster structure to exploit): mean relative ADC error 0.138 /
+    * max 0.226 / recall@3 0.47, vs 0.40/0.51/0.10 at the textbook
+    * M=8/K=16 start; the sweep showed relErr monotone in M·log₂K while
+    * recall on 30 near-equidistant ground-truth slots is noisy — so the
+    * spec gates lean on the DISTANCE error, with a loose recall floor.
+    * Geometry changes MUST re-run PqCalibrate and re-pin (the
+    * SimhashCalibrate rule, VERDICT r3 #1).
+    *
+    * Scale shape (the 100 TB story): training touches the corpus
+    * O(iters) times but every shuffle is BOUNDED — assignment is a
+    * broadcast join against the ≤M·K-row codebook followed by a
+    * min_by agg (map-side combined), the centroid update aggregates to
+    * ≤M·K·subDim rows. Encoding is one more broadcast-assign; the ADC
+    * scan is one pass over the codes with the per-query tables
+    * broadcast (≤nq·M·K rows by construction), partial-agg'd into
+    * per-(query, candidate) sums and a bounded TopKAgg — no shuffle
+    * ever carries corpus-sized vector payloads, only M-byte codes.
+    * (In production the train corpus is a sample; the conf'd geometry
+    * here trains on the full fixture for determinism.)
+    *
+    * Determinism discipline: centroid means and ADC sums accumulate as
+    * exact scaled integers (floor(x·1e9 + 0.5) longs — order-free),
+    * so codebooks and rankings are pure functions of the corpus, not
+    * of task scheduling; init is the K lowest-id vectors per subspace.
+    */
+  val llmAnnPq: Q = (s, d) => {
+    import org.apache.spark.sql.DataFrame
+    graft.functions.VectorExprs.register(s)
+    val m     = s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16)
+    val k     = s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64)
+    val iters = s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(3)
+    val nq    = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
+    // subvector stream: one row per (vector, subspace), re-read every
+    // Lloyd round — cut once
+    val sv = graft.ops.Lineage.cut(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
+        .withColumn("sd", (size(col("e")) / m).cast("int"))
+        .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
+        .withColumn("nsv", expr("graft_dot(sv, sv)")))
+    // nearest-centroid assignment: broadcast the bounded codebook, keep
+    // the winner per (vector, subspace) via min_by under the strict
+    // (d², code) order — never a ranking window
+    def assign(cb: DataFrame): DataFrame =
+      sv.join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
+        .withColumn("d2", col("nsv") - expr("graft_dot(sv, c)") * 2 + col("ncc"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(struct(col("code"), col("sv")), struct(col("d2"), col("code"))).as("t"))
+        .select(col("vec_id"), col("sub"), col("t.code").as("code"), col("t.sv").as("sv"))
+    // init: the K lowest-id vectors seed each subspace's codebook
+    var cb = graft.ops.Lineage.cut(
+      sv.where(col("vec_id") < k)
+        .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c")))
+    for (_ <- 1 to iters) {
+      // centroid update: element-wise mean as exact scaled-integer sums
+      // (order-free); empty clusters keep their previous centroid
+      val means = assign(cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+        .groupBy("sub", "code", "p")
+        .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
+             count(lit(1)).as("n"))
+        .withColumn("mean", col("sx9") / 1e9 / col("n"))
+        .groupBy("sub", "code")
+        .agg(expr("transform(sort_array(collect_list(struct(p, mean))), t -> t.mean)")
+          .as("cnew"))
+      cb = graft.ops.Lineage.cut(
+        cb.join(means, Seq("sub", "code"), "left")
+          .select(col("sub"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+    }
+    val codes = assign(cb).select("vec_id", "sub", "code")
+    // per-query ADC tables: nq·M·K rows by construction → broadcast
+    val qtab = sv.where(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"),
+              col("nsv").as("qn"))
+      .join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"),
+        floor((col("qn") - expr("graft_dot(qsv, c)") * 2 + col("ncc")) * 1e9 + lit(0.5))
+          .cast("long").as("p9"))
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
+    codes.join(broadcast(qtab), Seq("sub", "code"))
+      .where(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id").as("vid"))
+      .agg(sum("p9").as("ad2_9"))
+      // TopKAgg keeps the max under (score desc, id asc): negate the
+      // exact integer distance so "max" = nearest; ad2_9 ≤ ~3e10 is
+      // exactly representable as a double
+      .groupBy("qid")
+      .agg(topk((-col("ad2_9")).cast("double"), col("vid"), col("vid")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("vid"),
+        r4(-col("col._1") / 1e9).as("ad2"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_ann_pq"  -> llmAnnPq,
     "llm_minhash" -> llmMinhash,
     "llm_simhash" -> llmSimhash,
   )

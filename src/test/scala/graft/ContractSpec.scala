@@ -10,15 +10,15 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
     (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
   }
 
-  test("exactly the seven declared sketches lack oracle SQL") {
+  test("exactly the eight declared sketches lack oracle SQL") {
     (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe
       Set("agg_approx_distinct", "agg_approx_percentile", "llm_minhash",
         "llm_simhash", "agg_hll_partial", "agg_cms_partial",
-        "agg_bloom_partial")
+        "agg_bloom_partial", "llm_ann_pq")
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 146
+    SparkEntry.queries.size shouldBe 147
     SparkEntry.oracleSql.size shouldBe 139
   }
 
