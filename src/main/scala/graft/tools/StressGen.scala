@@ -126,6 +126,32 @@ object StressGen {
     replicate(spark, src, dst, "events", k, Seq("event_id", "user_id"))
   }
 
+  /** Vector-corpus replication for VectorScale (round 9): embeddings k×
+    * where copy 0 is the pristine fixture and every copy i ≥ 1 is an
+    * INDEPENDENT pseudo-random population — each element replaced by a
+    * deterministic hash-uniform value in [−1, 1] keyed on
+    * (vec_id, copy, position), NOT a perturbed clone. A byte-identical
+    * (or jittered) clone would hand every vector k near-parallel twins,
+    * growing near-dup pair counts and per-cell candidate volume
+    * quadratically in k BY CONSTRUCTION — the same trap documentsDup's
+    * token-disjoint cohorts avoid; independent populations keep
+    * cross-copy cosines in the random band, so similarity structure per
+    * vector is k-independent and candidate/output volumes grow linearly
+    * in corpus size. Labels and id spacing match the fixture. */
+  def vectorStress(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    val base = spark.read.parquet(s"$src/embeddings.parquet")
+    val out = (0 until k).map { i =>
+      if (i == 0) base
+      else base.select(
+        (col("vec_id") + lit(i * OFF)).as("vec_id"),
+        expr(s"transform(embedding, (x, p) -> cast((pmod(xxhash64(vec_id, $i, p), 2001) - 1000) / 1000.0 AS float))")
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+    out.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    println(s"stress: embeddings x$k (independent populations) -> ${out.count()} rows")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1); val k = args(2).toInt
     val kDocsArg = args.lift(3).getOrElse("3")
