@@ -181,76 +181,115 @@ object Sketches {
     * so codebooks and rankings are pure functions of the corpus, not
     * of task scheduling; init is the K lowest-id vectors per subspace.
     */
-  val llmAnnPq: Q = (s, d) => {
+  /** The PQ pipeline pieces, shared verbatim by llm_ann_pq (hermetic
+    * in-query form) and pipelines.PqIndex (the delivery artifact) — the
+    * Sketches.signatures/BandKeysExpr precedent: one construction, so
+    * the index's parity pins rest on shared code, not on two
+    * implementations agreeing. */
+  object Pq {
     import org.apache.spark.sql.DataFrame
-    graft.functions.VectorExprs.register(s)
-    val m     = s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16)
-    val k     = s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64)
-    val iters = s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(3)
-    val nq    = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
-    // subvector stream: one row per (vector, subspace), re-read every
-    // Lloyd round — cut once
-    val sv = graft.ops.Lineage.cut(
-      Tables.embeddings(s, d)
+
+    /** (vec_id, sub, sv, nsv): one row per (vector, subspace). Callers
+      * that reference the stream repeatedly own the Lineage.cut. */
+    def subvectors(vecs: DataFrame, m: Int): DataFrame =
+      vecs
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
         .withColumn("sd", (size(col("e")) / m).cast("int"))
         .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
-        .withColumn("nsv", expr("graft_dot(sv, sv)")))
-    // nearest-centroid assignment: broadcast the bounded codebook, keep
-    // the winner per (vector, subspace) via min_by under the strict
-    // (d², code) order — never a ranking window
-    def assign(cb: DataFrame): DataFrame =
+        .withColumn("nsv", expr("graft_dot(sv, sv)"))
+
+    /** Nearest-centroid assignment: broadcast the bounded codebook, keep
+      * the winner per (vector, subspace) via min_by under the strict
+      * (d², code) order — never a ranking window. */
+    def assign(sv: DataFrame, cb: DataFrame): DataFrame =
       sv.join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
         .withColumn("d2", col("nsv") - expr("graft_dot(sv, c)") * 2 + col("ncc"))
         .groupBy("vec_id", "sub")
         .agg(min_by(struct(col("code"), col("sv")), struct(col("d2"), col("code"))).as("t"))
         .select(col("vec_id"), col("sub"), col("t.code").as("code"), col("t.sv").as("sv"))
-    // init: the K lowest-id vectors seed each subspace's codebook
-    var cb = graft.ops.Lineage.cut(
-      sv.where(col("vec_id") < k)
-        .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c")))
-    for (_ <- 1 to iters) {
-      // centroid update: element-wise mean as exact scaled-integer sums
-      // (order-free); empty clusters keep their previous centroid
-      val means = assign(cb)
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
-        .groupBy("sub", "code", "p")
-        .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
-             count(lit(1)).as("n"))
-        .withColumn("mean", col("sx9") / 1e9 / col("n"))
-        .groupBy("sub", "code")
-        .agg(expr("transform(sort_array(collect_list(struct(p, mean))), t -> t.mean)")
-          .as("cnew"))
-      cb = graft.ops.Lineage.cut(
-        cb.join(means, Seq("sub", "code"), "left")
-          .select(col("sub"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+
+    /** Lloyd training: K centroids per subspace, `iters` rounds, seeded
+      * by the K lowest-id vectors. Centroid means accumulate as exact
+      * scaled integers (order-free ⇒ the codebook is a pure function of
+      * the corpus); empty clusters keep their previous centroid. */
+    def train(sv: DataFrame, k: Int, iters: Int): DataFrame = {
+      var cb = graft.ops.Lineage.cut(
+        sv.where(col("vec_id") < k)
+          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c")))
+      for (_ <- 1 to iters) {
+        val means = assign(sv, cb)
+          .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
+          .groupBy("sub", "code", "p")
+          .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
+               count(lit(1)).as("n"))
+          .withColumn("mean", col("sx9") / 1e9 / col("n"))
+          .groupBy("sub", "code")
+          .agg(expr("transform(sort_array(collect_list(struct(p, mean))), t -> t.mean)")
+            .as("cnew"))
+        cb = graft.ops.Lineage.cut(
+          cb.join(means, Seq("sub", "code"), "left")
+            .select(col("sub"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+      }
+      cb
     }
-    val codes = assign(cb).select("vec_id", "sub", "code")
-    // per-query ADC tables: nq·M·K rows by construction → broadcast
-    val qtab = sv.where(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"),
-              col("nsv").as("qn"))
-      .join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
-      .select(col("qid"), col("sub"), col("code"),
-        floor((col("qn") - expr("graft_dot(qsv, c)") * 2 + col("ncc")) * 1e9 + lit(0.5))
-          .cast("long").as("p9"))
-    val topk = udaf(new graft.functions.TopKAgg(3),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
-    codes.join(broadcast(qtab), Seq("sub", "code"))
-      .where(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id").as("vid"))
-      .agg(sum("p9").as("ad2_9"))
-      // TopKAgg keeps the max under (score desc, id asc): negate the
-      // exact integer distance so "max" = nearest; ad2_9 ≤ ~3e10 is
-      // exactly representable as a double
-      .groupBy("qid")
-      .agg(topk((-col("ad2_9")).cast("double"), col("vid"), col("vid")).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), col("col._2").as("vid"),
-        r4(-col("col._1") / 1e9).as("ad2"),
-        (col("pos") + 1).cast("long").as("rn"))
-      .orderBy("qid", "rn")
+
+    /** Per-query ADC partial-distance tables: (qid, sub, code, p9) with
+      * p9 = floor(d²(q_sub, c)·1e9 + 0.5) — exact integers, so ADC sums
+      * are merge-order-free. ≤ queries·M·K rows by construction. */
+    def queryTables(qsv: DataFrame, cb: DataFrame): DataFrame =
+      qsv
+        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"),
+                col("nsv").as("qn"))
+        .join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
+        .select(col("qid"), col("sub"), col("code"),
+          floor((col("qn") - expr("graft_dot(qsv, c)") * 2 + col("ncc")) * 1e9 + lit(0.5))
+            .cast("long").as("p9"))
+
+    /** Top-k over exact integer ADC sums (qid, vid, ad2_9) →
+      * (qid, vid, ad2, rn) — the one ranking tail both the in-query
+      * form and PqIndex.search use, so their outputs are comparable
+      * row-for-row. */
+    def topkOfSums(sums: DataFrame, k: Int): DataFrame = {
+      val topk = udaf(new graft.functions.TopKAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
+      sums
+        // TopKAgg keeps the max under (score desc, id asc): negate the
+        // exact integer distance so "max" = nearest; ad2_9 ≤ ~3e10 is
+        // exactly representable as a double
+        .groupBy("qid")
+        .agg(topk((-col("ad2_9")).cast("double"), col("vid"), col("vid")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col._2").as("vid"),
+          r4(-col("col._1") / 1e9).as("ad2"),
+          (col("pos") + 1).cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }
+
+    /** Top-k by summed ADC distance over per-(vec, sub, code) rows
+      * joined with `queryTables` output: (qid, vid, ad2, rn). */
+    def topkByAdc(joined: DataFrame, k: Int): DataFrame =
+      topkOfSums(
+        joined.groupBy(col("qid"), col("vec_id").as("vid"))
+          .agg(sum("p9").as("ad2_9")),
+        k)
+  }
+
+  val llmAnnPq: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
+    val m     = s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16)
+    val k     = s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64)
+    val iters = s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(3)
+    val nq    = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
+    // subvector stream re-read every Lloyd round — cut once
+    val sv = graft.ops.Lineage.cut(Pq.subvectors(Tables.embeddings(s, d), m))
+    val cb = Pq.train(sv, k, iters)
+    val codes = Pq.assign(sv, cb).select("vec_id", "sub", "code")
+    val qtab = Pq.queryTables(sv.where(col("vec_id") < nq), cb)
+    Pq.topkByAdc(
+      codes.join(broadcast(qtab), Seq("sub", "code"))
+        .where(col("qid") =!= col("vec_id")),
+      k = 3)
   }
 
   val queries: Map[String, Q] = Map(
