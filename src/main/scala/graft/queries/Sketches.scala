@@ -212,13 +212,28 @@ object Sketches {
     /** Lloyd training: K centroids per subspace, `iters` rounds, seeded
       * by the K lowest-id vectors. Centroid means accumulate as exact
       * scaled integers (order-free ⇒ the codebook is a pure function of
-      * the corpus); empty clusters keep their previous centroid. */
+      * the corpus); empty clusters keep their previous centroid.
+      *
+      * The codebook lives as a LOCAL relation between rounds: it is
+      * ≤ M·K rows BY CONSTRUCTION (the bounded-collect class — the
+      * Deliver-manifest precedent, never corpus-sized), so each Lloyd
+      * round is exactly ONE Spark job (scan sv → broadcast-join the
+      * local codebook → two bounded aggs → collect the new ≤M·K-row
+      * codebook) and the returned frame is a LocalRelation the final
+      * encode/ADC plan folds flat — no per-round lineage cut, no
+      * iteration-deep plan. Values are identical to the distributed
+      * form: the same aggregation expressions compute the means; only
+      * where the bounded result lives changes. */
     def train(sv: DataFrame, k: Int, iters: Int): DataFrame = {
-      var cb = graft.ops.Lineage.cut(
+      val spark = sv.sparkSession
+      import spark.implicits._
+      var cb: Seq[(Int, Int, Seq[Double])] =
         sv.where(col("vec_id") < k)
-          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c")))
+          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c"))
+          .collect().toSeq
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       for (_ <- 1 to iters) {
-        val means = assign(sv, cb)
+        val means = assign(sv, cb.toDF("sub", "code", "c"))
           .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
           .groupBy("sub", "code", "p")
           .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
@@ -227,11 +242,12 @@ object Sketches {
           .groupBy("sub", "code")
           .agg(expr("transform(sort_array(collect_list(struct(p, mean))), t -> t.mean)")
             .as("cnew"))
-        cb = graft.ops.Lineage.cut(
-          cb.join(means, Seq("sub", "code"), "left")
-            .select(col("sub"), col("code"), coalesce(col("cnew"), col("c")).as("c")))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        // empty clusters keep their previous centroid
+        cb = cb.map { case (s0, c0, old) => (s0, c0, means.getOrElse((s0, c0), old)) }
       }
-      cb
+      cb.toDF("sub", "code", "c")
     }
 
     /** Per-query ADC partial-distance tables: (qid, sub, code, p9) with
