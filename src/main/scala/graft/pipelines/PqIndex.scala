@@ -59,10 +59,11 @@ object PqIndex {
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
-  private def geometry(spark: SparkSession): (Int, Int, Int) = (
-    spark.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16),
-    spark.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64),
-    spark.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(3))
+  // geometry defaults come from the ONE shared definition (Pq.geometry)
+  // so the index and the in-query form can never train different
+  // codebooks under identical confs — the parity pin's precondition
+  private def geometry(spark: SparkSession): (Int, Int, Int) =
+    Pq.geometry(spark)
 
   private def storedGeometry(spark: SparkSession, index: String): (Int, Int, Int) = {
     val Array(m, k, it) = readSmall(spark, index, GeomFile).trim.split(":").map(_.toInt)

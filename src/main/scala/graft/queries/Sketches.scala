@@ -154,13 +154,15 @@ object Sketches {
     * gates ADC error against exact d², pins recall@3 vs the exact
     * answer, run-to-run determinism, and the bounded-codebook plan.
     *
-    * Default geometry M=16 / K=64 / 3 rounds calibrated by PqCalibrate
+    * Default geometry M=16 / K=64 / 2 rounds calibrated by PqCalibrate
     * at sf0.001 (the fixture's random vectors are PQ's WORST case — no
-    * cluster structure to exploit): mean relative ADC error 0.138 /
-    * max 0.226 / recall@3 0.47, vs 0.40/0.51/0.10 at the textbook
-    * M=8/K=16 start; the sweep showed relErr monotone in M·log₂K while
-    * recall on 30 near-equidistant ground-truth slots is noisy — so the
-    * spec gates lean on the DISTANCE error, with a loose recall floor.
+    * cluster structure to exploit): mean relative ADC error 0.154 /
+    * max 0.264 / recall@3 0.43, vs 0.40/0.51/0.10 at the textbook
+    * M=8/K=16 start (a third round buys 0.154 → 0.138 for ~0.7 s of
+    * suite wall — set spark.graft.pq.iters when the corpus warrants
+    * it); the sweep showed relErr monotone in M·log₂K while recall on
+    * 30 near-equidistant ground-truth slots is noisy — so the spec
+    * gates lean on the DISTANCE error, with a loose recall floor.
     * Geometry changes MUST re-run PqCalibrate and re-pin (the
     * SimhashCalibrate rule, VERDICT r3 #1).
     *
@@ -188,6 +190,15 @@ object Sketches {
     * implementations agreeing. */
   object Pq {
     import org.apache.spark.sql.DataFrame
+
+    /** The ONE source of geometry defaults (M, K, Lloyd iters) — read by
+      * both the in-query form and pipelines.PqIndex, so the two can
+      * never silently train different codebooks (the parity pins assume
+      * identical geometry). */
+    def geometry(s: org.apache.spark.sql.SparkSession): (Int, Int, Int) = (
+      s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16),
+      s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64),
+      s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(2))
 
     /** (vec_id, sub, sv, nsv): one row per (vector, subspace). Callers
       * that reference the stream repeatedly own the Lineage.cut. */
@@ -293,10 +304,8 @@ object Sketches {
 
   val llmAnnPq: Q = (s, d) => {
     graft.functions.VectorExprs.register(s)
-    val m     = s.conf.getOption("spark.graft.pq.m").map(_.toInt).getOrElse(16)
-    val k     = s.conf.getOption("spark.graft.pq.k").map(_.toInt).getOrElse(64)
-    val iters = s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(3)
-    val nq    = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
+    val (m, k, iters) = Pq.geometry(s)
+    val nq = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
     // subvector stream re-read every Lloyd round — cut once
     val sv = graft.ops.Lineage.cut(Pq.subvectors(Tables.embeddings(s, d), m))
     val cb = Pq.train(sv, k, iters)

@@ -42,7 +42,7 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     // truth: one index whose codebook was trained on the SAME batch-0
     // corpus, but with all vectors encoded at build time
     val dAll = java.nio.file.Files.createTempDirectory("graft_pqx3").toString
-    val (m, k, iters) = (16, 64, 3)
+    val (m, k, iters) = (16, 64, 2)
     graft.functions.VectorExprs.register(spark)
     val svOld = graft.ops.Lineage.cut(queries.Sketches.Pq.subvectors(oldV, m))
     val cb = queries.Sketches.Pq.train(svOld, k, iters)
