@@ -331,6 +331,24 @@ object Extras {
       .orderBy("n_name", "c_custkey")
   }
 
+  /** win_ntile — equal-frequency bucketing (quartiles of customers per
+    * nation by account balance): the windowed sibling of percent_rank/
+    * cume_dist in win_percent, and the building block of quantile-bucket
+    * feature engineering. The strict (acctbal, custkey) order makes the
+    * bucket assignment a pure function of the partition — both engines
+    * agree row-for-row. Scale: one hash exchange on the partition key,
+    * per-nation sort — the same shape as every window in §2.5; an
+    * UNpartitioned ntile would funnel the corpus through one task (the
+    * llm_shard_balance scaladoc documents the distributed alternative). */
+  val winNtile: Q = (s, d) => {
+    val w = Window.partitionBy("n_name").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("n_name", "c_custkey")
+  }
+
   /** agg_bool — boolean/conditional aggregates per returnflag. */
   val aggBool: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -1074,6 +1092,7 @@ object Extras {
     "dq_profile"        -> dqProfile,
     "dq_referential"    -> dqReferential,
     "win_percent"       -> winPercent,
+    "win_ntile"         -> winNtile,
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
@@ -1416,6 +1435,12 @@ object Extras {
         |  (SELECT count(*) FROM lineitem li WHERE NOT EXISTS
         |    (SELECT 1 FROM orders WHERE o_orderkey = li.l_orderkey)))
         |ORDER BY rule""".stripMargin,
+    "win_ntile" ->
+      """SELECT n_name, c_custkey,
+        | ntile(4) OVER (PARTITION BY n_name ORDER BY c_acctbal, c_custkey)
+        |   AS quartile
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY n_name, c_custkey""".stripMargin,
     "win_percent" ->
       s"""SELECT n_name, c_custkey,
         | ${r4Sql("percent_rank() OVER w")} AS pct_rank,
