@@ -78,6 +78,58 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should not include "Window"
   }
 
+  test("continuous ingest: foreachBatch search→extend over a vector stream ≡ sequential replay") {
+    // the firehose shape of a streaming embedding pipeline: each
+    // microbatch is ANN-searched against the index as of the PREVIOUS
+    // batch, then encoded and appended — the codebook never retrains,
+    // verdicts depend only on ingest order. Equivalence oracle: the
+    // same batches replayed through the same API in a plain loop.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_stream").toString
+    val boot = vecs.where(col("vec_id") < 300)
+    val ixStream = s"$base/ix_s"; val ixLoop = s"$base/ix_l"
+    pipelines.PqIndex.buildFrom(spark, boot, "day0", ixStream)
+    pipelines.PqIndex.buildFrom(spark, boot, "day0", ixLoop)
+    // three batches of later fixture vectors; batch 2 clones a batch-1
+    // vector under a new id, so its nearest MUST be the batch-1 id at
+    // the self-quantization distance — proof the extend is visible
+    val later = vecs.where(col("vec_id") >= 300)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b1 = later.slice(0, 5)
+    val b2 = later.slice(5, 10)
+    val b3 = Array((900000001L, b1(0)._2)) ++ later.slice(10, 14)
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        got ++= pipelines.PqIndex.search(spark, df, ixStream, k = 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        pipelines.PqIndex.extend(spark, df, ixStream, id + 1)
+      }.start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      mem.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // sequential truth through the same API
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val df = b.toSeq.toDF("vec_id", "embedding")
+      want ++= pipelines.PqIndex.search(spark, df, ixLoop, k = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      pipelines.PqIndex.extend(spark, df, ixLoop, i + 1L)
+    }
+    got.sortBy(_._1).toSeq shouldBe want.sortBy(_._1).toSeq
+    // the cloned vector found its batch-1 original
+    val clone = got.find(_._1 == 900000001L).get
+    clone._2 shouldBe b1(0)._1
+  }
+
   test("an unstamped dir and a foreign geometry both fail loudly") {
     val empty = java.nio.file.Files.createTempDirectory("graft_pqe").toString
     val e1 = intercept[Exception] {
