@@ -738,6 +738,27 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     inter.values.max should be > 1
   }
 
+  test("the round-9 additions are shuffle-width-independent (order-free sums by construction)") {
+    // the exact-scaled-integer discipline's CI guard: results must be
+    // bit-identical at 1, 7 and 32 shuffle partitions — a regression to
+    // naive double summation would flip ulps with the merge order and
+    // surface here before the oracle ever sees it
+    val key = "spark.sql.shuffle.partitions"
+    val default = spark.conf.get(key)
+    def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      queries.Llm.llmEmbedQuantize(spark, sfDir).collect().toSeq,
+      queries.Textops.llmBpeMerges(spark, sfDir).collect().toSeq,
+      queries.Sketches.llmAnnPq(spark, sfDir).collect().toSeq)
+    try {
+      val results = Seq("1", "7", "32").map { n =>
+        spark.conf.set(key, n); runAll()
+      }
+      results(1) shouldBe results(0)
+      results(2) shouldBe results(0)
+      all(results(0).map(_.size)) should be > 0
+    } finally spark.conf.set(key, default)
+  }
+
   test("llm_bpe_merges matches a driver-side brute force over the raw corpus") {
     val out = queries.Textops.llmBpeMerges(spark, sfDir).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1)))
