@@ -253,6 +253,24 @@ object Aggs {
       .where(col("sum_qty") > 800)
       .orderBy("l_partkey")
 
+  /** agg_mode — most-frequent value per group (order priority per order
+    * status), ties broken by the smaller value so both engines agree.
+    * The top-1 selection is the repo's min_by discipline — min of the
+    * orderable (−count, value) struct over the bounded counts frame —
+    * never a ranking window: the count collapse is the only
+    * corpus-sized shuffle (map-side combined), the mode pick moves
+    * |statuses × priorities| rows. */
+  val aggMode: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("o_orderstatus")
+      .agg(min_by(struct(col("o_orderpriority"), col("n")),
+        struct((-col("n")).as("neg"), col("o_orderpriority"))).as("t"))
+      .select(col("o_orderstatus"), col("t.o_orderpriority").as("mode_priority"),
+        col("t.n").as("n"))
+      .orderBy("o_orderstatus")
+
   /** agg_approx_percentile — GK-sketch quantiles (the 100 TB path: exact
     * percentile needs a per-group sort/full pass; the sketch is one pass,
     * mergeable map-side, bounded memory). Like agg_approx_distinct it is
@@ -280,6 +298,7 @@ object Aggs {
     "agg_stats"           -> aggStats,
     "agg_percentile"      -> aggPercentile,
     "agg_having"          -> aggHaving,
+    "agg_mode"            -> aggMode,
     "agg_approx_percentile" -> aggApproxPercentile,
   )
 
@@ -342,6 +361,14 @@ object Aggs {
         | floor((percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)) * 10000 + 0.5) / 10000 AS p90,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        | SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        | SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |   ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_having" ->
       """SELECT l_partkey, floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey
