@@ -58,7 +58,13 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // bloom-routed exact dedup (the driver-side head() on the empty
     // corpus must yield the zero filter, not throw) + the two-pass
     // prefix-sum sharder
-    "llm_dedup_bloom", "llm_shard_balance")
+    "llm_dedup_bloom", "llm_shard_balance",
+    // round-9 third-session additions: tokenizer-training collapse,
+    // int8 quantization census, multiset set ops, quantile window,
+    // deterministic mode, PQ ANN (empty corpus -> empty codebook ->
+    // empty ranking)
+    "llm_bpe_merges", "llm_embed_quantize", "set_intersect_all",
+    "set_except_all", "win_ntile", "agg_mode", "llm_ann_pq")
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
   // empty corpus it is 20 well-defined rows (one zero-sketch merged
