@@ -58,4 +58,16 @@ object Det {
   /** Oracle-SQL twin of `sumR4`. */
   def sumR4Sql(e: String): String =
     s"CAST(sum(CAST(${r4Sql(e)} AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Wide twin of `sumR4` for magnitudes past DECIMAL(18,4)'s ~1e14
+    * ceiling (4th-power sums, weighted squares at stress scale): the
+    * same pre-round-then-exact-integer-sum recipe over DECIMAL(38,4)
+    * (int128 in both engines). The final cast to double rounds the SAME
+    * exact decimal on both sides → identical IEEE doubles. */
+  def sumR4W(c: Column): Column =
+    sum(r4(c).cast("decimal(38,4)")).cast("double")
+
+  /** Oracle-SQL twin of `sumR4W`. */
+  def sumR4WSql(e: String): String =
+    s"CAST(sum(CAST(${r4Sql(e)} AS DECIMAL(38,4))) AS DOUBLE)"
 }

@@ -285,8 +285,65 @@ object Aggs {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** agg_skew_kurt — 3rd/4th standardized moments per group, computed as
+    * TWO-PASS centered power sums rather than the built-in skewness/
+    * kurtosis: engines disagree both on the one-pass update formulas'
+    * ulp behavior and on the estimator convention (sample-bias-corrected
+    * vs population), so the oracle contract needs both sides to evaluate
+    * the identical IEEE expression — and the two-pass shape IS the
+    * 100 TB shape: pass 1 collapses the corpus to |groups| r4'd means
+    * (map-side combined), the means broadcast back, pass 2 is one more
+    * scan whose per-row centered powers are pre-rounded and summed as
+    * exact scaled integers, so merge order can never flip an ulp. The
+    * 4th power clears DECIMAL(18,4)'s ~1e14 ceiling at stress scale and
+    * rides the DECIMAL(38,4) wide sum; x^1.5 is written m·sqrt(m) (sqrt
+    * is correctly-rounded by IEEE — `pow` is not and differs per libm). */
+  val aggSkewKurt: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val means = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(r4(sum("l_quantity") / count(lit(1))).as("mean_qty"))
+    val dx = col("l_quantity") - col("mean_qty")
+    li.join(broadcast(means), col("l_returnflag") === col("rf"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sumR4(dx * dx).as("m2s"),
+           sumR4(dx * dx * dx).as("m3s"),
+           sumR4W(dx * dx * dx * dx).as("m4s"))
+      .select(col("l_returnflag"), col("n"),
+        r4((col("m3s") / col("n")) /
+           ((col("m2s") / col("n")) * sqrt(col("m2s") / col("n")))).as("skew"),
+        r4((col("m4s") / col("n")) /
+           ((col("m2s") / col("n")) * (col("m2s") / col("n"))) - 3).as("kurt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** agg_weighted — frequency-weighted mean and stddev (price-weighted
+    * quantity per return flag). Unlike agg_skew_kurt's centered moments
+    * the weighted moments are plain sums of per-row products, so the
+    * whole operator is ONE two-phase hash aggregate — no second pass.
+    * Exact-scaled-integer sums make the ratios merge-order-independent;
+    * w·x² magnitudes clear DECIMAL(18,4) at stress scale, so the square
+    * rides the DECIMAL(38,4) wide sum. No cancellation risk in the
+    * one-pass variance at these magnitudes (E[x²] ~ 7e2 vs mean² ~ 6e2). */
+  val aggWeighted: Q = (s, d) => {
+    val w = col("l_extendedprice"); val x = col("l_quantity")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sumR4(w).as("sw"),
+           sumR4(w * x).as("swx"),
+           sumR4W(w * x * x).as("swxx"))
+      .select(col("l_returnflag"), col("n"),
+        r4(col("swx") / col("sw")).as("wmean_qty"),
+        r4(sqrt(col("swxx") / col("sw") -
+                (col("swx") / col("sw")) * (col("swx") / col("sw")))).as("wsd_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_hash"            -> aggHash,
+    "agg_skew_kurt"       -> aggSkewKurt,
+    "agg_weighted"        -> aggWeighted,
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
@@ -374,5 +431,32 @@ object Aggs {
         |FROM lineitem GROUP BY l_partkey
         |HAVING floor((sum(l_quantity)) * 10000 + 0.5) / 10000 > 800
         |ORDER BY l_partkey""".stripMargin,
+    "agg_skew_kurt" ->
+      s"""WITH m AS (
+        | SELECT l_returnflag AS rf,
+        |  ${r4Sql("sum(l_quantity) / count(*)")} AS mean_qty
+        | FROM lineitem GROUP BY 1),
+        |a AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  ${sumR4Sql("(l_quantity - mean_qty) * (l_quantity - mean_qty)")} AS m2s,
+        |  ${sumR4Sql("(l_quantity - mean_qty) * (l_quantity - mean_qty) * (l_quantity - mean_qty)")} AS m3s,
+        |  ${sumR4WSql("(l_quantity - mean_qty) * (l_quantity - mean_qty) * (l_quantity - mean_qty) * (l_quantity - mean_qty)")} AS m4s
+        | FROM lineitem JOIN m ON l_returnflag = rf
+        | GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ${r4Sql("(m3s / n) / ((m2s / n) * sqrt(m2s / n))")} AS skew,
+        | ${r4Sql("(m4s / n) / ((m2s / n) * (m2s / n)) - 3")} AS kurt
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted" ->
+      s"""WITH a AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  ${sumR4Sql("l_extendedprice")} AS sw,
+        |  ${sumR4Sql("l_extendedprice * l_quantity")} AS swx,
+        |  ${sumR4WSql("l_extendedprice * l_quantity * l_quantity")} AS swxx
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ${r4Sql("swx / sw")} AS wmean_qty,
+        | ${r4Sql("sqrt(swxx / sw - (swx / sw) * (swx / sw))")} AS wsd_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -1073,7 +1073,35 @@ object Extras {
       .orderBy("event_type")
   }
 
+  /** dq_outliers — 3σ outlier census per delivery slice (order totals
+    * per priority): pass 1 collapses the corpus to |groups| r4'd
+    * (mean, sd) rows, the stats broadcast back, pass 2 counts rows
+    * breaching mean ± 3σ. The per-row verdict compares the raw value
+    * against identically-rounded bounds, so both engines agree row by
+    * row (a flip needs a value EXACTLY on the rounded bound — measure
+    * zero for continuous totals). The post-aggregation anomaly check a
+    * delivery runs before publishing a slice: a priority whose
+    * outlier share jumps while the others hold flags a corrupted or
+    * re-scaled upstream batch. Scale: two scans, map-side-combined
+    * stats, broadcast join — no corpus-sized shuffle. */
+  val dqOutliers: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val st = o.groupBy(col("o_orderpriority").as("pr"))
+      .agg(r4(sum("o_totalprice") / count(lit(1))).as("mean_tp"),
+           r4(stddev_samp(col("o_totalprice"))).as("sd_tp"))
+    o.join(broadcast(st), col("o_orderpriority") === col("pr"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sum(when(abs(col("o_totalprice") - col("mean_tp")) > lit(3) * col("sd_tp"), 1L)
+             .otherwise(0L)).as("n_outlier"),
+           r4(max(col("o_totalprice"))).as("max_tp"))
+      .select(col("o_orderpriority"), col("n"), col("n_outlier"),
+        r4(col("n_outlier") / col("n") * 100).as("out_pct"), col("max_tp"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_outliers"       -> dqOutliers,
     "dq_freshness"      -> dqFreshness,
     "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_dedup_bloom"   -> llmDedupBloom,
@@ -1182,6 +1210,18 @@ object Extras {
        |  LEFT JOIN (SELECT DISTINCT $ck AS k FROM $child) c2 ON c2.k = p.k) ps""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dq_outliers" ->
+      s"""WITH st AS (
+        | SELECT o_orderpriority AS pr,
+        |  ${r4Sql("sum(o_totalprice) / count(*)")} AS mean_tp,
+        |  ${r4Sql("stddev_samp(o_totalprice)")} AS sd_tp
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CASE WHEN abs(o_totalprice - mean_tp) > 3 * sd_tp THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier,
+        | ${r4Sql("CAST(sum(CASE WHEN abs(o_totalprice - mean_tp) > 3 * sd_tp THEN 1 ELSE 0 END) AS BIGINT) / count(*) * 100")} AS out_pct,
+        | ${r4Sql("max(o_totalprice)")} AS max_tp
+        |FROM orders JOIN st ON o_orderpriority = pr
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dq_freshness" ->
       s"""WITH e AS (
         | SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),

@@ -226,7 +226,29 @@ object Joins {
       .orderBy("o_orderstatus")
   }
 
+  /** join_nullsafe — null-safe equality join (`<=>`): the BUILDING
+    * segment is nulled out on BOTH sides via nullif, and the null-keyed
+    * rows must still pair with the null-keyed dim row — a plain
+    * equi-join silently drops them, the classic lost-rows bug when a
+    * key-normalization pipeline maps sentinel values to NULL. Spark
+    * plans EqualNullSafe as a true equi-join key (coalesced hash key),
+    * so the broadcast-hash shape survives; the dim side is |segments|
+    * rows by construction at any corpus size. */
+  val joinNullsafe: Q = (s, d) => {
+    val segN = nullif(col("c_mktsegment"), lit("BUILDING"))
+    val dim = Tables.customer(s, d)
+      .groupBy(segN.as("seg_d"))
+      .agg(count(lit(1)).as("n_seg"),
+           r4(sum("c_acctbal") / count(lit(1))).as("avg_bal"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), segN.as("seg"))
+      .join(broadcast(dim), col("seg") <=> col("seg_d"))
+      .select(col("c_custkey"), col("seg"), col("n_seg"), col("avg_bal"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_nullsafe"    -> joinNullsafe,
     "join_bucketed"    -> joinBucketed,
     "join_broadcast"   -> joinBroadcast,
     "join_shuffle"     -> joinShuffle,
@@ -242,6 +264,17 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_nullsafe" ->
+      s"""WITH c AS (
+        | SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+        | FROM customer),
+        |dim AS (
+        | SELECT seg AS seg_d, count(*) AS n_seg,
+        |  ${r4Sql("sum(c_acctbal) / count(*)")} AS avg_bal
+        | FROM c GROUP BY seg)
+        |SELECT c_custkey, seg, n_seg, avg_bal
+        |FROM c JOIN dim ON seg IS NOT DISTINCT FROM seg_d
+        |ORDER BY c_custkey""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
         | floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,

@@ -64,7 +64,10 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // deterministic mode, PQ ANN (empty corpus -> empty codebook ->
     // empty ranking)
     "llm_bpe_merges", "llm_embed_quantize", "set_intersect_all",
-    "set_except_all", "win_ntile", "agg_mode", "llm_ann_pq")
+    "set_except_all", "win_ntile", "agg_mode", "llm_ann_pq",
+    // fourth-session additions: two-pass moments / outlier census (empty
+    // stats broadcast -> empty join), weighted moments, null-safe join
+    "agg_skew_kurt", "agg_weighted", "dq_outliers", "join_nullsafe")
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
   // empty corpus it is 20 well-defined rows (one zero-sketch merged

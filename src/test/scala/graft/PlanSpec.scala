@@ -37,6 +37,32 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     planOf(Sorts.limitTopk(spark, sfDir)) should include("TakeOrderedAndProject")
   }
 
+  test("join_nullsafe plans EqualNullSafe as a hash join key, not a nested loop") {
+    // the scale property behind the operator: <=> is a coalesced
+    // equi-key, so the null-matching join keeps the broadcast-hash
+    // shape — a BroadcastNestedLoopJoin here would be O(n·|dim|)
+    val plan = planOf(Joins.joinNullsafe(spark, sfDir))
+    plan should include("BroadcastHashJoin")
+    plan should not include "NestedLoop"
+  }
+
+  test("the two-pass moment/outlier stats rejoins broadcast at any corpus size") {
+    // agg_skew_kurt and dq_outliers broadcast their |groups|-row stats
+    // frame back over the fact scan by explicit hint — pinned with
+    // auto-broadcast off so the shape cannot silently degrade to a
+    // corpus-wide SortMergeJoin when the planner's size estimate drifts
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p1 = planOf(queries.Aggs.aggSkewKurt(spark, sfDir))
+      val p2 = planOf(queries.Extras.dqOutliers(spark, sfDir))
+      p1 should include("BroadcastHashJoin")
+      p1 should not include "SortMergeJoin"
+      p2 should include("BroadcastHashJoin")
+      p2 should not include "SortMergeJoin"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("partitioned copy enables partition pruning on read-back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
     Tables.lineitem(spark, sfDir)

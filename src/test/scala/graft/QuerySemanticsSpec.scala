@@ -748,7 +748,13 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     def runAll(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
       queries.Llm.llmEmbedQuantize(spark, sfDir).collect().toSeq,
       queries.Textops.llmBpeMerges(spark, sfDir).collect().toSeq,
-      queries.Sketches.llmAnnPq(spark, sfDir).collect().toSeq)
+      queries.Sketches.llmAnnPq(spark, sfDir).collect().toSeq,
+      // fourth-session additions: the centered/weighted moment sums ride
+      // the same exact-scaled-integer recipe (sumR4 / sumR4W)
+      queries.Aggs.aggSkewKurt(spark, sfDir).collect().toSeq,
+      queries.Aggs.aggWeighted(spark, sfDir).collect().toSeq,
+      queries.Extras.dqOutliers(spark, sfDir).collect().toSeq,
+      queries.Joins.joinNullsafe(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
