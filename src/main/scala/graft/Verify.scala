@@ -14,6 +14,10 @@ object Verify {
       // Dump µs-int64 timestamps (not INT96) so the DuckDB-side compare
       // reads identical values (SURVEY.md §7.3 item 3).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Hold the whole suite's generated classes (static conf; default
+      // 100 churns at 153 queries — rationale and measurement in
+      // Bench.scala's twin setting).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
