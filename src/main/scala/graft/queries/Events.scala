@@ -191,6 +191,37 @@ object Events {
       .limit(20)
   }
 
+  /** ev_markov — the first-order behavioral transition matrix: for every
+    * (previous event type → event type) adjacency in per-user ordered
+    * sequences, the transition count and row-normalized probability —
+    * the Markov-chain model ev_user_path's top-k trigrams sample from,
+    * materialized in full (|types|² rows, bounded by the type domain,
+    * not the corpus). The session-modeling / next-event-prediction
+    * baseline every behavioral pipeline starts with.
+    *
+    * Scale shape: one user_id window (the same single-exchange lag
+    * shape as ev_user_path), one map-side-combined count agg down to
+    * the |types|² frame, then the per-source normalizer is a bounded
+    * agg broadcast back. p = n/tot is a single IEEE division of two
+    * exact longs — engine-deterministic before the r4 grain. */
+  val evMarkov: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // cut: the |types|² count frame feeds both the normalizer agg and
+    // the scoring join — without it each reference re-runs the full
+    // events scan + window (the ev_anomaly precedent)
+    val counts = graft.ops.Lineage.cut(Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n")))
+    val totals = counts.groupBy("prev_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        r4(col("n") * lit(1.0) / col("tot")).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** ev_anomaly — hourly volume anomalies per event type: z-score of
     * each hour's event count against that type's own hourly mean/stddev,
     * hours with |z| ≥ 2 flagged. The ops-monitoring shape of an event
@@ -339,6 +370,7 @@ object Events {
     "ev_cohort_ltv"     -> evCohortLtv,
     "ev_anomaly"        -> evAnomaly,
     "ev_user_path"      -> evUserPath,
+    "ev_markov"         -> evMarkov,
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
     "ev_session"        -> evSession,
@@ -466,6 +498,19 @@ object Events {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
         | WHERE t2 IS NOT NULL GROUP BY e0, e1, e2)
         |ORDER BY n DESC, e0, e1, e2 LIMIT 20""".stripMargin,
+    "ev_markov" ->
+      s"""WITH adj AS (
+        | SELECT prev_type, event_type, count(*) AS n FROM (
+        |  SELECT event_type,
+        |   lag(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events)
+        | WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+        |tot AS (SELECT prev_type, sum(n) AS tot FROM adj GROUP BY prev_type)
+        |SELECT prev_type, event_type, n,
+        | ${r4Sql("n * 1.0 / tot")} AS p
+        |FROM adj JOIN tot USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin,
     "ev_inter_arrival" ->
       s"""WITH g AS (
         | SELECT event_type,

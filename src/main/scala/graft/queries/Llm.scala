@@ -200,6 +200,48 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** llm_bm25 — Okapi BM25 lexical retrieval scoring (Robertson et al.,
+    * TREC-3): top-20 documents for a fixed query term set, the
+    * keyword-search sibling of llm_cosine_topk's dense retrieval (a
+    * training-data pipeline runs BOTH: lexical for contamination/recall
+    * audits, dense for semantic dedup). k1 = 1.2, b = 0.75 (the
+    * textbook operating point); idf is the +1-smoothed Robertson
+    * variant ln((N−df+0.5)/(df+0.5)+1) — strictly positive, so common
+    * terms can't flip scores negative.
+    *
+    * Scale shape: the query-term filter collapses the token stream to
+    * |Q| terms BEFORE any join, so tf is a bounded frame (docs×|Q| at
+    * worst); df over it is |Q| rows and the corpus stats are ONE row —
+    * both broadcast. The only corpus-sized work is two token-stream
+    * scans (doc lengths + term frequencies), each one map-side-combined
+    * agg; the final top-20 is TakeOrderedAndProject, never a sort of
+    * the full score frame. At 100 TB the doc-length table is the one
+    * per-doc artifact — the shape every search engine stores it in.
+    *
+    * Determinism: tf/df/dl/n_docs are exact longs; avgdl = sum·1.0/n is
+    * one exact-long conversion + one IEEE division; each term's
+    * contribution is r4'd and the per-doc score sums the exact scaled
+    * integers (sumR4), so the ≤|Q|-element sum is merge-order-free. */
+  val llmBm25: Q = (s, d) => {
+    val qTerms = Seq("join", "hash", "scan", "filter")
+    val tok = tokens(s, d).select("doc_id", "token")
+    val nd = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = nd.agg(count(lit(1)).as("n_docs"),
+      (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val tf = tok.where(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "token").join(nd, "doc_id").crossJoin(broadcast(corpus))
+      .withColumn("contrib", r4(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+      .groupBy("doc_id")
+      .agg(sumR4(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** llm_jaccard_pairs — near-dup candidates via rarity blocking, exact
     * token-set Jaccard ≥ 0.8 within the same language. */
   val llmJaccardPairs: Q = (s, d) =>
@@ -680,6 +722,7 @@ object Llm {
     "llm_knn_label"         -> llmKnnLabel,
     "llm_token_stats"       -> llmTokenStats,
     "llm_tfidf"             -> llmTfidf,
+    "llm_bm25"              -> llmBm25,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
     "llm_pair_table"        -> llmPairTable,
     "llm_containment"       -> llmContainment,
@@ -765,6 +808,20 @@ object Llm {
         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
         | FROM scored)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "llm_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |nd AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM nd),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('join', 'hash', 'scan', 'filter') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |c AS (
+        | SELECT tf.doc_id,
+        |  ${r4Sql("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))")} AS contrib
+        | FROM tf JOIN dfq ON tf.token = dfq.token JOIN nd ON tf.doc_id = nd.doc_id, corpus)
+        |SELECT doc_id, ${sumR4Sql("contrib")} AS score, count(*) AS n_terms
+        |FROM c GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
     "llm_pair_table"    -> jaccardPairsSql("0.6"),
     "llm_containment" ->

@@ -92,12 +92,54 @@ object Windows {
       .orderBy("n_name", "c_custkey")
   }
 
+  /** win_scd2 — slowly-changing-dimension (type 2) build: the versioned
+    * per-customer priority dimension derived from the orders change
+    * stream. The canonical warehouse delivery transform — change
+    * detection (lag ≠ current under the strict (eff_date, o_orderkey)
+    * order) keeps only version-opening rows, then valid_to = the NEXT
+    * version's valid_from (lead over the filtered frame) and
+    * is_current = no successor. Same-day re-changes are legal and
+    * deterministic: the o_orderkey tie-break orders them, the earlier
+    * version closes at its own date (a zero-length interval, the
+    * standard SCD2 intraday convention).
+    *
+    * Scale shape: ONE hash exchange on o_custkey serves BOTH windows —
+    * the change filter preserves the first window's partitioning and
+    * (eff_date, o_orderkey) sort, so the lead window's requirements
+    * are already satisfied and the planner elides its exchange and
+    * sort (PlanSpec pins the single-window-exchange shape). Output is
+    * versions, not orders: bounded by the change count. */
+  val winScd2: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("eff_date"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("eff_date"), col("o_orderpriority"))
+      .withColumn("prev_prio", lag("o_orderpriority", 1).over(w))
+      .where(col("prev_prio").isNull || col("prev_prio") =!= col("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("prio"),
+        col("eff_date").as("valid_from"),
+        lead("eff_date", 1).over(
+          Window.partitionBy("o_custkey").orderBy(col("eff_date"), col("o_orderkey"))
+        ).as("succ"))
+      // open versions close at the standard SCD2 far-future sentinel
+      // (never NULL: range predicates like `d BETWEEN valid_from AND
+      // valid_to` must hit the current version without IS NULL special
+      // cases — and NULL dates are also the one value the oracle
+      // compare can't total-order)
+      .select(col("o_custkey"), col("o_orderkey"), col("prio"), col("valid_from"),
+        coalesce(col("succ"), lit("9999-12-31").cast("date")).as("valid_to"),
+        col("succ").isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank"        -> winRank,
     "win_lag_lead"    -> winLagLead,
     "win_running"     -> winRunning,
     "win_range_frame" -> winRangeFrame,
     "win_first_last"  -> winFirstLast,
+    "win_scd2"        -> winScd2,
   )
 
   val oracle: Map[String, String] = Map(
@@ -137,5 +179,22 @@ object Windows {
         |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY n_name, c_custkey""".stripMargin,
+    "win_scd2" ->
+      """WITH base AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS eff_date, o_orderpriority
+        | FROM orders),
+        |chg AS (
+        | SELECT *, lag(o_orderpriority, 1) OVER
+        |   (PARTITION BY o_custkey ORDER BY eff_date, o_orderkey) AS prev_prio
+        | FROM base)
+        |SELECT o_custkey, o_orderkey, o_orderpriority AS prio,
+        | eff_date AS valid_from,
+        | coalesce(lead(eff_date, 1) OVER w, DATE '9999-12-31') AS valid_to,
+        | (lead(eff_date, 1) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY eff_date, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
   )
 }

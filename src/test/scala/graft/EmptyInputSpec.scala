@@ -67,7 +67,11 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "set_except_all", "win_ntile", "agg_mode", "llm_ann_pq",
     // fourth-session additions: two-pass moments / outlier census (empty
     // stats broadcast -> empty join), weighted moments, null-safe join
-    "agg_skew_kurt", "agg_weighted", "dq_outliers", "join_nullsafe")
+    "agg_skew_kurt", "agg_weighted", "dq_outliers", "join_nullsafe",
+    // fifth-session additions: SCD2 over an empty change stream, the
+    // transition matrix's empty normalizer join, BM25's zero-doc corpus
+    // stats (avgdl NULL is never evaluated — the tf frame is empty)
+    "win_scd2", "ev_markov", "llm_bm25")
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
   // empty corpus it is 20 well-defined rows (one zero-sketch merged

@@ -377,6 +377,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("win_scd2's two windows share one exchange and one sort") {
+    // the scale property: the change filter preserves the lag window's
+    // (o_custkey) partitioning and (eff_date, o_orderkey) order, so the
+    // lead window adds NO second exchange or sort — a regression here
+    // doubles the operator's shuffle volume. Allowed exchanges: the one
+    // o_custkey hashpartitioning + the final output-order range shuffle.
+    val plan = planOf(queries.Windows.winScd2(spark, sfDir))
+    "hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan.sliding("Window".length).count(_ == "Window") shouldBe 2
+    // exactly two sorts: the window sort + the output orderBy
+    "\\+- Sort ".r.findAllIn(plan).size shouldBe 2
+  }
+
+  test("llm_bm25 top-20 compiles to TakeOrderedAndProject; corpus stats broadcast") {
+    // the scale shape: the final selection must never sort the full
+    // per-doc score frame, and the 1-row corpus stats / |Q|-row df
+    // tables must reach the scoring join as broadcasts
+    val plan = planOf(queries.Llm.llmBm25(spark, sfDir))
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastExchange")
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

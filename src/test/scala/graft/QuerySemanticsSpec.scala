@@ -754,7 +754,14 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Aggs.aggSkewKurt(spark, sfDir).collect().toSeq,
       queries.Aggs.aggWeighted(spark, sfDir).collect().toSeq,
       queries.Extras.dqOutliers(spark, sfDir).collect().toSeq,
-      queries.Joins.joinNullsafe(spark, sfDir).collect().toSeq)
+      queries.Joins.joinNullsafe(spark, sfDir).collect().toSeq,
+      // fifth-session additions: BM25's ≤|Q|-element contrib sums ride
+      // sumR4; scd2/markov are pure window/count algebra but their
+      // filtered-window and normalizer-join shapes must not depend on
+      // the exchange width either
+      queries.Llm.llmBm25(spark, sfDir).collect().toSeq,
+      queries.Windows.winScd2(spark, sfDir).collect().toSeq,
+      queries.Events.evMarkov(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -780,5 +787,83 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     val expTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
     out shouldBe expTop
     all(out.map(_._1.length)) shouldBe 2
+  }
+
+  test("win_scd2 matches a driver-side SCD2 fold over the raw change stream") {
+    val out = queries.Windows.winScd2(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDate(3).toString, r.getDate(4).toString, r.getBoolean(5)))
+    // independent recomputation: a per-customer in-memory fold, no
+    // windows — keep change rows, chain valid_to, close the tail at the
+    // sentinel ("yyyy-MM-dd" strings sort chronologically)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderpriority"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString, r.getString(3)))
+    val exp = orders.groupBy(_._1).toSeq.flatMap { case (ck, rowsU) =>
+      val rows = rowsU.sortBy(r => (r._3, r._2))
+      val kept = rows.indices
+        .filter(i => i == 0 || rows(i - 1)._4 != rows(i)._4).map(rows)
+      kept.zipWithIndex.map { case (r, i) =>
+        val vto = if (i + 1 < kept.size) kept(i + 1)._3 else "9999-12-31"
+        (ck, r._2, r._4, r._3, vto, i + 1 == kept.size)
+      }
+    }.sortBy(t => (t._1, t._4, t._2))
+    out shouldBe exp
+    // structural SCD2 invariants: exactly one open version per customer,
+    // and consecutive versions always differ in the tracked attribute
+    exp.groupBy(_._1).foreach { case (_, vs) => vs.count(_._6) shouldBe 1 }
+  }
+
+  test("ev_markov matches a driver-side transition tally and rows normalize to 1") {
+    val out = queries.Events.evMarkov(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect().toSeq
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          r.getLong(2), r.getString(3))
+      }
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rowsU) =>
+      val types = rowsU.sortBy(r => (r._2, r._3)).map(_._4)
+      types.zip(types.drop(1))
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val exp = counts.toSeq.map { case ((a, b), n) =>
+      (a, b, n, graft.ops.Det.r4d(n.toDouble / tot(a)))
+    }.sortBy(t => (t._1, t._2))
+    out shouldBe exp
+    // each matrix row's raw probabilities sum to 1 before the r4 grain
+    tot.foreach { case (a, t) =>
+      counts.collect { case ((p, _), n) if p == a => n }.sum shouldBe t }
+  }
+
+  test("llm_bm25 matches a driver-side brute force (same r4 + scaled-integer sum)") {
+    val qTerms = Seq("join", "hash", "scan", "filter")
+    val out = queries.Llm.llmBm25(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().toSeq.flatMap(r => Option(r.getString(1)).map(t => r.getLong(0) -> t))
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }.toMap
+    val nDocs = dl.size.toLong
+    val avgdl = dl.values.sum * 1.0 / nDocs
+    val tf = toks.flatMap { case (id, ts) => ts.filter(qTerms.contains).map(id -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val exp = tf.toSeq.groupBy(_._1._1).toSeq.map { case (id, terms) =>
+      // mirror sumR4 exactly: each contrib to its scaled integer, sum
+      // the longs, divide back — never a naive double sum
+      val ks = terms.map { case ((_, term), n) =>
+        val c = math.log((nDocs - df(term) + 0.5) / (df(term) + 0.5) + 1.0) *
+          (n * 2.2) / (n + 1.2 * (0.25 + 0.75 * (dl(id) / avgdl)))
+        math.floor(c * 10000 + 0.5).toLong
+      }
+      (id, ks.sum / 10000.0, terms.size.toLong)
+    }.sortBy(t => (-t._2, t._1)).take(20)
+    out shouldBe exp
   }
 }
