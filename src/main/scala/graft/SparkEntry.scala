@@ -28,6 +28,7 @@ object SparkEntry {
     (Extras.queries, Extras.oracle),
     (Textops.queries, Textops.oracle),
     (Webops.queries, Webops.oracle),
+    (Graphs.queries, Graphs.oracle),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

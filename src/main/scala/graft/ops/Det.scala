@@ -70,4 +70,27 @@ object Det {
   /** Oracle-SQL twin of `sumR4W`. */
   def sumR4WSql(e: String): String =
     s"CAST(sum(CAST(${r4Sql(e)} AS DECIMAL(38,4))) AS DOUBLE)"
+
+  /** Fine-grain (8-decimal) twin of `r4` for probability-scale values
+    * (PageRank masses, per-edge contributions ~1e-4..1e-2) where the 1e-4
+    * grain would destroy the signal. Same engine-independence argument:
+    * x·1e8 is exact for |x| < 2^53/1e8 ≈ 9e7 — every probability-scale
+    * magnitude — and floor + the long→double divide are IEEE-identical
+    * in both engines. */
+  def r8(c: Column): Column = floor(c * 100000000L + lit(0.5)) / 100000000L
+
+  /** Oracle-SQL twin of `r8`. */
+  def r8Sql(e: String): String =
+    s"floor(($e) * 100000000 + 0.5) / 100000000"
+
+  /** Exact order-free SUM of r8'd values — the `sumR4` recipe at the
+    * 8-decimal grain over DECIMAL(38,8) (int128 both engines): pre-round
+    * each value with `r8` (bit-identical), recover the exact scaled
+    * integer via the decimal cast, sum exactly, emit as double. */
+  def sumR8(c: Column): Column =
+    sum(r8(c).cast("decimal(38,8)")).cast("double")
+
+  /** Oracle-SQL twin of `sumR8`. */
+  def sumR8Sql(e: String): String =
+    s"CAST(sum(CAST(${r8Sql(e)} AS DECIMAL(38,8))) AS DOUBLE)"
 }

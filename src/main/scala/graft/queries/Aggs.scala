@@ -340,10 +340,45 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** agg_corr — per-group Pearson correlation + sample covariance
+    * (quantity vs line revenue per return flag), via the agg_skew_kurt
+    * two-pass CENTERED discipline rather than the built-in corr/
+    * covar_samp: the one-pass raw-moment formula n·Σxy − Σx·Σy loses
+    * ~10 significant digits to cancellation at money magnitudes (Σxy ~
+    * 1e13 at bench scale, growing with the corpus), and the built-ins'
+    * update order is engine- and merge-order-dependent — centered
+    * products are O(σ²), cancellation-free, and the identical IEEE
+    * expression on both sides. Pass 1 collapses to |groups| r4'd means
+    * (map-side combined) broadcast back; pass 2 sums pre-rounded
+    * centered products as exact scaled integers (order-free; the xy/x²/
+    * y² products at centered magnitudes stay far under DECIMAL(18,4)'s
+    * ceiling except y-squared at money scale, which rides the wide
+    * sum). */
+  val aggCorr: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val means = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(r4(sum("l_quantity") / count(lit(1))).as("mx"),
+           r4(sum(rev) / count(lit(1))).as("my"))
+    val dx = col("l_quantity") - col("mx")
+    val dy = rev - col("my")
+    li.join(broadcast(means), col("l_returnflag") === col("rf"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sumR4(dx * dy).as("sxy"),
+           sumR4(dx * dx).as("sxx"),
+           sumR4W(dy * dy).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        r4(col("sxy") / sqrt(col("sxx") * col("syy"))).as("corr_qty_rev"),
+        r4(col("sxy") / (col("n") - 1)).as("covar_qty_rev"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_hash"            -> aggHash,
     "agg_skew_kurt"       -> aggSkewKurt,
     "agg_weighted"        -> aggWeighted,
+    "agg_corr"            -> aggCorr,
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
@@ -457,6 +492,23 @@ object Aggs {
         |SELECT l_returnflag, n,
         | ${r4Sql("swx / sw")} AS wmean_qty,
         | ${r4Sql("sqrt(swxx / sw - (swx / sw) * (swx / sw))")} AS wsd_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_corr" ->
+      s"""WITH m AS (
+        | SELECT l_returnflag AS rf,
+        |  ${r4Sql("sum(l_quantity) / count(*)")} AS mx,
+        |  ${r4Sql("sum(l_extendedprice * (1 - l_discount)) / count(*)")} AS my
+        | FROM lineitem GROUP BY 1),
+        |a AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  ${sumR4Sql("(l_quantity - mx) * (l_extendedprice * (1 - l_discount) - my)")} AS sxy,
+        |  ${sumR4Sql("(l_quantity - mx) * (l_quantity - mx)")} AS sxx,
+        |  ${sumR4WSql("(l_extendedprice * (1 - l_discount) - my) * (l_extendedprice * (1 - l_discount) - my)")} AS syy
+        | FROM lineitem JOIN m ON l_returnflag = rf
+        | GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ${r4Sql("sxy / sqrt(sxx * syy)")} AS corr_qty_rev,
+        | ${r4Sql("sxy / (n - 1)")} AS covar_qty_rev
         |FROM a ORDER BY l_returnflag""".stripMargin,
   )
 }

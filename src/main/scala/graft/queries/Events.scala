@@ -222,6 +222,41 @@ object Events {
       .orderBy("prev_type", "event_type")
   }
 
+  /** ev_gap_fill — calendar densification: the per-(event type, day)
+    * activity series with MISSING days materialized (n = 0), the
+    * carried-forward last active day's volume, and the gap flag — the
+    * time-series regularization every downstream window/forecast op
+    * assumes (a raw groupBy emits no row for a silent day, so a 7-day
+    * moving average silently spans gaps; the dense grid is the fix).
+    *
+    * Scale shape: ONE corpus-sized scan (the daily groupBy, map-side
+    * combined, |types|×|days| rows out); the calendar span, the type
+    * roster, and the dense grid all derive from that bounded frame —
+    * the cross join is bounded×bounded by construction (sequence() over
+    * the global [min, max] day span × distinct types), never
+    * corpus-sized, and the left join back is grid-sized. Forward fill
+    * is one window over the grid, partitioned by type — day is unique
+    * per type, so the default RANGE frame is deterministic. Types that
+    * begin after the global start carry 0 until first activity
+    * (documented convention; the oracle mirrors the coalesce). */
+  val evGapFill: Q = (s, d) => {
+    val daily = graft.ops.Lineage.cut(Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L))
+          .as("last_seen_n"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("event_type", "day")
+  }
+
   /** ev_anomaly — hourly volume anomalies per event type: z-score of
     * each hour's event count against that type's own hourly mean/stddev,
     * hours with |z| ≥ 2 flagged. The ops-monitoring shape of an event
@@ -371,6 +406,7 @@ object Events {
     "ev_anomaly"        -> evAnomaly,
     "ev_user_path"      -> evUserPath,
     "ev_markov"         -> evMarkov,
+    "ev_gap_fill"       -> evGapFill,
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
     "ev_session"        -> evSession,
@@ -511,6 +547,24 @@ object Events {
         | ${r4Sql("n * 1.0 / tot")} AS p
         |FROM adj JOIN tot USING (prev_type)
         |ORDER BY prev_type, event_type""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |days AS (
+        | SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+        |grid AS (
+        | SELECT t.event_type, days.day
+        | FROM (SELECT DISTINCT event_type FROM daily) t, days)
+        |SELECT g.event_type, g.day,
+        | coalesce(n, 0) AS n,
+        | coalesce(last_value(n IGNORE NULLS)
+        |   OVER (PARTITION BY g.event_type ORDER BY g.day), 0) AS last_seen_n,
+        | (n IS NULL) AS is_gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.event_type = d.event_type AND g.day = d.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
     "ev_inter_arrival" ->
       s"""WITH g AS (
         | SELECT event_type,

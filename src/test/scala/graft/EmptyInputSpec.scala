@@ -71,7 +71,24 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // fifth-session additions: SCD2 over an empty change stream, the
     // transition matrix's empty normalizer join, BM25's zero-doc corpus
     // stats (avgdl NULL is never evaluated — the tf frame is empty)
-    "win_scd2", "ev_markov", "llm_bm25")
+    "win_scd2", "ev_markov", "llm_bm25",
+    // fifth-session additions: correlation's empty means broadcast,
+    // pagerank's empty edge set (the 3-iteration loop over empty frames
+    // must not throw), gap-fill's NULL calendar span (sequence(NULL,
+    // NULL) -> explode -> zero days)
+    "agg_corr", "graph_pagerank", "ev_gap_fill")
+
+  // graph_triangles is a census: on an empty graph it is ONE well-defined
+  // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total
+  // edges), not zero rows — the count aggregate always emits
+  test("graph_triangles on an empty graph: the one-row zero census") {
+    val rows = SparkEntry.queries("graph_triangles")(spark, emptyDir).collect()
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 0L
+    rows.head.getDouble(1) shouldBe 0.0
+    rows.head.getLong(3) shouldBe 0L
+    rows.head.getLong(4) shouldBe 0L
+  }
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
   // empty corpus it is 20 well-defined rows (one zero-sketch merged

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.apache.spark.sql.DataFrame
+import graft.queries.Graphs
+
+/** Gates for the graph-analytics family's estimator (SURVEY §2.13,
+  * round 9): graph_triangles is DOULION (Tsourakakis et al. KDD'09) on
+  * a DETERMINISTIC md5-sparsified subgraph — the estimator must (a)
+  * reduce to the exact count when sparsification is off, and (b) land
+  * inside the concentration band the unbiasedness argument predicts on
+  * a graph with known ground truth. Synthetic disjoint cliques make the
+  * truth analytic: k cliques of size m hold exactly k·C(m,3) triangles
+  * and k·C(m,2) edges. */
+class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
+
+  /** k disjoint cliques of size m; node ids c·1000+i keep cliques
+    * disjoint, edges emitted src < dst. */
+  private def cliques(k: Int, m: Int): DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      c <- 0 until k; i <- 0 until m; j <- (i + 1) until m
+    } yield (c * 1000L + i, c * 1000L + j)
+    pairs.toDF("src", "dst")
+  }
+
+  test("pct=100 is the exact triangle count (sparsifier off ≡ brute force)") {
+    val r = Graphs.sparsifiedTriangles(cliques(30, 6), 100).collect().head
+    r.getLong(0) shouldBe 30L * 20L // C(6,3) = 20 per clique
+    r.getDouble(1) shouldBe 600.0   // scale 1³ — estimate IS the count
+    r.getLong(3) shouldBe 450L      // all edges kept
+    r.getLong(4) shouldBe 450L
+  }
+
+  test("DOULION pct=25 estimate concentrates around the analytic truth") {
+    // 200 disjoint K6 cliques: 4000 triangles behind 3000 edges. Each
+    // triangle survives iff its 3 edges all hash under the cut (p³ =
+    // 1/64, E[sampled] = 62.5); triangle survivals within a clique are
+    // positively correlated through shared edges, widening the band vs
+    // the independent-case std (~13%) — ±50% is > 3 adjusted sigmas.
+    // The draw is DETERMINISTIC (md5), so this pins a fixed value
+    // inside the band, not a flaky sample.
+    val truth = 4000.0
+    val r = Graphs.sparsifiedTriangles(cliques(200, 6), 25).collect().head
+    val est = r.getDouble(1)
+    est should be >= truth * 0.5
+    est should be <= truth * 1.5
+    // the kept-edge census tracks the Bernoulli(0.25) cut
+    r.getLong(3).toDouble shouldBe (3000 * 0.25) +- 3000 * 0.25 * 0.25
+    r.getLong(4) shouldBe 3000L
+  }
+
+  test("estimator consistency: the registered query's estimate is its sampled count × 64") {
+    val r = queries.Graphs.graphTriangles(spark, sfDir).collect().head
+    r.getDouble(1) shouldBe graft.ops.Det.r4d(r.getLong(0) * 64.0)
+    r.getLong(2) shouldBe 25L
+    r.getLong(3) should be <= r.getLong(4)
+  }
+}

@@ -399,6 +399,31 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should include("BroadcastExchange")
   }
 
+  test("graph_triangles' wedge join is pure equi-join algebra — no nested loop") {
+    // the scale property: the triangle closure must run as hash/SMJ
+    // equi-joins on edge endpoints — a CartesianProduct there is O(E²)
+    // row comparisons and dies at web scale long before the wedge
+    // volume does. The census's 1-row totals crossJoin is the repo's
+    // declared bounded exception (BroadcastNestedLoopJoin over a 1-row
+    // build side), so exactly one nested-loop is allowed and it must be
+    // the broadcast form.
+    val plan = planOf(queries.Graphs.graphTriangles(spark, sfDir))
+    plan should not include "CartesianProduct"
+    "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(plan).size should be >= 2
+    "BroadcastNestedLoopJoin".r.findAllIn(plan).size should be <= 1
+  }
+
+  test("ev_gap_fill reads the corpus exactly once: the grid derives from the cut daily frame") {
+    // one corpus-sized scan (the daily aggregate, materialized via
+    // Lineage.cut); span, type roster, calendar grid, and the fill join
+    // must all flow from that bounded frame — a second parquet scan of
+    // events in the final plan means the densification re-read the
+    // corpus
+    val plan = planOf(queries.Events.evGapFill(spark, sfDir))
+    plan should include("ExistingRDD")
+    plan should not include "Scan parquet"
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

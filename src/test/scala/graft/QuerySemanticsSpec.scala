@@ -761,7 +761,14 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       // the exchange width either
       queries.Llm.llmBm25(spark, sfDir).collect().toSeq,
       queries.Windows.winScd2(spark, sfDir).collect().toSeq,
-      queries.Events.evMarkov(spark, sfDir).collect().toSeq)
+      queries.Events.evMarkov(spark, sfDir).collect().toSeq,
+      // fifth-session additions: pagerank's per-iteration sumR8 merges,
+      // the triangle census's sampled wedge join, corr's centered sums,
+      // gap-fill's bounded grid — none may depend on exchange width
+      queries.Graphs.graphPagerank(spark, sfDir).collect().toSeq,
+      queries.Graphs.graphTriangles(spark, sfDir).collect().toSeq,
+      queries.Aggs.aggCorr(spark, sfDir).collect().toSeq,
+      queries.Events.evGapFill(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -839,6 +846,101 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     // each matrix row's raw probabilities sum to 1 before the r4 grain
     tot.foreach { case (a, t) =>
       counts.collect { case ((p, _), n) if p == a => n }.sum shouldBe t }
+  }
+
+  test("graph_pagerank matches a driver-side power iteration (same r8 grain)") {
+    val out = queries.Graphs.graphPagerank(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent recomputation: collect the undirected co-purchase
+    // pairs, symmetrize, run 3 synchronous iterations with the exact
+    // r8 / scaled-integer-sum arithmetic the query declares
+    def r8d(x: Double): Double = math.floor(x * 1e8 + 0.5) / 1e8
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2)
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val edges = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank: Map[Long, Double] = deg.map { case (n, _) => n -> 1.0 }
+    for (_ <- 1 to 3) {
+      val contribs = edges.groupBy(_._2).map { case (dst, es) =>
+        // mirror sumR8: per-edge contribs to exact scaled longs, sum
+        val ks = es.map { case (src, _) =>
+          math.floor(r8d(rank(src) / deg(src)) * 1e8 + 0.5).toLong
+        }
+        dst -> ks.sum / 1e8
+      }
+      rank = contribs.map { case (n, s) => n -> r8d(0.15 + 0.85 * s) }
+    }
+    val exp = rank.toSeq.map { case (n, r) => (n, deg(n), r) }.sortBy(_._1)
+    out shouldBe exp
+    // total mass conservation at the r8 grain: Σ rank ≈ N (no dangling
+    // leak in the symmetrized graph)
+    val n = exp.size
+    math.abs(exp.map(_._3).sum - n) should be < (n * 1e-3)
+  }
+
+  test("agg_corr matches a driver-side centered two-pass (same r4 mirroring)") {
+    val out = queries.Aggs.aggCorr(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2) * (1 - r.getDouble(3))))
+    val exp = rows.groupBy(_._1).toSeq.map { case (rf, g) =>
+      val n = g.size
+      val mx = graft.ops.Det.r4d(g.map(_._2).sum / n)
+      val my = graft.ops.Det.r4d(g.map(_._3).sum / n)
+      def s(f: ((String, Double, Double)) => Double): Double =
+        g.map(t => math.floor(f(t) * 10000 + 0.5).toLong).sum / 10000.0
+      val sxy = s(t => (t._2 - mx) * (t._3 - my))
+      val sxx = s(t => (t._2 - mx) * (t._2 - mx))
+      val syy = s(t => (t._3 - my) * (t._3 - my))
+      (rf, n.toLong, graft.ops.Det.r4d(sxy / math.sqrt(sxx * syy)),
+        graft.ops.Det.r4d(sxy / (n - 1)))
+    }.sortBy(_._1)
+    // driver fold sums raw doubles for the means where the engines sum
+    // in their own orders — compare the r4'd outputs, which is the
+    // contract (the oracle compare is the bit-exact gate)
+    out.map(_._1) shouldBe exp.map(_._1)
+    out.zip(exp).foreach { case (o, e) =>
+      o._2 shouldBe e._2
+      o._3 shouldBe e._3 +- 2e-4
+      o._4 shouldBe e._4 +- 2e-4
+    }
+    // the fixture draws quantity and price independently, so the true
+    // corr is ≈ 0 — the gate is the Cauchy-Schwarz bound plus sign
+    // agreement between corr and covariance (same sxy numerator)
+    out.foreach { r =>
+      assert(r._3 >= -1.0 && r._3 <= 1.0)
+      assert(r._3.sign == r._4.sign)
+    }
+  }
+
+  test("ev_gap_fill densifies the calendar and forward-fills (driver-side fold)") {
+    val out = queries.Events.evGapFill(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min
+    val d1 = daily.keys.map(_._2).max
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val exp = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { t =>
+      var carry = 0L
+      days.map { day =>
+        val n = daily.get((t, day))
+        carry = n.getOrElse(carry)
+        (t, day.toString, n.getOrElse(0L), carry, n.isEmpty)
+      }
+    }
+    out shouldBe exp
+    // structural: every (type, day) cell exists — |types| × |days| rows
+    out.size shouldBe daily.keys.map(_._1).toSeq.distinct.size * days.size
   }
 
   test("llm_bm25 matches a driver-side brute force (same r4 + scaled-integer sum)") {
