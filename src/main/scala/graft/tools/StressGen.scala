@@ -109,6 +109,27 @@ object StressGen {
     println(s"stress: $name x$times -> ${out.count()} rows")
   }
 
+  /** Graph-corpus replication for GraphScale (round 9, fifth session):
+    * lineitem k× with BOTH l_orderkey AND l_partkey shifted — each copy
+    * is an INDEPENDENT co-purchase graph population (node count ×k,
+    * edge count ×k, per-node degree and triangle density constant), the
+    * graph analogue of documentsDup's token-disjoint cohorts. Shifting
+    * only the order key (coreStress) would instead DENSIFY one fixed
+    * 20 k-part graph — per-node degree ×k, wedge volume ×k², triangle
+    * count ×k³-ish — a different corpus, not a bigger one (real link
+    * graphs grow in nodes). Orders co-shift o_orderkey and o_custkey
+    * (independent customer populations: per-customer SCD2 change
+    * streams stay fixture-depth, customer COUNT grows); events shift
+    * event_id/user_id as in coreStress. The part FK intentionally
+    * dangles — no graph/SCD2/corr query joins the part dimension. */
+  def graphStress(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(replicate(spark, src, dst, _, 1, Nil))
+    replicate(spark, src, dst, "orders", k, Seq("o_orderkey", "o_custkey"))
+    replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey", "l_partkey"))
+    replicate(spark, src, dst, "events", k, Seq("event_id", "user_id"))
+  }
+
   /** Core-engine replication for CoreScale (round 9): the relational
     * tables k× with ALL entity keys shifted — orders/lineitem co-shift
     * the order key (the join stays k-partite), events shift event_id
