@@ -102,6 +102,40 @@ object Joins {
       .orderBy("o_orderkey")
   }
 
+  /** join_band — PURE numeric band join with NO shared key: customers
+    * matched to suppliers within ±10 of account balance — the
+    * record-linkage / fuzzy-numeric-match primitive (entity resolution,
+    * sensor alignment, price matching). Spark has no native inequality-
+    * join algorithm, so the naive formulation is a BroadcastNestedLoop/
+    * Cartesian O(N·M) comparison — dead at scale. The scale path is
+    * BANDING: bucket both sides at width = δ, explode the SMALLER side
+    * into its 3 adjacent buckets (s ∈ [c−δ, c+δ] spans at most 3
+    * δ-width buckets, so coverage is exact by construction), equi-join
+    * on the bucket id, refine with the exact |c−s| ≤ δ predicate. All
+    * hash-join algebra — broadcastable small side here, plain SMJ when
+    * both sides are large; candidate volume is Σ per-bucket n·m, the
+    * band-density bound, never N·M. No pair dedup is needed: the probe
+    * side carries ONE bucket and the build side's 3 are distinct, so a
+    * pair matches at most once. The oracle runs the naive inequality
+    * join (DuckDB's IEJoin), pinning the banded construction
+    * semantically identical. join_theta_range covers the equi-key+range
+    * residual shape; this is the no-equi-key case. */
+  val joinBand: Q = (s, d) => {
+    val width = 10
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / width).cast("long").as("bkt"))
+    val sBkt = floor(col("s_acctbal") / width).cast("long")
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(sBkt - 1, sBkt, sBkt + 1)).as("bkt"))
+    cust.join(supp, Seq("bkt"))
+      .where(abs(col("c_acctbal") - col("s_acctbal")) <= width)
+      .select(col("c_custkey"), col("s_suppkey"),
+        r4(col("c_acctbal") - col("s_acctbal")).as("bal_diff"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** join_theta_range — equi key + range residual: line shipped within 90
     * days of its order date. SMJ on the equi key, range as post-filter. */
   val joinThetaRange: Q = (s, d) =>
@@ -258,6 +292,7 @@ object Joins {
     "join_semi"        -> joinSemi,
     "join_anti"        -> joinAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_band"        -> joinBand,
     "join_asof"        -> joinAsof,
     "join_cross_topk"  -> joinCrossTopk,
     "join_salted"      -> joinSalted,
@@ -327,6 +362,12 @@ object Joins {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o.o_orderkey AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY o_orderkey""".stripMargin,
+    "join_band" ->
+      s"""SELECT c_custkey, s_suppkey,
+        | ${r4Sql("c_acctbal - s_acctbal")} AS bal_diff
+        |FROM customer JOIN supplier
+        |  ON abs(c_acctbal - s_acctbal) <= 10
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "join_theta_range" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS revenue

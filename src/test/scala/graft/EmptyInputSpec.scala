@@ -76,7 +76,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // pagerank's empty edge set (the 3-iteration loop over empty frames
     // must not throw), gap-fill's NULL calendar span (sequence(NULL,
     // NULL) -> explode -> zero days)
-    "agg_corr", "graph_pagerank", "ev_gap_fill")
+    "agg_corr", "graph_pagerank", "ev_gap_fill",
+    // banded record linkage: empty sides -> empty bucket join
+    "join_band")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total

@@ -424,6 +424,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     plan should not include "Scan parquet"
   }
 
+  test("join_band's banded construction is hash-join algebra, never a nested loop") {
+    // the whole point of the operator: a no-equi-key inequality join
+    // re-expressed as a bucket equi-join + exact refine — the plan must
+    // show a hash join on the bucket id and no O(N·M) fallback
+    val plan = planOf(queries.Joins.joinBand(spark, sfDir))
+    plan should not include "CartesianProduct"
+    plan should not include "NestedLoop"
+    "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size should be >= 1
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

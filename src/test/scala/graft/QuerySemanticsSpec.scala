@@ -768,7 +768,8 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Graphs.graphPagerank(spark, sfDir).collect().toSeq,
       queries.Graphs.graphTriangles(spark, sfDir).collect().toSeq,
       queries.Aggs.aggCorr(spark, sfDir).collect().toSeq,
-      queries.Events.evGapFill(spark, sfDir).collect().toSeq)
+      queries.Events.evGapFill(spark, sfDir).collect().toSeq,
+      queries.Joins.joinBand(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -941,6 +942,22 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out shouldBe exp
     // structural: every (type, day) cell exists — |types| × |days| rows
     out.size shouldBe daily.keys.map(_._1).toSeq.distinct.size * days.size
+  }
+
+  test("join_band's banded equi-join equals the naive inequality join (coverage is exact)") {
+    val out = queries.Joins.joinBand(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute force: every (customer, supplier) pair, no banding — the
+    // 3-adjacent-buckets construction must lose nothing at the band
+    // boundary (s ∈ [c−δ, c+δ] spans ≤ 3 δ-width buckets)
+    val cs = Tables.customer(spark, sfDir).select("c_custkey", "c_acctbal")
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val ss = Tables.supplier(spark, sfDir).select("s_suppkey", "s_acctbal")
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val exp = (for {
+      (ck, cb) <- cs; (sk, sb) <- ss if math.abs(cb - sb) <= 10
+    } yield (ck, sk, graft.ops.Det.r4d(cb - sb))).sortBy(t => (t._1, t._2))
+    out shouldBe exp
   }
 
   test("llm_bm25 matches a driver-side brute force (same r4 + scaled-integer sum)") {
