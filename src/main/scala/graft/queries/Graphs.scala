@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.{Det, Lineage}
+import graft.ops.Lineage
 import graft.ops.Det._
 
 /** Graph analytics over relational edge extractions (round 9, fifth
