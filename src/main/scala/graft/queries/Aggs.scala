@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Det._
@@ -340,6 +341,81 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** agg_ttest — Welch two-sample t-test per segment: the A/B-testing
+    * primitive every experimentation pipeline runs before shipping a
+    * delivery change. Variants are the repo's standard deterministic
+    * md5-bucket assignment (bucket < 50 → A — never rand(), so the
+    * split is reproducible across engines, runs, and cluster sizes);
+    * metric = order total, segment = order priority. Statistics via
+    * the agg_corr/agg_skew_kurt two-pass CENTERED discipline: means
+    * broadcast back, squared deviations pre-rounded and summed as
+    * exact scaled integers, so the sample variances — and the Welch
+    * statistic assembled from them — are identical IEEE expressions in
+    * both engines. Segments missing a variant drop by the inner join
+    * (a test without both arms has no statistic); the fixture
+    * populates every cell.
+    *
+    * Scale shape: two corpus scans (means, then centered squares) each
+    * collapsing to |segments|×2 rows map-side, one broadcast rejoin,
+    * then an A⋈B join on the bounded segment frame. */
+  val aggTtest: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("o_orderkey").cast("string")), 1, 6),
+      16, 10).cast("long") % 100
+    val o = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        when(bucket < 50, "A").otherwise("B").as("variant"))
+    val means = o.groupBy(col("o_orderpriority").as("p"), col("variant").as("v"))
+      .agg(r4(sum("o_totalprice") / count(lit(1))).as("m"))
+    val dx = col("o_totalprice") - col("m")
+    val st = o.join(broadcast(means),
+        col("o_orderpriority") === col("p") && col("variant") === col("v"))
+      .groupBy("o_orderpriority", "variant")
+      .agg(count(lit(1)).as("n"), first("m").as("mean"),
+           (sumR4W(dx * dx) / (count(lit(1)) - 1)).as("s2"))
+    val a = st.where(col("variant") === "A")
+      .select(col("o_orderpriority"), col("n").as("n_a"),
+        col("mean").as("mean_a"), col("s2").as("var_a"))
+    val b = st.where(col("variant") === "B")
+      .select(col("o_orderpriority").as("p_b"), col("n").as("n_b"),
+        col("mean").as("mean_b"), col("s2").as("var_b"))
+    a.join(b, col("o_orderpriority") === col("p_b"))
+      .select(col("o_orderpriority"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        r4((col("mean_a") - col("mean_b")) /
+           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+          .as("welch_t"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** agg_gini — Gini coefficient of order totals per priority: the
+    * inequality/concentration index a curation pipeline tracks over
+    * contribution distributions (domain share, dedup-cluster mass,
+    * spend). Computed from the rank formulation G = 2·Σ(i·xᵢ)/(n·Σx) −
+    * (n+1)/n under the strict (value, key) order — both engines rank
+    * identically, i·x products are exact at the money grain (2 dp ×
+    * integer rank) and ride the DECIMAL(38,4) wide sum (Σ i·x reaches
+    * ~1e15 at bench scale), so the index is merge-order-free.
+    *
+    * Scale shape: ONE hash exchange on the segment + per-segment sort
+    * (the §2.5 window shape) feeding one map-side-combined aggregate;
+    * output |segments| rows. The unpartitioned-global-Gini variant is
+    * the llm_shard_balance two-pass prefix-sum case, documented there. */
+  val aggGini: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           sumR4W(col("i") * col("o_totalprice")).as("sixy"),
+           sumR4(col("o_totalprice")).as("sx"))
+      .select(col("o_orderpriority"), col("n"),
+        r4(lit(2) * col("sixy") / (col("n") * col("sx")) -
+           (col("n") + lit(1)) / col("n")).as("gini"))
+      .orderBy("o_orderpriority")
+  }
+
   /** agg_corr — per-group Pearson correlation + sample covariance
     * (quantity vs line revenue per return flag), via the agg_skew_kurt
     * two-pass CENTERED discipline rather than the built-in corr/
@@ -379,6 +455,8 @@ object Aggs {
     "agg_skew_kurt"       -> aggSkewKurt,
     "agg_weighted"        -> aggWeighted,
     "agg_corr"            -> aggCorr,
+    "agg_ttest"           -> aggTtest,
+    "agg_gini"            -> aggGini,
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
@@ -510,5 +588,36 @@ object Aggs {
         | ${r4Sql("sxy / sqrt(sxx * syy)")} AS corr_qty_rev,
         | ${r4Sql("sxy / (n - 1)")} AS covar_qty_rev
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_ttest" ->
+      s"""WITH o AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < 50
+        |   THEN 'A' ELSE 'B' END AS variant
+        | FROM orders),
+        |m AS (
+        | SELECT o_orderpriority AS p, variant AS v,
+        |  ${r4Sql("sum(o_totalprice) / count(*)")} AS m
+        | FROM o GROUP BY 1, 2),
+        |st AS (
+        | SELECT o_orderpriority, variant, count(*) AS n, first(m.m) AS mean,
+        |  ${sumR4WSql("(o_totalprice - m.m) * (o_totalprice - m.m)")} / (count(*) - 1) AS s2
+        | FROM o JOIN m ON o.o_orderpriority = m.p AND o.variant = m.v
+        | GROUP BY 1, 2)
+        |SELECT a.o_orderpriority, a.n AS n_a, b.n AS n_b,
+        | a.mean AS mean_a, b.mean AS mean_b,
+        | ${r4Sql("(a.mean - b.mean) / sqrt(a.s2 / a.n + b.s2 / b.n)")} AS welch_t
+        |FROM (SELECT * FROM st WHERE variant = 'A') a
+        |JOIN (SELECT * FROM st WHERE variant = 'B') b
+        |  ON a.o_orderpriority = b.o_orderpriority
+        |ORDER BY a.o_orderpriority""".stripMargin,
+    "agg_gini" ->
+      s"""WITH r AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice, o_orderkey) AS i
+        | FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        | ${r4Sql(s"2 * ${sumR4WSql("i * o_totalprice")} / (count(*) * ${sumR4Sql("o_totalprice")}) - (count(*) + 1.0) / count(*)")} AS gini
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

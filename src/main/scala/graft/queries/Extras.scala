@@ -1100,7 +1100,45 @@ object Extras {
       .orderBy("o_orderpriority")
   }
 
+  /** dq_benford — first-significant-digit census of the money column vs
+    * Benford's law: the classic fabricated-data / fraud screen a
+    * delivery runs over financial facts. The digit extraction avoids
+    * libm entirely (log10/pow differ per engine in the last ulp):
+    * l_extendedprice carries 2 decimals, so floor(x·100 + 0.5) is the
+    * EXACT integer in both engines (the sumR4 recovery argument), its
+    * decimal-string leading character is the first significant digit
+    * of x, and BIGINT→string is format-identical cross-engine. The
+    * nine Benford probabilities are hard-coded literals on BOTH sides
+    * (log10(1+1/d) computed once by hand, 6 dp) — no runtime log.
+    *
+    * Scale shape: one scan, one map-side-combined 9-group aggregate;
+    * the total rides a window over the 9-row frame, not a second
+    * scan. */
+  val dqBenford: Q = (s, d) => {
+    val benford = Map(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+      4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+      8 -> 0.051153, 9 -> 0.045757)
+    val pExpr = benford.foldLeft(lit(0.0)) { case (acc, (dg, p)) =>
+      when(col("digit") === dg, lit(p)).otherwise(acc)
+    }
+    // unpartitioned total over the 9-row digit frame (default frame =
+    // whole partition when no order is given) — bounded, never a scan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    Tables.lineitem(s, d)
+      .select(substring(
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("share", r4(col("n") * lit(1.0) / sum("n").over(w)))
+      .withColumn("benford_p", pExpr)
+      .select(col("digit").cast("long").as("digit"), col("n"),
+        col("share"), col("benford_p"),
+        r4(col("share") - col("benford_p")).as("dev"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dq_benford"        -> dqBenford,
     "dq_outliers"       -> dqOutliers,
     "dq_freshness"      -> dqFreshness,
     "llm_dedup_incremental" -> llmDedupIncremental,
@@ -1210,6 +1248,20 @@ object Extras {
        |  LEFT JOIN (SELECT DISTINCT $ck AS k FROM $child) c2 ON c2.k = p.k) ps""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dq_benford" ->
+      s"""WITH dg AS (
+        | SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM lineitem),
+        |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+        |p(digit, benford_p) AS (VALUES (1, 0.301030), (2, 0.176091),
+        | (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+        | (7, 0.057992), (8, 0.051153), (9, 0.045757))
+        |SELECT c.digit, c.n,
+        | ${r4Sql("c.n * 1.0 / sum(c.n) OVER ()")} AS share,
+        | CAST(p.benford_p AS DOUBLE) AS benford_p,
+        | ${r4Sql("floor((c.n * 1.0 / sum(c.n) OVER ()) * 10000 + 0.5) / 10000 - p.benford_p")} AS dev
+        |FROM c JOIN p ON c.digit = p.digit
+        |ORDER BY c.digit""".stripMargin,
     "dq_outliers" ->
       s"""WITH st AS (
         | SELECT o_orderpriority AS pr,

@@ -78,7 +78,10 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // NULL) -> explode -> zero days)
     "agg_corr", "graph_pagerank", "ev_gap_fill",
     // banded record linkage: empty sides -> empty bucket join
-    "join_band")
+    "join_band",
+    // the A/B stat (empty arms -> empty inner join), the rank-formula
+    // Gini, and the digit census (no rows -> no digits)
+    "agg_ttest", "agg_gini", "dq_benford")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total

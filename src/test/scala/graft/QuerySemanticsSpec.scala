@@ -769,7 +769,10 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Graphs.graphTriangles(spark, sfDir).collect().toSeq,
       queries.Aggs.aggCorr(spark, sfDir).collect().toSeq,
       queries.Events.evGapFill(spark, sfDir).collect().toSeq,
-      queries.Joins.joinBand(spark, sfDir).collect().toSeq)
+      queries.Joins.joinBand(spark, sfDir).collect().toSeq,
+      queries.Aggs.aggTtest(spark, sfDir).collect().toSeq,
+      queries.Aggs.aggGini(spark, sfDir).collect().toSeq,
+      queries.Extras.dqBenford(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -942,6 +945,83 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out shouldBe exp
     // structural: every (type, day) cell exists — |types| × |days| rows
     out.size shouldBe daily.keys.map(_._1).toSeq.distinct.size * days.size
+  }
+
+  test("agg_ttest matches a driver-side Welch fold over the md5 split") {
+    val out = queries.Aggs.aggTtest(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(k: Long): Long = {
+      val hex = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1),
+        if (bucket(r.getLong(2)) < 50) "A" else "B"))
+    val exp = rows.groupBy(_._1).toSeq.map { case (p, g) =>
+      def stats(v: String): (Long, Double, Double) = {
+        val xs = g.filter(_._3 == v).map(_._2)
+        val m = graft.ops.Det.r4d(xs.sum / xs.size)
+        val s2 = xs.map(x => math.floor((x - m) * (x - m) * 10000 + 0.5).toLong)
+          .sum / 10000.0 / (xs.size - 1)
+        (xs.size.toLong, m, s2)
+      }
+      val (na, ma, va) = stats("A"); val (nb, mb, vb) = stats("B")
+      (p, na, nb, ma, mb, graft.ops.Det.r4d((ma - mb) / math.sqrt(va / na + vb / nb)))
+    }.sortBy(_._1)
+    out.map(t => (t._1, t._2, t._3)) shouldBe exp.map(t => (t._1, t._2, t._3))
+    out.zip(exp).foreach { case (o, e) =>
+      o._4 shouldBe e._4 +- 2e-4; o._5 shouldBe e._5 +- 2e-4
+      o._6 shouldBe e._6 +- 2e-3
+      // same-distribution arms: the split is random noise, so |t| stays
+      // far from any significance blowup
+      math.abs(o._6) should be < 4.0
+    }
+  }
+
+  test("agg_gini matches a driver-side rank-formula fold exactly") {
+    val out = queries.Aggs.aggGini(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rows = Tables.orders(spark, sfDir)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val exp = rows.groupBy(_._1).toSeq.map { case (p, g) =>
+      val sorted = g.sortBy(t => (t._2, t._3))
+      val n = sorted.size.toLong
+      // i·x and x are exact at the money grain — mirror the scaled sums
+      val sixy = sorted.zipWithIndex
+        .map { case (t, i0) => math.floor((i0 + 1L) * t._2 * 10000 + 0.5).toLong }
+        .sum / 10000.0
+      val sx = sorted.map(t => math.floor(t._2 * 10000 + 0.5).toLong).sum / 10000.0
+      (p, n, graft.ops.Det.r4d(2 * sixy / (n * sx) - (n + 1.0) / n))
+    }.sortBy(_._1)
+    out shouldBe exp
+    // a Gini is a Gini: inside [0, 1) for a positive-valued column
+    out.foreach(r => assert(r._3 >= 0.0 && r._3 < 1.0))
+  }
+
+  test("dq_benford matches a driver-side digit census exactly") {
+    val out = queries.Extras.dqBenford(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val benford = Map(1L -> 0.301030, 2L -> 0.176091, 3L -> 0.124939,
+      4L -> 0.096910, 5L -> 0.079181, 6L -> 0.066947, 7L -> 0.057992,
+      8L -> 0.051153, 9L -> 0.045757)
+    val digits = Tables.lineitem(spark, sfDir).select("l_extendedprice")
+      .collect().toSeq
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong.toString.head.toString.toLong)
+    val total = digits.size
+    val exp = digits.groupBy(identity).toSeq.map { case (dg, g) =>
+      val share = graft.ops.Det.r4d(g.size * 1.0 / total)
+      (dg, g.size.toLong, share, benford(dg), graft.ops.Det.r4d(share - benford(dg)))
+    }.sortBy(_._1)
+    out shouldBe exp
+    // the census covers every observed digit and shares sum to ~1
+    math.abs(out.map(_._3).sum - 1.0) should be < 1e-3
   }
 
   test("join_band's banded equi-join equals the naive inequality join (coverage is exact)") {
