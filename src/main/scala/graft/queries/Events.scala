@@ -257,6 +257,41 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** ev_forecast_sn — the seasonal-naive forecast baseline + its error
+    * census: predict each (type, day) count with the count 7 days
+    * earlier and report per-type MAE and mean bias — the benchmark
+    * every real forecasting model must beat, and the first thing a
+    * volume-monitoring pipeline computes. Composes ev_gap_fill's dense
+    * grid semantics inline (a lag-7 over a SPARSE daily frame would
+    * silently skip silent days and compare wrong weekdays — exactly
+    * the bug the densification exists to prevent).
+    *
+    * Scale shape: identical to ev_gap_fill — one corpus scan to the
+    * cut daily frame, bounded grid, then ONE type-partitioned window
+    * (lag 7 over the grid) and a bounded per-type agg. Errors are
+    * |long − long| exact integers; MAE/bias r4 a single exact-int
+    * ratio. */
+  val evForecastSn: Q = (s, d) => {
+    val daily = graft.ops.Lineage.cut(Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = daily.select("event_type").distinct()
+      .crossJoin(broadcast(days))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("pred", lag("n", 7).over(w))
+      .where(col("pred").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+           r4(sum(abs(col("n") - col("pred"))) / count(lit(1))).as("mae"),
+           r4(sum(col("n") - col("pred")) / count(lit(1))).as("bias"))
+      .orderBy("event_type")
+  }
+
   /** ev_anomaly — hourly volume anomalies per event type: z-score of
     * each hour's event count against that type's own hourly mean/stddev,
     * hours with |z| ≥ 2 flagged. The ops-monitoring shape of an event
@@ -407,6 +442,7 @@ object Events {
     "ev_user_path"      -> evUserPath,
     "ev_markov"         -> evMarkov,
     "ev_gap_fill"       -> evGapFill,
+    "ev_forecast_sn"    -> evForecastSn,
     "ev_tumbling"       -> evTumbling,
     "ev_sliding"        -> evSliding,
     "ev_session"        -> evSession,
@@ -547,6 +583,27 @@ object Events {
         | ${r4Sql("n * 1.0 / tot")} AS p
         |FROM adj JOIN tot USING (prev_type)
         |ORDER BY prev_type, event_type""".stripMargin,
+    "ev_forecast_sn" ->
+      s"""WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |days AS (
+        | SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+        |grid AS (
+        | SELECT t.event_type, days.day, coalesce(n, 0) AS n
+        | FROM (SELECT DISTINCT event_type FROM daily) t
+        | CROSS JOIN days
+        | LEFT JOIN daily d ON t.event_type = d.event_type AND days.day = d.day),
+        |p AS (
+        | SELECT event_type, n,
+        |  lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        | FROM grid)
+        |SELECT event_type, count(*) AS n_days,
+        | ${r4Sql("sum(abs(n - pred)) / count(*)")} AS mae,
+        | ${r4Sql("sum(n - pred) / count(*)")} AS bias
+        |FROM p WHERE pred IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_gap_fill" ->
       """WITH daily AS (
         | SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n

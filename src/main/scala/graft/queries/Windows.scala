@@ -133,8 +133,50 @@ object Windows {
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
+  /** win_rfm — RFM customer segmentation (recency / frequency /
+    * monetary), the classic warehouse marketing transform: per customer
+    * the days since last order, order count, and spend, each scored
+    * into quintiles (5 = best: most recent, most frequent, highest
+    * spend) and concatenated into the segment code. Scores use ntile(5)
+    * under strict total orders (metric, custkey) so both engines bucket
+    * identically; monetary is the r4'd exact-scaled sum BEFORE it
+    * becomes a sort key (raw double sums order-flip across engines).
+    *
+    * Scale shape: orders collapse to the CUSTOMER DIMENSION first (one
+    * map-side-combined agg), so the three ntile windows run over
+    * |customers| rows — dimension-sized, not fact-sized. They are
+    * deliberately UNPARTITIONED (RFM quintiles are global by
+    * definition); at a customer dimension too large for one sort the
+    * two-pass prefix-sum rewrite documented at llm_shard_balance
+    * applies — same caveat win_ntile records. The reference date is the
+    * corpus max order date (1-row broadcast), not wall clock, so the
+    * result is a pure function of the corpus. */
+  val winRfm: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+    val ref = o.agg(max("od").as("ref_date"))
+    val cust = o.groupBy("o_custkey")
+      .agg(max("od").as("last_od"), count(lit(1)).as("freq"),
+           sumR4(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_od")).cast("long").as("rec_days"),
+        col("freq"), col("monetary"))
+    val r = ntile(5).over(Window.orderBy(col("rec_days").desc, col("o_custkey")))
+    val f = ntile(5).over(Window.orderBy(col("freq"), col("o_custkey")))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col("o_custkey")))
+    cust
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_rank"        -> winRank,
+    "win_rfm"         -> winRfm,
     "win_lag_lead"    -> winLagLead,
     "win_running"     -> winRunning,
     "win_range_frame" -> winRangeFrame,
@@ -179,6 +221,26 @@ object Windows {
         |WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY n_name, c_custkey""".stripMargin,
+    "win_rfm" ->
+      s"""WITH o AS (
+        | SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+        | FROM orders),
+        |ref AS (SELECT max(od) AS ref_date FROM o),
+        |cust AS (
+        | SELECT o_custkey,
+        |  CAST(datediff('day', max(od), (SELECT ref_date FROM ref)) AS BIGINT) AS rec_days,
+        |  count(*) AS freq,
+        |  ${sumR4Sql("o_totalprice")} AS monetary
+        | FROM o GROUP BY o_custkey),
+        |sc AS (
+        | SELECT *,
+        |  CAST(ntile(5) OVER (ORDER BY rec_days DESC, o_custkey) AS BIGINT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        | FROM cust)
+        |SELECT o_custkey, rec_days, freq, monetary, r_score, f_score, m_score,
+        | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc ORDER BY o_custkey""".stripMargin,
     "win_scd2" ->
       """WITH base AS (
         | SELECT o_custkey, o_orderkey,

@@ -81,7 +81,10 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "join_band",
     // the A/B stat (empty arms -> empty inner join), the rank-formula
     // Gini, and the digit census (no rows -> no digits)
-    "agg_ttest", "agg_gini", "dq_benford")
+    "agg_ttest", "agg_gini", "dq_benford",
+    // RFM over an empty order stream; the seasonal-naive census's empty
+    // dense grid (NULL calendar span -> zero days -> zero lag-7 rows)
+    "win_rfm", "ev_forecast_sn")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total

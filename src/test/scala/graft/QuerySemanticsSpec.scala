@@ -772,7 +772,9 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Joins.joinBand(spark, sfDir).collect().toSeq,
       queries.Aggs.aggTtest(spark, sfDir).collect().toSeq,
       queries.Aggs.aggGini(spark, sfDir).collect().toSeq,
-      queries.Extras.dqBenford(spark, sfDir).collect().toSeq)
+      queries.Extras.dqBenford(spark, sfDir).collect().toSeq,
+      queries.Windows.winRfm(spark, sfDir).collect().toSeq,
+      queries.Events.evForecastSn(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -1022,6 +1024,63 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out shouldBe exp
     // the census covers every observed digit and shares sum to ~1
     math.abs(out.map(_._3).sum - 1.0) should be < 1e-3
+  }
+
+  test("win_rfm matches a driver-side RFM fold (exact ntile semantics)") {
+    val out = queries.Windows.winRfm(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val rows = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("od"),
+        col("o_totalprice"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val ref = rows.map(_._2).max
+    val cust = rows.groupBy(_._1).toSeq.map { case (ck, g) =>
+      val rec = java.time.temporal.ChronoUnit.DAYS.between(g.map(_._2).max, ref)
+      val mon = g.map(t => math.floor(t._3 * 10000 + 0.5).toLong).sum / 10000.0
+      (ck, rec, g.size.toLong, mon)
+    }
+    // SQL ntile: first (n mod 5) buckets get one extra row
+    def ntile5[A](sorted: Seq[A]): Map[A, Long] = {
+      val n = sorted.size; val base = n / 5; val rem = n % 5
+      sorted.zipWithIndex.map { case (k, i) =>
+        val b = if (i < rem * (base + 1)) i / (base + 1)
+                else rem + (i - rem * (base + 1)) / base
+        k -> (b + 1L)
+      }.toMap
+    }
+    val rS = ntile5(cust.sortBy(c => (-c._2, c._1)).map(_._1))
+    val fS = ntile5(cust.sortBy(c => (c._3, c._1)).map(_._1))
+    val mS = ntile5(cust.sortBy(c => (c._4, c._1)).map(_._1))
+    val exp = cust.map { case (ck, rec, fr, mon) =>
+      (ck, rec, fr, mon, rS(ck), fS(ck), mS(ck), s"${rS(ck)}${fS(ck)}${mS(ck)}")
+    }.sortBy(_._1)
+    out shouldBe exp
+    // quintiles are quintiles: bucket sizes differ by at most one
+    val sizes = out.groupBy(_._5).values.map(_.size)
+    (sizes.max - sizes.min) should be <= 1
+  }
+
+  test("ev_forecast_sn matches a driver-side seasonal-naive fold exactly") {
+    val out = queries.Events.evForecastSn(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .collect().toSeq.map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d0 = daily.keys.map(_._2).min
+    val d1 = daily.keys.map(_._2).max
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toVector
+    val exp = daily.keys.map(_._1).toSeq.distinct.sorted.map { t =>
+      val series = days.map(day => daily.getOrElse((t, day), 0L))
+      val pairs = series.drop(7).zip(series)   // (actual, lag-7 prediction)
+      val n = pairs.size.toLong
+      val mae = graft.ops.Det.r4d(pairs.map(p => math.abs(p._1 - p._2)).sum.toDouble / n)
+      val bias = graft.ops.Det.r4d(pairs.map(p => p._1 - p._2).sum.toDouble / n)
+      (t, n, mae, bias)
+    }
+    out shouldBe exp
   }
 
   test("join_band's banded equi-join equals the naive inequality join (coverage is exact)") {
