@@ -51,6 +51,26 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     r.getLong(4) shouldBe 3000L
   }
 
+  test("degree-ordered orientation counts a hub graph exactly (the O(√E) fan-out case)") {
+    // one hub adjacent to every rim node + a rim cycle: triangles =
+    // exactly one per rim edge (hub, i, i+1). Under naive id-orientation
+    // a low-id hub would fan out C(n,2) wedges; degree-ordering points
+    // every rim→hub edge AT the hub (in-degree, not out), so the wedge
+    // volume stays O(E) — and the count must still be exact, which pins
+    // the orientation's exactly-once property where the two orderings
+    // differ most. Hub id 0 makes the id-tiebreak the WRONG answer on
+    // purpose.
+    import spark.implicits._
+    val n = 60
+    val rim = (1 to n).map(i => (i.toLong, (i % n + 1).toLong))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val spokes = (1 to n).map(i => (0L, i.toLong))
+    val edges = (rim ++ spokes).distinct.toDF("src", "dst")
+    val r = Graphs.sparsifiedTriangles(edges, 100).collect().head
+    r.getLong(0) shouldBe n.toLong // one triangle per rim edge
+    r.getLong(4) shouldBe (2 * n).toLong
+  }
+
   test("estimator consistency: the registered query's estimate is its sampled count × 64") {
     val r = queries.Graphs.graphTriangles(spark, sfDir).collect().head
     r.getDouble(1) shouldBe graft.ops.Det.r4d(r.getLong(0) * 64.0)
