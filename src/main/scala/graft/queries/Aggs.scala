@@ -416,6 +416,43 @@ object Aggs {
       .orderBy("o_orderpriority")
   }
 
+  /** agg_chisq — χ² independence test over the (return flag ×
+    * line status) contingency table: observed count, expected count
+    * under independence (row·col/n), per-cell contribution, the table
+    * χ² and degrees of freedom on every row — the categorical-drift /
+    * association screen a delivery runs between any two dimensions.
+    * All inputs to the statistic are exact longs (the cell counts), so
+    * expected = rowT·colT/n and each contribution are identical IEEE
+    * expressions cross-engine; the table χ² sums the r4'd contributions
+    * as exact scaled integers over the bounded cell frame.
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate down to the
+    * |rf|×|ls| cell frame; marginals, total, χ² and df all ride
+    * windows over those ≤9 rows — never a second scan. */
+  val aggChisq: Q = (s, d) => {
+    val all = Window.partitionBy(lit(1))
+    val byRf = Window.partitionBy("l_returnflag")
+    val byLs = Window.partitionBy("l_linestatus")
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rowT", sum("n").over(byRf))
+      .withColumn("colT", sum("n").over(byLs))
+      .withColumn("tot", sum("n").over(all))
+      .withColumn("exp_raw",
+        col("rowT") * col("colT") * lit(1.0) / col("tot"))
+      .withColumn("contrib", r4(
+        (col("n") - col("exp_raw")) * (col("n") - col("exp_raw")) / col("exp_raw")))
+      .withColumn("chi2", sum(r4(col("contrib")).cast("decimal(18,4)")).over(all)
+        .cast("double"))
+      .withColumn("df",
+        ((size(collect_set("l_returnflag").over(all)) - 1) *
+         (size(collect_set("l_linestatus").over(all)) - 1)).cast("long"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        r4(col("exp_raw")).as("exp_n"), col("contrib"), col("chi2"), col("df"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** agg_corr — per-group Pearson correlation + sample covariance
     * (quantity vs line revenue per return flag), via the agg_skew_kurt
     * two-pass CENTERED discipline rather than the built-in corr/
@@ -457,6 +494,7 @@ object Aggs {
     "agg_corr"            -> aggCorr,
     "agg_ttest"           -> aggTtest,
     "agg_gini"            -> aggGini,
+    "agg_chisq"           -> aggChisq,
     "agg_distinct"        -> aggDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
     "agg_hll_partial"     -> aggHllPartial,
@@ -610,6 +648,27 @@ object Aggs {
         |JOIN (SELECT * FROM st WHERE variant = 'B') b
         |  ON a.o_orderpriority = b.o_orderpriority
         |ORDER BY a.o_orderpriority""".stripMargin,
+    "agg_chisq" ->
+      s"""WITH c AS (
+        | SELECT l_returnflag, l_linestatus, count(*) AS n
+        | FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        | SELECT *,
+        |  sum(n) OVER (PARTITION BY l_returnflag) AS rowT,
+        |  sum(n) OVER (PARTITION BY l_linestatus) AS colT,
+        |  sum(n) OVER () AS tot,
+        |  (SELECT count(DISTINCT l_returnflag) FROM c) AS nr,
+        |  (SELECT count(DISTINCT l_linestatus) FROM c) AS nc
+        | FROM c),
+        |x AS (
+        | SELECT *, rowT * colT * 1.0 / tot AS exp_raw,
+        |  ${r4Sql("(n - rowT * colT * 1.0 / tot) * (n - rowT * colT * 1.0 / tot) / (rowT * colT * 1.0 / tot)")} AS contrib
+        | FROM m)
+        |SELECT l_returnflag, l_linestatus, n,
+        | ${r4Sql("exp_raw")} AS exp_n, contrib,
+        | CAST(sum(CAST(contrib AS DECIMAL(18,4))) OVER () AS DOUBLE) AS chi2,
+        | CAST((nr - 1) * (nc - 1) AS BIGINT) AS df
+        |FROM x ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_gini" ->
       s"""WITH r AS (
         | SELECT o_orderpriority, o_totalprice,

@@ -168,7 +168,38 @@ object Scalars {
           col("ord.money.fee").as("fee"))).cast("long").as("self_eq"))
       .orderBy("o_orderkey")
 
+  /** fn_try — the error-handling scalar family (try_divide / try_cast /
+    * try_to_timestamp): the dirty-data rails an ingestion pipeline runs
+    * instead of letting one malformed row kill a 100 TB job. The query
+    * exercises all three outcomes per family — a division that nulls on
+    * a zero denominator (custkey mod 3), a cast that always succeeds
+    * (the priority's leading digit), a cast that always fails (the full
+    * priority string), a timestamp parse that always fails — and
+    * censuses them per order status, with the surviving divisions
+    * summed by the exact-scaled-int discipline (null-skipping sum, same
+    * semantics both engines). The oracle mirrors try_divide as
+    * x / nullif(y, 0) and the casts as TRY_CAST — DuckDB's equivalent
+    * rails. */
+  val fnTry: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderstatus"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("sdiv"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("pnum"),
+        expr("try_cast(o_orderpriority AS INT)").as("pbad"),
+        expr("try_to_timestamp(o_orderpriority)").as("tbad"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("sdiv").isNull, 1L).otherwise(0L)).as("div_nulls"),
+           sumR4(col("sdiv")).as("div_sum"),
+           count(col("pnum")).as("cast_ok"),
+           count(col("pbad")).as("cast_bad_survivors"),
+           count(col("tbad")).as("ts_survivors"),
+           min("pnum").cast("long").as("min_prio"),
+           max("pnum").cast("long").as("max_prio"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, Q] = Map(
+    "fn_try"     -> fnTry,
     "fn_struct"  -> fnStruct,
     "fn_map"     -> fnMap,
     "fn_string"  -> fnString,
@@ -183,6 +214,23 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_try" ->
+      s"""WITH t AS (
+        | SELECT o_orderstatus,
+        |  o_totalprice / nullif(o_custkey % 3, 0) AS sdiv,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pnum,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS pbad,
+        |  TRY_CAST(o_orderpriority AS TIMESTAMP) AS tbad
+        | FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CASE WHEN sdiv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS div_nulls,
+        | ${sumR4Sql("sdiv")} AS div_sum,
+        | count(pnum) AS cast_ok,
+        | count(pbad) AS cast_bad_survivors,
+        | count(tbad) AS ts_survivors,
+        | CAST(min(pnum) AS BIGINT) AS min_prio,
+        | CAST(max(pnum) AS BIGINT) AS max_prio
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "fn_struct" ->
       s"""SELECT o_orderkey, o_orderstatus AS status,
         | ${r4Sql("o_totalprice")} AS total,

@@ -84,7 +84,9 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "agg_ttest", "agg_gini", "dq_benford",
     // RFM over an empty order stream; the seasonal-naive census's empty
     // dense grid (NULL calendar span -> zero days -> zero lag-7 rows)
-    "win_rfm", "ev_forecast_sn")
+    "win_rfm", "ev_forecast_sn",
+    // the try-family rails and the empty contingency table
+    "fn_try", "agg_chisq")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total

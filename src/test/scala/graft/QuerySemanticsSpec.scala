@@ -774,7 +774,9 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Aggs.aggGini(spark, sfDir).collect().toSeq,
       queries.Extras.dqBenford(spark, sfDir).collect().toSeq,
       queries.Windows.winRfm(spark, sfDir).collect().toSeq,
-      queries.Events.evForecastSn(spark, sfDir).collect().toSeq)
+      queries.Events.evForecastSn(spark, sfDir).collect().toSeq,
+      queries.Aggs.aggChisq(spark, sfDir).collect().toSeq,
+      queries.Scalars.fnTry(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -1081,6 +1083,50 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (t, n, mae, bias)
     }
     out shouldBe exp
+  }
+
+  test("agg_chisq matches a driver-side contingency fold exactly") {
+    val out = queries.Aggs.aggChisq(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowT = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val colT = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tot = rows.size.toLong
+    val contribs = cells.map { case ((rf, ls), n) =>
+      val e = rowT(rf) * colT(ls) * 1.0 / tot
+      (rf, ls) -> graft.ops.Det.r4d((n - e) * (n - e) / e)
+    }
+    val chi2 = contribs.values
+      .map(c => math.floor(c * 10000 + 0.5).toLong).sum / 10000.0
+    val df = (rowT.size - 1L) * (colT.size - 1L)
+    val exp = cells.toSeq.map { case ((rf, ls), n) =>
+      val e = rowT(rf) * colT(ls) * 1.0 / tot
+      (rf, ls, n, graft.ops.Det.r4d(e), contribs((rf, ls)), chi2, df)
+    }.sortBy(t => (t._1, t._2))
+    out shouldBe exp
+    // the marginals reconstruct the corpus
+    out.map(_._3).sum shouldBe tot
+  }
+
+  test("fn_try's rails census the three outcome classes correctly") {
+    val out = queries.Scalars.fnTry(spark, sfDir).collect().toSeq
+    out.foreach { r =>
+      val n = r.getLong(1)
+      r.getLong(4) shouldBe n    // leading-digit cast always succeeds
+      r.getLong(5) shouldBe 0L   // full-string int cast always fails
+      r.getLong(6) shouldBe 0L   // timestamp parse of a priority fails
+      r.getLong(7) shouldBe 1L   // priorities span 1..5
+      r.getLong(8) shouldBe 5L
+      // div_nulls counts exactly the custkey % 3 == 0 rows
+      assert(r.getLong(2) > 0 && r.getLong(2) < n)
+    }
+    val ordersDivNull = Tables.orders(spark, sfDir)
+      .where(col("o_custkey") % 3 === 0).count()
+    out.map(_.getLong(2)).sum shouldBe ordersDivNull
   }
 
   test("join_band's banded equi-join equals the naive inequality join (coverage is exact)") {
