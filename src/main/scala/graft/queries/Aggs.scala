@@ -439,8 +439,13 @@ object Aggs {
       .withColumn("rowT", sum("n").over(byRf))
       .withColumn("colT", sum("n").over(byLs))
       .withColumn("tot", sum("n").over(all))
+      // rowT·1.0·colT keeps the marginal product in DOUBLE: a long·long
+      // product overflows 2^63 once the marginals pass ~3e9 rows (the
+      // operator's own target regime) — Spark would wrap silently while
+      // DuckDB errors, breaking the cross-engine contract. Rounding is
+      // unchanged below 2^53 (one IEEE multiply either way).
       .withColumn("exp_raw",
-        col("rowT") * col("colT") * lit(1.0) / col("tot"))
+        col("rowT") * lit(1.0) * col("colT") / col("tot"))
       .withColumn("contrib", r4(
         (col("n") - col("exp_raw")) * (col("n") - col("exp_raw")) / col("exp_raw")))
       .withColumn("chi2", sum(r4(col("contrib")).cast("decimal(18,4)")).over(all)
@@ -661,8 +666,8 @@ object Aggs {
         |  (SELECT count(DISTINCT l_linestatus) FROM c) AS nc
         | FROM c),
         |x AS (
-        | SELECT *, rowT * colT * 1.0 / tot AS exp_raw,
-        |  ${r4Sql("(n - rowT * colT * 1.0 / tot) * (n - rowT * colT * 1.0 / tot) / (rowT * colT * 1.0 / tot)")} AS contrib
+        | SELECT *, rowT * 1.0 * colT / tot AS exp_raw,
+        |  ${r4Sql("(n - rowT * 1.0 * colT / tot) * (n - rowT * 1.0 * colT / tot) / (rowT * 1.0 * colT / tot)")} AS contrib
         | FROM m)
         |SELECT l_returnflag, l_linestatus, n,
         | ${r4Sql("exp_raw")} AS exp_n, contrib,

@@ -239,16 +239,27 @@ object Events {
     * per type, so the default RANGE frame is deterministic. Types that
     * begin after the global start carry 0 until first activity
     * (documented convention; the oracle mirrors the coalesce). */
-  val evGapFill: Q = (s, d) => {
+  /** Shared densification core for ev_gap_fill / ev_forecast_sn: the
+    * per-(type, day) daily counts over the DENSE global calendar, with
+    * `n` left NULLABLE (null = silent day) so each consumer picks its
+    * own gap convention. One corpus-sized scan (the daily aggregate,
+    * Lineage.cut); span, type roster and the grid all derive from that
+    * bounded frame — the cross join is bounded×bounded. */
+  private def denseDaily(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
     val daily = graft.ops.Lineage.cut(Tables.events(s, d)
       .select(col("event_type"), col("ts").cast("date").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
     val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val grid = daily.select("event_type").distinct()
+    daily.select("event_type").distinct()
       .crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day"), "left")
+  }
+
+  val evGapFill: Q = (s, d) => {
     val w = Window.partitionBy("event_type").orderBy("day")
-    grid.join(daily, Seq("event_type", "day"), "left")
+    denseDaily(s, d)
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L))
@@ -272,15 +283,8 @@ object Events {
     * |long − long| exact integers; MAE/bias r4 a single exact-int
     * ratio. */
   val evForecastSn: Q = (s, d) => {
-    val daily = graft.ops.Lineage.cut(Tables.events(s, d)
-      .select(col("event_type"), col("ts").cast("date").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n")))
-    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val grid = daily.select("event_type").distinct()
-      .crossJoin(broadcast(days))
     val w = Window.partitionBy("event_type").orderBy("day")
-    grid.join(daily, Seq("event_type", "day"), "left")
+    denseDaily(s, d)
       .select(col("event_type"), col("day"),
         coalesce(col("n"), lit(0L)).as("n"))
       .withColumn("pred", lag("n", 7).over(w))

@@ -132,10 +132,12 @@ object Graphs {
     val scale = (100.0 / pct) * (100.0 / pct) * (100.0 / pct)
     // callers pass an already-materialized (or trivially cheap) edge
     // frame — copurchaseEdges is Lineage.cut at construction, so the
-    // census count and the sparsify filter re-read the cut RDD; a
+    // census counts and the sparsify filter re-read the cut RDD; a
     // second cut here would double-buffer the full edge set (measured
-    // ~600 MB of extra block churn at GraphScale ×30)
-    val total = edges.count()
+    // ~600 MB of extra block churn at GraphScale ×30). Both census
+    // counts join in LAZILY as broadcast 1-row aggregates — an eager
+    // count() here would run a driver action at plan-construction time
+    // (plan inspection, every bench pass) before the query itself.
     val keptU = Lineage.cut(edges.where(
       conv(substring(md5(concat_ws("_", col("src"), col("dst"))), 1, 6),
         16, 10).cast("long") % 100 < pct))
@@ -164,7 +166,8 @@ object Graphs {
       lit(pct).cast("long").as("sample_pct"))
       .crossJoin(broadcast(
         kept.agg(count(lit(1)).as("edges_kept"))))
-      .withColumn("edges_total", lit(total))
+      .crossJoin(broadcast(
+        edges.agg(count(lit(1)).as("edges_total"))))
   }
 
   /** graph_triangles — triangle count of the co-purchase graph via the
