@@ -383,6 +383,37 @@ class ScaleLinearitySpec extends AnyFunSuite with Matchers with SparkFixture {
       Set((7L, 3L), (3L, 3L))
   }
 
+  test("graph family output volumes scale exactly linearly on shifted-key copies (the graphStress rule)") {
+    // in-suite guard for what GraphScale measures manually: k copies of
+    // lineitem with BOTH keys shifted are k independent co-purchase
+    // graph populations, so pagerank's node frame must be exactly k×
+    // and the triangle census's edge totals exactly k× — super-linear
+    // edge growth means the pair expansion leaked across copies,
+    // sub-linear means the distinct collapsed them
+    val base = java.nio.file.Files.createTempDirectory("graft_glin").toString
+    def write(mult: Int, out: String): Unit = {
+      val li = Tables.lineitem(spark, sfDir)
+      (0 until mult).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * 100000000L))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+    val (x1, x4) = (s"$base/x1", s"$base/x4")
+    write(1, x1); write(4, x4)
+    val p1 = queries.Graphs.graphPagerank(spark, x1).count()
+    val p4 = queries.Graphs.graphPagerank(spark, x4).count()
+    p1 should be > 0L
+    p4 shouldBe 4 * p1
+    val t1 = queries.Graphs.graphTriangles(spark, x1).collect().head
+    val t4 = queries.Graphs.graphTriangles(spark, x4).collect().head
+    t4.getLong(4) shouldBe 4 * t1.getLong(4) // edges_total
+    // the md5 sparsifier keys on (src, dst), which SHIFT per copy, so
+    // kept-edge counts are NOT exactly 4x — but they must stay in the
+    // Bernoulli band around 4x (a quadratic leak would blow far past it)
+    t4.getLong(3).toDouble shouldBe (4.0 * t1.getLong(3)) +- (3 * 4 * t1.getLong(3) * 0.25)
+  }
+
   test("lss cluster assignment matches the converged min-label assignment on the real near-dup graph") {
     // on any graph where min-label reaches its fixpoint within 8 rounds
     // (the sf0.001 fixture does — the convergence exit fires), the two
