@@ -242,6 +242,91 @@ object Llm {
       .limit(20)
   }
 
+  /** llm_hardneg_mine — hard-negative mining for contrastive embedding
+    * training: per query vector, the top-3 most-similar vectors with a
+    * DIFFERENT label — the negatives that sit closest to the decision
+    * boundary, exactly the rows a triplet/InfoNCE trainer wants in its
+    * batch (random negatives are too easy to carry gradient). The
+    * retrieval twin of llm_knn_label with the label predicate flipped.
+    *
+    * Scale shape: same machinery as llm_cosine_topk — the declared
+    * bounded pairwise form (≤ ~4 M candidate pairs at bench scale; the
+    * 100 TB path swaps the candidate generator for llm_ann_ivf/pq cells
+    * with this same label-≠ filter and TopKAgg selection), label filter
+    * applied BEFORE the aggregate so mismatched pairs never enter a
+    * buffer, top-3 via the merge-order-independent bounded TopKAgg (the
+    * exchange moves ≤3-element buffers, not the candidate set). */
+  val llmHardnegMine: Q = (s, d) => {
+    val v = withNorm(s, d)
+    val a = v.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("vid"), col("label").as("nb_label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val topk = udaf(new graft.functions.TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
+    a.crossJoin(b)
+      .where(col("qid") =!= col("vid") && col("qlabel") =!= col("nb_label"))
+      .withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
+      .groupBy("qid", "qlabel")
+      .agg(topk(col("cos"), col("vid"), col("nb_label").cast("long")).as("top"))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        posexplode(col("top")))
+      .select(col("qid"), col("qlabel"), col("col._2").as("vid"),
+        col("col._3").as("neg_label"), col("col._1").as("cos"),
+        (col("pos") + 1).cast("long").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** llm_rank_fusion — reciprocal-rank fusion (RRF, Cormack et al.
+    * SIGIR'09) of two retrieval rankings for the same fixed query: the
+    * BM25 lexical top-20 (llm_bm25's scorer) fused with a tf-idf-
+    * weighted ranking — the hybrid-search standard (score =
+    * Σ 1/(k + rank), k = 60; a doc absent from one list simply
+    * contributes nothing, which is RRF's whole point: no score
+    * calibration across rankers). At 100 TB the two input rankings are
+    * exactly this bounded shape — every ranker ends in a top-k — so
+    * the fusion is always a join of two k-row frames.
+    *
+    * Determinism: ranks are ints from strict (score DESC, doc_id)
+    * orders; 1/(60+r) is one IEEE division per ranker, the 2-term sum
+    * is a FIXED-ORDER addition mirrored verbatim in the oracle, and
+    * the result is r8'd (RRF deltas live at the 1e-5 scale — the 1e-4
+    * grain would merge adjacent ranks). */
+  val llmRankFusion: Q = (s, d) => {
+    val qTerms = Seq("join", "hash", "scan", "filter")
+    val tok = tokens(s, d).select("doc_id", "token")
+    val nd = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = nd.agg(count(lit(1)).as("n_docs"),
+      (sum("dl") * lit(1.0) / count(lit(1))).as("avgdl"))
+    val tf = graft.ops.Lineage.cut(tok.where(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfq), "token").join(nd, "doc_id")
+      .crossJoin(broadcast(corpus))
+    val wBm = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val bm = scored
+      .withColumn("contrib", r4(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+      .groupBy("doc_id").agg(sumR4(col("contrib")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rank_bm", row_number().over(wBm).cast("long"))
+    val wTi = Window.orderBy(col("tfidf").desc, col("doc_id"))
+    val ti = scored
+      .withColumn("w", r4(col("tf") * log(col("n_docs") * lit(1.0) / col("df"))))
+      .groupBy("doc_id").agg(sumR4(col("w")).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id")).limit(20)
+      .withColumn("rank_ti", row_number().over(wTi).cast("long"))
+    bm.select("doc_id", "rank_bm")
+      .join(ti.select("doc_id", "rank_ti"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_bm"), col("rank_ti"),
+        r8(coalesce(lit(1.0) / (lit(60) + col("rank_bm")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("rank_ti")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** llm_jaccard_pairs — near-dup candidates via rarity blocking, exact
     * token-set Jaccard ≥ 0.8 within the same language. */
   val llmJaccardPairs: Q = (s, d) =>
@@ -723,6 +808,8 @@ object Llm {
     "llm_token_stats"       -> llmTokenStats,
     "llm_tfidf"             -> llmTfidf,
     "llm_bm25"              -> llmBm25,
+    "llm_rank_fusion"       -> llmRankFusion,
+    "llm_hardneg_mine"      -> llmHardnegMine,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
     "llm_pair_table"        -> llmPairTable,
     "llm_containment"       -> llmContainment,
@@ -822,6 +909,40 @@ object Llm {
         |SELECT doc_id, ${sumR4Sql("contrib")} AS score, count(*) AS n_terms
         |FROM c GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "llm_hardneg_mine" ->
+      s"""SELECT qid, qlabel, vid, neg_label, cos, rn FROM (
+        | SELECT qid, qlabel, vid, neg_label, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        | FROM (SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS qlabel,
+        |        b.vec_id AS vid, CAST(b.label AS BIGINT) AS neg_label,
+        |        $cosSql AS cos
+        |       FROM embeddings a, embeddings b
+        |       WHERE a.vec_id <> b.vec_id AND a.label <> b.label))
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "llm_rank_fusion" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |nd AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) * 1.0 / count(*) AS avgdl FROM nd),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |       WHERE token IN ('join', 'hash', 'scan', 'filter') GROUP BY doc_id, token),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |c AS (
+        | SELECT tf.doc_id,
+        |  ${r4Sql("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))")} AS contrib,
+        |  ${r4Sql("tf * ln(n_docs * 1.0 / df)")} AS w
+        | FROM tf JOIN dfq ON tf.token = dfq.token JOIN nd ON tf.doc_id = nd.doc_id, corpus),
+        |bm AS (SELECT doc_id, ${sumR4Sql("contrib")} AS bm25 FROM c GROUP BY doc_id
+        |       ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_bm FROM bm),
+        |ti AS (SELECT doc_id, ${sumR4Sql("w")} AS tfidf FROM c GROUP BY doc_id
+        |       ORDER BY tfidf DESC, doc_id LIMIT 20),
+        |tir AS (SELECT doc_id,
+        |        CAST(row_number() OVER (ORDER BY tfidf DESC, doc_id) AS BIGINT) AS rank_ti FROM ti)
+        |SELECT doc_id, rank_bm, rank_ti,
+        | ${r8Sql("coalesce(1.0 / (60 + rank_bm), 0.0) + coalesce(1.0 / (60 + rank_ti), 0.0)")} AS rrf
+        |FROM bmr FULL OUTER JOIN tir USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
     "llm_pair_table"    -> jaccardPairsSql("0.6"),
     "llm_containment" ->

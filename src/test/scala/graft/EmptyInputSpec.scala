@@ -86,7 +86,10 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     // dense grid (NULL calendar span -> zero days -> zero lag-7 rows)
     "win_rfm", "ev_forecast_sn",
     // the try-family rails and the empty contingency table
-    "fn_try", "agg_chisq")
+    "fn_try", "agg_chisq",
+    // hard-negative mining's empty cross join; rank fusion's two empty
+    // top-20 frames full-outer-joined
+    "llm_hardneg_mine", "llm_rank_fusion")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total

@@ -776,7 +776,9 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Windows.winRfm(spark, sfDir).collect().toSeq,
       queries.Events.evForecastSn(spark, sfDir).collect().toSeq,
       queries.Aggs.aggChisq(spark, sfDir).collect().toSeq,
-      queries.Scalars.fnTry(spark, sfDir).collect().toSeq)
+      queries.Scalars.fnTry(spark, sfDir).collect().toSeq,
+      queries.Llm.llmHardnegMine(spark, sfDir).collect().toSeq,
+      queries.Llm.llmRankFusion(spark, sfDir).collect().toSeq)
     try {
       val results = Seq("1", "7", "32").map { n =>
         spark.conf.set(key, n); runAll()
@@ -1083,6 +1085,52 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
       (t, n, mae, bias)
     }
     out shouldBe exp
+  }
+
+  test("llm_hardneg_mine's negatives are the closest DIFFERENT-label vectors (brute force twin)") {
+    val out = queries.Llm.llmHardnegMine(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) e")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      graft.ops.Det.r4d(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val exp = vecs.flatMap { case (q, ql, qe) =>
+      vecs.filter(v => v._1 != q && v._2 != ql)
+        .map(v => (v._1, v._2, cos(qe, v._3)))
+        .sortBy(t => (-t._3, t._1)).take(3).zipWithIndex
+        .map { case ((vid, nl, c), i) => (q, ql, vid, nl, c, i + 1L) }
+    }.sortBy(t => (t._1, t._6))
+    // cosines compared at tolerance: the driver dot sums in its own
+    // order (engine r4 could differ by one grain on ulp-boundary pairs);
+    // the SELECTION (ids, labels, ranks) must match exactly
+    out.map(t => (t._1, t._2, t._3, t._4, t._6)) shouldBe
+      exp.map(t => (t._1, t._2, t._3, t._4, t._6))
+    out.zip(exp).foreach { case (o, e) => o._5 shouldBe e._5 +- 2e-4 }
+    // every mined negative really is a negative
+    out.foreach(t => assert(t._2 != t._4))
+  }
+
+  test("llm_rank_fusion's RRF scores are a pure function of the two rank columns") {
+    val out = queries.Llm.llmRankFusion(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3)))
+    out should not be empty
+    out.foreach { case (_, rb, rt, rrf) =>
+      val e = rb.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rt.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      rrf shouldBe math.floor(e * 1e8 + 0.5) / 1e8
+      // at least one ranker placed the doc
+      assert(rb.nonEmpty || rt.nonEmpty)
+    }
+    // descending by fused score, ranks within each list are distinct
+    out.map(_._4) shouldBe out.map(_._4).sorted.reverse
+    val rbs = out.flatMap(_._2); rbs.distinct.size shouldBe rbs.size
   }
 
   test("agg_chisq matches a driver-side contingency fold exactly") {
