@@ -364,7 +364,19 @@ case class BloomProbe(sketch: Array[Byte], child: Expression)
   // the bitmap is a CONSTRUCTOR FIELD, not a Literal child: a ~117 KB
   // binary literal would be hex-printed into every plan/explain string
   // (and checked byte-wise by every plan transform); as a field it
-  // serializes with the expression exactly once and prints as a size
+  // serializes with the expression exactly once and prints as a size.
+  // Content-based equality (ADVICE r9): the case-class default compares
+  // the Array[Byte] by reference, so two semantically identical probes
+  // never compare equal — defeating expression canonicalization / CSE /
+  // subexpression reuse. Arrays.equals/hashCode restore value semantics.
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomProbe =>
+      java.util.Arrays.equals(sketch, b.sketch) && child.equals(b.child)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * java.util.Arrays.hashCode(sketch) + child.hashCode()
+
   override def toString: String =
     s"graft_bloom_probe(sketch[${if (sketch == null) "null" else s"${sketch.length}B"}], $child)"
   override def sql: String = toString

@@ -121,7 +121,30 @@ object ShardedSelfJoin {
             emitOnceByConstruction: Boolean = false,
             uniqueMembership: Boolean = false): DataFrame = {
     require(threshold > 0, "shard threshold must be positive")
-    val bandedIn = emitOnce.fold(banded) { case (k, st) =>
+    // uniqueMembership audit (ADVICE r9): unlike emitOnce — whose
+    // contract has conf-gated raise_error validation — this assertion
+    // had NO backstop: a caller passing multi-bucket data silently
+    // duplicates pairs. Under an EXPLICIT spark.graft.lsh.emitOnce
+    // .validate=true (the same audit switch; never on by default here
+    // because every current caller is unique-by-construction via a
+    // partitioning quantizer, and the check costs a window shuffle of
+    // the banded frame), count bucket multiplicity per doc and
+    // raise_error on the first doc appearing under more than one key
+    // tuple. PropertySpec pins that the audit fires on multi-bucket
+    // input and passes on partitioned input.
+    val bandedU =
+      if (uniqueMembership && banded.sparkSession.conf
+            .getOption("spark.graft.lsh.emitOnce.validate").exists(_.toBoolean)) {
+        val w = Window.partitionBy(col("doc_id"))
+        banded.withColumn("__um_n", count(lit(1)).over(w))
+          .where(when(col("__um_n") === 1, lit(true))
+            .otherwise(raise_error(concat(
+              lit("ShardedSelfJoin uniqueMembership contract: doc appears in " +
+                  "more than one bucket; violated at doc_id="),
+              coalesce(col("doc_id").cast("string"), lit("<null>"))))))
+          .drop("__um_n")
+      } else banded
+    val bandedIn = emitOnce.fold(bandedU) { case (k, st) =>
       // Validation arbitration (ADVICE r7): an EXPLICIT conf value wins in
       // BOTH directions — set-true audits even a by-construction caller
       // (a mistaken assertion silently duplicates/drops pairs with no

@@ -140,8 +140,15 @@ object DigestIndex {
     * batch appended. */
   def extend(spark: SparkSession, newDocs: DataFrame, index: String,
              out: String): Unit = {
-    require(new org.apache.hadoop.fs.Path(out).toString !=
-      new org.apache.hadoop.fs.Path(index).toString,
+    // qualified-path comparison (ADVICE r9): raw Path.toString lets
+    // equivalent spellings (file:/x vs /x, relative vs absolute) pass,
+    // and the lazy digests read would then race mode("overwrite") on
+    // the SAME directory — Spark deletes the source before reading,
+    // destroying the very index the fail-before-destroy rule protects
+    val idxP = new org.apache.hadoop.fs.Path(index)
+    val fs = fsFor(spark, idxP)
+    require(fs.makeQualified(new org.apache.hadoop.fs.Path(out)) !=
+      fs.makeQualified(idxP),
       s"extend writes out-of-place; got out == index ($index)")
     val geom = new String(readBytes(spark, index, GeomFile), "UTF-8").split(":")
     val (items, fpp) = (geom(0).toLong, geom(1).toDouble)

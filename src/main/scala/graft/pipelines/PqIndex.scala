@@ -114,6 +114,17 @@ object PqIndex {
     graft.functions.VectorExprs.register(spark)
     val (m, _, _) = storedGeometry(spark, index)
     val cb = spark.read.parquet(s"$index/codebook.parquet")
+    // Positional ADC lookup (element_at by code) is only correct over a
+    // DENSE 0..K'-1 code set per subspace. Pq.train guarantees density
+    // by seed-rank remap (ADVICE r9), but an index is a durable artifact
+    // — assert the invariant on the stored codebook rather than trust
+    // its writer. Bounded: the check aggregates the ≤M·K-row codebook.
+    val sparse = cb.groupBy("sub")
+      .agg(max("code").as("mx"), countDistinct("code").as("nc"))
+      .where(col("mx") =!= col("nc") - 1).count()
+    require(sparse == 0,
+      s"$index codebook has non-dense codes in $sparse subspace(s) — " +
+      "positional ADC lookup would be silently wrong; rebuild the index")
     val qsv = Pq.subvectors(queryVecs, m)
     // nested per-query table: tab[sub][code] = p9, built from the same
     // queryTables integers the in-query join consumes

@@ -126,21 +126,34 @@ object SignatureIndex {
     val cand = graft.ops.Lineage.cut(
       kept.join(newBands, Seq("bk64", "lang"))
         .select("doc_new", "doc_old").distinct())
-    // candidate-bounded resolution, same escalation rule as
-    // DigestIndex.refresh (shared conf): under the threshold the old
-    // docs broadcast and the stored signature table streams once with
-    // no exchange; past it the signatures are 512 B each and the
-    // broadcast stops being one — fall back to plain shuffle joins
-    // (verdict identical; the spec pins both shapes)
-    val maxBcast = spark.conf
+    // candidate-bounded resolution with TWO thresholds (ADVICE r9): the
+    // key-side gate (spark.graft.dedup.broadcastCandidates, calibrated
+    // for ~32-byte digest keys) is the wrong knob for broadcasting
+    // SIGNATURE rows — each carries a 128-int signature (~0.5-1 KB), so
+    // a near-1M-candidate refresh would broadcast hundreds of MB. The
+    // sig-side gate (spark.graft.sigindex.broadcastSigs, default 65536
+    // ≈ ~34 MB of signature rows) bounds the oldSigs broadcast; between
+    // the two gates the candidate KEYS still broadcast (keeping the
+    // stored-band scan exchange-free, map-side semi) while the sig
+    // equi-join itself shuffles. Verdict identical in all three shapes
+    // (the spec pins broadcast vs SMJ).
+    val maxBcastKeys = spark.conf
       .get("spark.graft.dedup.broadcastCandidates", "1000000").toLong
+    val maxBcastSigs = spark.conf
+      .get("spark.graft.sigindex.broadcastSigs", "65536").toLong
     val sigStore = spark.read.parquet(s"$index/signatures.parquet")
+    val nCand = cand.count()
     val withOld =
-      if (cand.count() <= maxBcast) {
+      if (nCand <= maxBcastSigs) {
         val oldSigs = sigStore
           .join(broadcast(cand.select(col("doc_old").as("doc_id")).distinct()), "doc_id")
           .select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
         cand.join(broadcast(oldSigs), "doc_old")
+      } else if (nCand <= maxBcastKeys) {
+        val oldSigs = sigStore
+          .join(broadcast(cand.select(col("doc_old").as("doc_id")).distinct()), "doc_id")
+          .select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
+        cand.join(oldSigs, "doc_old")
       } else cand.join(
         sigStore.select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
           .hint("merge"), "doc_old")

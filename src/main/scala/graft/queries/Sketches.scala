@@ -238,11 +238,23 @@ object Sketches {
     def train(sv: DataFrame, k: Int, iters: Int): DataFrame = {
       val spark = sv.sparkSession
       import spark.implicits._
+      // Seed = the K lowest-id vectors with codes REMAPPED to dense
+      // 0..K'-1 by id rank (ADVICE r9): the former `code = vec_id` seed
+      // is only dense when corpus ids densely cover [0, K) — a shifted
+      // or extended batch would train a SPARSE code set that silently
+      // breaks positional ADC lookup in PqIndex.search (element_at by
+      // code) and could even seed an empty codebook. On a dense-id
+      // corpus (the fixture) rank(vec_id) == vec_id, so outputs are
+      // unchanged. Bounded: K ids via TakeOrdered, then K·M seed rows.
+      val seedIds = sv.select("vec_id").distinct().orderBy("vec_id").limit(k)
+        .collect().map(_.getLong(0))
+      require(seedIds.nonEmpty, "Pq.train: empty subvector stream — nothing to seed")
+      val rank: Map[Long, Int] = seedIds.sorted.zipWithIndex.toMap
       var cb: Seq[(Int, Int, Seq[Double])] =
-        sv.where(col("vec_id") < k)
-          .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c"))
+        sv.where(col("vec_id").isin(seedIds.toSeq: _*))
+          .select(col("sub"), col("vec_id"), col("sv").as("c"))
           .collect().toSeq
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+          .map(r => (r.getInt(0), rank(r.getLong(1)), r.getSeq[Double](2)))
       for (_ <- 1 to iters) {
         val means = assign(sv, cb.toDF("sub", "code", "c"))
           .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))

@@ -110,6 +110,27 @@ class BloomDedupSpec extends AnyFunSuite with Matchers with SparkFixture {
     empty.eval(row) shouldBe false
   }
 
+  test("BloomProbe equality is content-based — canonicalization/CSE sees identical probes as equal") {
+    // ADVICE r9: the case-class default compared the Array[Byte] field
+    // by reference, so two semantically identical probes never compared
+    // equal — defeating expression canonicalization and subexpression
+    // reuse. Equality must follow sketch CONTENT.
+    import graft.functions.BloomProbe
+    val child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.LongType, nullable = true)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    bf.putLong(7L)
+    val out = new java.io.ByteArrayOutputStream(); bf.writeTo(out)
+    val p1 = BloomProbe(out.toByteArray.clone(), child)
+    val p2 = BloomProbe(out.toByteArray.clone(), child)
+    (p1.sketch eq p2.sketch) shouldBe false // distinct array instances
+    p1 shouldBe p2
+    p1.hashCode() shouldBe p2.hashCode()
+    p1.semanticEquals(p2) shouldBe true
+    val other = BloomProbe(Array[Byte](1, 2, 3), child)
+    p1 should not be other
+  }
+
   test("per-version sketch union routes EVERY new-doc key exactly like the full-scan filter") {
     // the scaladoc's 100 TB composition: the old-corpus filter is not a
     // re-scan but BloomMergeAgg over the per-version sketches the

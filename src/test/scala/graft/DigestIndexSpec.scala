@@ -134,6 +134,19 @@ class DigestIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
       pipelines.DigestIndex.extend(spark,
         docs.where(col("bucket") >= 80), indexDir, indexDir)
     }
+    // ADVICE r9: the guard must compare QUALIFIED paths — the same
+    // directory under a different spelling (scheme-prefixed, trailing
+    // slash) would otherwise pass and mode("overwrite") would destroy
+    // the index it is lazily reading from
+    val e0 = intercept[IllegalArgumentException] {
+      pipelines.DigestIndex.extend(spark,
+        docs.where(col("bucket") >= 80), indexDir, "file:" + indexDir)
+    }
+    e0.getMessage should include("out-of-place")
+    intercept[IllegalArgumentException] {
+      pipelines.DigestIndex.extend(spark,
+        docs.where(col("bucket") >= 80), "file:" + indexDir, indexDir + "/")
+    }
     val bare = java.nio.file.Files.createTempDirectory("graft_dix_bare").toString
     val e = intercept[IllegalArgumentException] {
       pipelines.DigestIndex.refresh(spark, docs.limit(1), bare)

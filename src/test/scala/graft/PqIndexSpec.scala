@@ -130,6 +130,32 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     clone._2 shouldBe b1(0)._1
   }
 
+  test("a shifted-id corpus trains a DENSE codebook; search ≡ the dense-id build modulo the shift") {
+    // ADVICE r9: seeding codes from `vec_id < k` yields a SPARSE code
+    // set when ids don't densely cover [0, K) — positional ADC lookup
+    // then reads the wrong cells. The seed-rank remap must make any id
+    // space train the SAME codebook (rank order is shift-invariant), so
+    // search results are identical modulo the id offset.
+    val off = 5000000L
+    val shifted = vecs.select((col("vec_id") + off).as("vec_id"),
+      col("embedding"), col("label"))
+    val d = java.nio.file.Files.createTempDirectory("graft_pq_shift").toString
+    pipelines.PqIndex.buildFrom(spark, shifted, "shifted", d)
+    val cb = spark.read.parquet(s"$d/codebook.parquet")
+    cb.groupBy("sub").agg(max("code").as("mx"), countDistinct("code").as("nc"))
+      .where(col("mx") =!= col("nc") - 1).count() shouldBe 0L
+    val got = pipelines.PqIndex.search(spark,
+        queries10.select((col("vec_id") + off).as("vec_id"), col("embedding")),
+        d, k = 3)
+      .collect().toSeq
+      .map(r => (r.getLong(0) - off, r.getLong(1) - off, r.getDouble(2), r.getLong(3)))
+    val want = pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    got should not be empty
+    got shouldBe want
+  }
+
   test("an unstamped dir and a foreign geometry both fail loudly") {
     val empty = java.nio.file.Files.createTempDirectory("graft_pqe").toString
     val e1 = intercept[Exception] {

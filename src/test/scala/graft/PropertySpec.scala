@@ -265,6 +265,38 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     finally spark.conf.unset("spark.graft.lsh.emitOnce.validate")
   }
 
+  test("uniqueMembership audit (explicit validate=true) raises on multi-bucket input") {
+    // ADVICE r9: uniqueMembership skips BOTH dedup mechanisms on a bare
+    // caller assertion; under the explicit audit conf the join must
+    // raise on a doc appearing in more than one bucket instead of
+    // silently duplicating its pairs. Never on by default (every caller
+    // is unique-by-construction and the check costs a window shuffle).
+    import spark.implicits._
+    def chain(e: Throwable): String = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val multi = Seq((1L, "b1"), (1L, "b2"), (2L, "b1"))
+      .toDF("doc_id", "bkey")
+    spark.conf.set("spark.graft.lsh.emitOnce.validate", "true")
+    try {
+      val e = intercept[Exception] {
+        ops.ShardedSelfJoin.pairs(multi, Seq("bkey"), 10,
+          uniqueMembership = true).collect()
+      }
+      chain(e) should include("uniqueMembership contract")
+      // partitioned input passes the audit and yields the naive pair set
+      val uniq = Seq((1L, "b1"), (2L, "b1"), (3L, "b2"))
+        .toDF("doc_id", "bkey")
+      ops.ShardedSelfJoin.pairs(uniq, Seq("bkey"), 10, uniqueMembership = true)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+    } finally spark.conf.unset("spark.graft.lsh.emitOnce.validate")
+    // conf unset: the assertion is trusted, the violating input runs
+    // unchecked (pre-r10 behavior — duplicates are the caller's bug)
+    noException should be thrownBy
+      ops.ShardedSelfJoin.pairs(multi, Seq("bkey"), 10,
+        uniqueMembership = true).collect()
+  }
+
   test("llm_containment equals the all-pairs oracle on generated corpora with forced subsets") {
     import spark.implicits._
     // random corpora with PLANTED subset structure (random pairs alone

@@ -64,6 +64,14 @@ class SignatureIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
       pipelines.SignatureIndex.refresh(spark, newDocs, indexDir)
         .collect().toSeq shouldBe verdict.collect().toSeq
     } finally spark.conf.unset("spark.graft.dedup.broadcastCandidates")
+    // ADVICE r9 mid shape: candidate KEYS broadcast-sized but the
+    // signature rows NOT (sigindex.broadcastSigs=0) — key-semi stays
+    // map-side, the sig join shuffles, verdict identical
+    spark.conf.set("spark.graft.sigindex.broadcastSigs", "0")
+    try {
+      pipelines.SignatureIndex.refresh(spark, newDocs, indexDir)
+        .collect().toSeq shouldBe verdict.collect().toSeq
+    } finally spark.conf.unset("spark.graft.sigindex.broadcastSigs")
   }
 
   test("an in-memory batch refresh scans only index paths — old text never re-tokenized") {
