@@ -123,56 +123,14 @@ object Extras {
       .orderBy("doc_id")
   }
 
-  /** IVF coarse-quantizer width in sign bits (2^bits cells), the
-    * bits ↔ candidates ↔ recall knob: raise it with the corpus so
-    * cell occupancy (N/2^bits) stays near the target candidate budget.
-    * The DEFAULT (3 bits, hyperplane dims 1/9/17) is the declared
-    * oracle contract — the SQL mirror hardcodes it — so overriding
-    * spark.graft.ann.bits departs from the oracle; AnnRecallSpec
-    * re-pins the recall floor at 4 bits. Capped by the fixture's
-    * embedding dim (hyperplane k reads dim 8k+1). */
-  private def annBits(s: org.apache.spark.sql.SparkSession): Int = {
-    val b = s.conf.get("spark.graft.ann.bits", "3").toInt
-    require(b >= 1 && b <= 8, s"spark.graft.ann.bits must be in [1, 8], got $b")
-    b
-  }
-
-  private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
-    graft.functions.VectorExprs.register(s)
-    val bits = annBits(s)
-    // Hyperplane k reads dim 8k+1, so `bits` needs embedding dim ≥
-    // 8·(bits−1)+1. Without this guard an out-of-range element_at turns
-    // bkt NULL (ANSI off) and the probe equi-join silently returns a
-    // near-empty ANN result instead of erroring (ADVICE r5). The guard
-    // is a codegen'd per-row 0 added into bkt that raises on the first
-    // too-short vector — no plan-build-time probe job.
-    val need = 8 * (bits - 1) + 1
-    val dimGuard = when(size(col("e")) >= need, lit(0)).otherwise(
-      raise_error(concat(
-        lit(s"spark.graft.ann.bits=$bits needs embedding dim >= $need, got "),
-        size(col("e")).cast("string"))).cast("int"))
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .withColumn("bkt",
-        dimGuard + (0 until bits).map(i =>
-          (element_at(col("e"), i * 8 + 1) > 0).cast("int") * lit(1 << (bits - 1 - i)))
-          .reduce(_ + _))
-  }
-
-  /** Hamming≤1 multi-probe: the query's own cell plus its `bits` one-bit
-    * neighbours. Each (query, candidate) cell pair matches at most one
-    * probe, so no dedup is needed; the probe join stays an EQUI-join.
-    * Recall on near-orthogonal fixture vectors ≈ Σ survival over ≤1 bit
-    * flips (AnnRecallSpec pins the measured floor); candidates stay
-    * ~nprobe/cells of N² — at real scale raise the bit count with the
-    * corpus and keep nprobe fixed (9 probes of a 256-cell code ≈ 3.5%). */
+  // IVF coarse quantizer + multi-probe: shared `Ann` object (round 10 —
+  // the dense top-k candidate generator consumes the same construction;
+  // the conf contract, dim guard, and recall pins are documented there).
+  private def bucketed(s: org.apache.spark.sql.SparkSession, d: String) =
+    Ann.bucketed(s, d)
   private def withProbes(s: org.apache.spark.sql.SparkSession,
-                         v: org.apache.spark.sql.DataFrame) = {
-    val probes = (Seq("bkt") ++ (0 until annBits(s)).map(i => s"bkt ^ ${1 << i}"))
-      .mkString("array(", ", ", ")")
-    v.withColumn("probe", explode(expr(probes)))
-  }
+                         v: org.apache.spark.sql.DataFrame) =
+    Ann.withProbes(s, v)
 
   /** llm_ann_ivf — IVF/LSH-style ANN: a 3-hyperplane sign bucket as the
     * coarse quantizer (8 cells), Hamming≤1 multi-probe, top-3 by rounded

@@ -248,7 +248,10 @@ object Sketches {
       // unchanged. Bounded: K ids via TakeOrdered, then K·M seed rows.
       val seedIds = sv.select("vec_id").distinct().orderBy("vec_id").limit(k)
         .collect().map(_.getLong(0))
-      require(seedIds.nonEmpty, "Pq.train: empty subvector stream — nothing to seed")
+      // empty corpus → empty codebook → empty ranking (the EmptyInputSpec
+      // contract): zero seed ids is a VALID input, not a geometry error
+      if (seedIds.isEmpty)
+        return Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "c")
       val rank: Map[Long, Int] = seedIds.sorted.zipWithIndex.toMap
       var cb: Seq[(Int, Int, Seq[Double])] =
         sv.where(col("vec_id").isin(seedIds.toSeq: _*))
