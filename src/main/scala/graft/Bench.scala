@@ -69,6 +69,12 @@ object Bench {
       "win_rank" -> (() => SparkEntry.queries("win_rank")(spark, warm)),
       "join_shuffle" -> (() => SparkEntry.queries("join_shuffle")(spark, warm)),
       "llm_ann_ivf" -> (() => SparkEntry.queries("llm_ann_ivf")(spark, warm)),
+      // the PQ Lloyd loop compiles its own codegen units (subvector
+      // explode, broadcast-codebook assign, ADC scaled-int sums) that no
+      // other warmup covers — without this the first timed ann_pq pass
+      // absorbed the whole Janino/JIT cold start (BENCH_r09 max_spread
+      // 35.3 s vs a 2.77 s min; VERDICT r9 #4)
+      "llm_ann_pq" -> (() => SparkEntry.queries("llm_ann_pq")(spark, warm)),
     ).foreach { case (n, q) =>
       try q().queryExecution.toRdd.count()
       catch { case e: Throwable =>

@@ -17,6 +17,15 @@ import graft.queries.Sketches.Pq
   * inside the row — no per-(sub, code) join, no exchange before the
   * bounded TopKAgg — and the corpus's float vectors are never reopened.
   *
+  * Round 10 adds the IVF composition (VERDICT r9 #6): every code row is
+  * stamped with its coarse-quantizer cell (the SHARED Ann.cellExpr sign
+  * buckets) and the code table is PARTITIONED by (batch, cell), so
+  * `spark.graft.pq.search=ivf` scans only the ≤nprobe cells each query
+  * probes — file-level partition pruning, the IVFADC posture — while
+  * the default `flat` mode keeps the exhaustive exact-ADC scan and all
+  * parity pins. Cell bits freeze into the `_graft_ivf` stamp at build;
+  * extend() re-reads them so one index never mixes cell geometries.
+  *
   * Production posture on refresh: the codebook is trained ONCE at
   * build and new batches are ENCODED against it, never retrained —
   * retraining would silently re-key every stored code (a code is only
@@ -40,6 +49,11 @@ import graft.queries.Sketches.Pq
 object PqIndex {
   private val MarkerFile = "_graft_corpus"
   private val GeomFile = "_graft_geom"
+  // IVF coarse-quantizer width (sign bits) frozen at build time — a
+  // SEPARATE stamp from _graft_geom so pre-IVF indexes (and the
+  // hand-written truth indexes PqIndexSpec builds) stay readable by
+  // flat search; ivf search REQUIRES it and fails loud without it.
+  private val IvfFile = "_graft_ivf"
 
   private def fsFor(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -78,10 +92,27 @@ object PqIndex {
       .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
         .as("codes"))
 
+  /** (vec_id, cell) under the SHARED sign-bucket coarse quantizer
+    * (queries.Ann.cellExpr) — the same cell id the ann_ivf query family
+    * computes, so the IVF composition inherits AnnRecallSpec's measured
+    * survival geometry. */
+  private def cells(vecs: DataFrame, bits: Int): DataFrame =
+    vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), graft.queries.Ann.cellExpr(bits).as("cell"))
+
+  /** Codes land partitioned by (batch, cell): ivf search prunes to the
+    * probe cells at the FILE level — the "probe ≤ nprobe cells" scan a
+    * production IVF index does — while flat search and dynamic-overwrite
+    * retry semantics are unchanged (a retried batch overwrites exactly
+    * its own (batch, cell=*) leaves; cell assignment is deterministic).
+    * The repartition bounds write amplification to one file per cell
+    * instead of tasks × cells smalls — at scale, cells per batch track
+    * 2^bits, which grows with the corpus (Ann.annBits scaladoc). */
   private def writeBatch(spark: SparkSession, codes: DataFrame, out: String,
                          batch: Long): Unit =
     codes.withColumn("batch", lit(batch))
-      .write.partitionBy("batch")
+      .repartition(col("cell"))
+      .write.partitionBy("batch", "cell")
       .option("partitionOverwriteMode", "dynamic").mode("overwrite")
       .parquet(s"$out/codes.parquet")
 
@@ -94,11 +125,17 @@ object PqIndex {
                 out: String): Unit = {
     graft.functions.VectorExprs.register(spark)
     val (m, k, iters) = geometry(spark)
+    val bits = graft.queries.Ann.annBits(spark)
     val sv = graft.ops.Lineage.cut(Pq.subvectors(vecs, m))
     val cb = Pq.train(sv, k, iters)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook.parquet")
-    writeBatch(spark, packed(sv, cb), out, 0L)
+    // cell join: both sides hash-partition on vec_id (packed's groupBy
+    // already did) — one extra (id, int) shuffle at build time buys
+    // file-level probe pruning on every search thereafter
+    writeBatch(spark, packed(sv, cb).join(cells(vecs, bits), Seq("vec_id")),
+      out, 0L)
     writeSmall(spark, out, GeomFile, s"$m:$k:$iters")
+    writeSmall(spark, out, IvfFile, bits.toString)
     writeSmall(spark, out, MarkerFile, stamp)
   }
 
@@ -135,15 +172,54 @@ object PqIndex {
       .groupBy("qid")
       .agg(expr("transform(sort_array(collect_list(struct(sub, row))), t -> t.row)")
         .as("tab"))
-    val sums = spark.read.parquet(s"$index/codes.parquet")
-      // bounded broadcast product: one row per query vector — the
-      // ≤B-row totals-table crossJoin class, never corpus × corpus
-      .crossJoin(broadcast(qtab))
-      .where(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("vid"),
-        expr(s"aggregate(sequence(0, $m - 1), cast(0 as bigint), " +
-          "(acc, i) -> acc + element_at(element_at(tab, i + 1), " +
-          "element_at(codes, i + 1) + 1))").as("ad2_9"))
+    // the ADC sum both modes share: M exact-integer lookups per
+    // (query, candidate) row, no join on (sub, code)
+    val adc = expr(s"aggregate(sequence(0, $m - 1), cast(0 as bigint), " +
+      "(acc, i) -> acc + element_at(element_at(tab, i + 1), " +
+      "element_at(codes, i + 1) + 1))").as("ad2_9")
+    val mode = spark.conf.get("spark.graft.pq.search", "flat")
+    val sums = mode match {
+      case "flat" =>
+        spark.read.parquet(s"$index/codes.parquet")
+          // bounded broadcast product: one row per query vector — the
+          // ≤B-row totals-table crossJoin class, never corpus × corpus
+          .crossJoin(broadcast(qtab))
+          .where(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("vid"), adc)
+      case "ivf" =>
+        // IVF+PQ: candidates come from the ≤nprobe coarse cells each
+        // query probes (cells stamped at build/extend under the SHARED
+        // Ann.cellExpr), so search scans probe-cell files only instead
+        // of every code — the production coarse-quantizer + PQ-residual
+        // composition (Jégou et al. IVFADC), minus the residual re-train
+        // (codes stay codebook-absolute, so flat and ivf ADC integers
+        // are IDENTICAL for every surviving candidate; only the
+        // candidate set shrinks — PqIndexSpec pins subset semantics).
+        val bits = readSmall(spark, index, IvfFile).trim.toInt
+        val masks = graft.queries.Ann.probeMasks(
+          bits, graft.queries.Ann.probeRadius(spark))
+        val qcells = queryVecs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .select(col("vec_id").as("qid"),
+            graft.queries.Ann.cellExpr(bits).as("cell"))
+        // distinct XOR masks ⇒ each (query, candidate-cell) pair matches
+        // at most one probe row — the probe join stays an EQUI-join with
+        // no dedup (Ann.withProbes contract)
+        val qprobes = qcells.select(col("qid"), explode(array(
+          masks.map(mk => col("cell").bitwiseXOR(lit(mk))): _*)).as("cell"))
+        // driver-side probe-cell union for PARTITION pruning — bounded
+        // ≤ 2^bits ≤ 256 by the annBits cap (bounded-collect class)
+        val probeSet = qprobes.select("cell").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        spark.read.parquet(s"$index/codes.parquet")
+          .where(col("cell").isin(probeSet: _*)) // file-level prune
+          .join(broadcast(qprobes), Seq("cell")) // per-query cell match
+          .join(broadcast(qtab), Seq("qid"))     // ADC table, not duplicated per probe
+          .where(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("vid"), adc)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.pq.search must be flat|ivf, got '$other'")
+    }
     Pq.topkOfSums(sums, k)
   }
 
@@ -155,8 +231,13 @@ object PqIndex {
     graft.functions.VectorExprs.register(spark)
     require(batchId > 0, s"batchId must be > 0 (0 is the build batch), got $batchId")
     val (m, _, _) = storedGeometry(spark, index)
+    // cell bits come from the STAMP, never the live conf — a batch
+    // stamped under different bits would land in cells the probe
+    // geometry of the rest of the index can't reach
+    val bits = readSmall(spark, index, IvfFile).trim.toInt
     val cb = spark.read.parquet(s"$index/codebook.parquet")
     val sv = Pq.subvectors(newVecs, m)
-    writeBatch(spark, packed(sv, cb), index, batchId)
+    writeBatch(spark, packed(sv, cb).join(cells(newVecs, bits), Seq("vec_id")),
+      index, batchId)
   }
 }

@@ -10,7 +10,7 @@ import graft.Tables
   * construction is the Sketches.Pq precedent: the recall pins
   * (AnnRecallSpec) then speak for every consumer, not just the query
   * they were measured on. */
-private[queries] object Ann {
+private[graft] object Ann {
 
   /** IVF coarse-quantizer width in sign bits (2^bits cells), the
     * bits ↔ candidates ↔ recall knob: raise it with the corpus so
@@ -38,28 +38,44 @@ private[queries] object Ann {
     r
   }
 
-  def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
-    graft.functions.VectorExprs.register(s)
-    val bits = annBits(s)
-    // Hyperplane k reads dim 8k+1, so `bits` needs embedding dim ≥
-    // 8·(bits−1)+1. Without this guard an out-of-range element_at turns
-    // bkt NULL (ANSI off) and the probe equi-join silently returns a
-    // near-empty ANN result instead of erroring (ADVICE r5). The guard
-    // is a codegen'd per-row 0 added into bkt that raises on the first
-    // too-short vector — no plan-build-time probe job.
+  /** The coarse-quantizer cell of an `e: array<double>` column — the ONE
+    * sign-bucket expression every consumer (query family and the PqIndex
+    * IVF+PQ artifact) computes, so a cell id means the same thing
+    * everywhere. Hyperplane k reads dim 8k+1, so `bits` needs embedding
+    * dim ≥ 8·(bits−1)+1. Without the guard an out-of-range element_at
+    * turns the cell NULL (ANSI off) and the probe equi-join silently
+    * returns a near-empty ANN result instead of erroring (ADVICE r5).
+    * The guard is a codegen'd per-row 0 added into the cell that raises
+    * on the first too-short vector — no plan-build-time probe job. */
+  def cellExpr(bits: Int): org.apache.spark.sql.Column = {
     val need = 8 * (bits - 1) + 1
     val dimGuard = when(size(col("e")) >= need, lit(0)).otherwise(
       raise_error(concat(
-        lit(s"spark.graft.ann.bits=$bits needs embedding dim >= $need, got "),
+        lit(s"ann cell of $bits bits needs embedding dim >= $need, got "),
         size(col("e")).cast("string"))).cast("int"))
+    dimGuard + (0 until bits).map(i =>
+      (element_at(col("e"), i * 8 + 1) > 0).cast("int") * lit(1 << (bits - 1 - i)))
+      .reduce(_ + _)
+  }
+
+  /** The multi-probe XOR masks for Hamming≤radius probing. Distinct by
+    * construction, so each (query cell, candidate cell) pair matches at
+    * most one mask — probing stays an EQUI-join with no dedup. */
+  def probeMasks(bits: Int, radius: Int): Seq[Int] =
+    Seq(0) ++
+      (if (radius >= 1) (0 until bits).map(1 << _) else Seq.empty) ++
+      (if (radius >= 2)
+        for (i <- 0 until bits; j <- (i + 1) until bits) yield (1 << i) | (1 << j)
+      else Seq.empty)
+
+  def bucketed(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.VectorExprs.register(s)
+    val bits = annBits(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(expr("graft_dot(e, e)")))
-      .withColumn("bkt",
-        dimGuard + (0 until bits).map(i =>
-          (element_at(col("e"), i * 8 + 1) > 0).cast("int") * lit(1 << (bits - 1 - i)))
-          .reduce(_ + _))
+      .withColumn("bkt", cellExpr(bits))
   }
 
   /** Hamming≤radius multi-probe: the query's own cell plus every cell
@@ -73,12 +89,7 @@ private[queries] object Ann {
   def withProbes(s: org.apache.spark.sql.SparkSession,
                  v: org.apache.spark.sql.DataFrame) = {
     val bits = annBits(s)
-    val r = probeRadius(s)
-    val masks = Seq(0) ++
-      (if (r >= 1) (0 until bits).map(1 << _) else Seq.empty) ++
-      (if (r >= 2)
-        for (i <- 0 until bits; j <- (i + 1) until bits) yield (1 << i) | (1 << j)
-      else Seq.empty)
+    val masks = probeMasks(bits, probeRadius(s))
     val probes = masks.map(m => if (m == 0) "bkt" else s"bkt ^ $m")
       .mkString("array(", ", ", ")")
     v.withColumn("probe", explode(expr(probes)))

@@ -130,6 +130,41 @@ object StressGen {
     replicate(spark, src, dst, "events", k, Seq("event_id", "user_id"))
   }
 
+  /** Deterministic Zipf(1)-degree power-law graph for GraphHubScale
+    * (round 10, VERDICT r9 #5): the hub regime the degree-ordered
+    * triangle orientation exists for — the graphStress co-purchase
+    * corpus is near-uniform, so the O(√E) claim was never actually
+    * stressed. Construction: each of `nEdges` raw edges draws both
+    * endpoints' RANKS via the inverse-CDF map rank = ⌊N^u⌋ − 1 over a
+    * hash-uniform u (P[rank ≤ x] = ln(x+2)/ln(N+1) ⇒ degree density
+    * ∝ 1/(rank+1), Zipf exponent 1 — rank 0 is a genuine ~N/2-degree
+    * hub after dedup), then SCATTERS ranks across the id space by the
+    * fixed odd-multiplier bijection id = rank·2654435761 mod N (N a
+    * power of two). The scatter is the point of the demo: with hubs at
+    * low ids, id-orientation (src < dst) accidentally approximates
+    * degree-orientation (a hub at id 0 has indegree 0 — no wedge ever
+    * centers on it); scattered, a hub's neighbours split ~half below /
+    * ~half above its id, so id-oriented wedge volume at the hub is
+    * Θ(deg²/4) while degree-oriented keeps every center's fan-out
+    * O(√E). Fully hash-deterministic (Det rule: no Math.random), edges
+    * canonical (src < dst) and distinct — the shape copurchaseEdges
+    * emits, so Graphs.sparsifiedTriangles consumes it directly. */
+  def zipfEdges(spark: SparkSession, nNodes: Int, nEdges: Long): DataFrame = {
+    require((nNodes & (nNodes - 1)) == 0, s"nNodes must be a power of 2, got $nNodes")
+    val n = lit(nNodes.toLong)
+    def endpoint(salt: Int) = {
+      val u = pmod(xxhash64(col("id"), lit(salt)), lit(1000000L)) / lit(1000000.0)
+      val rank = (pow(lit(nNodes.toDouble + 1), u) - lit(1.0)).cast("long")
+      pmod(rank * lit(2654435761L), n)
+    }
+    spark.range(nEdges)
+      .select(endpoint(0).as("a"), endpoint(1).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("src"),
+              greatest(col("a"), col("b")).as("dst"))
+      .distinct()
+  }
+
   /** Core-engine replication for CoreScale (round 9): the relational
     * tables k× with ALL entity keys shifted — orders/lineitem co-shift
     * the order key (the join stays k-partite), events shift event_id

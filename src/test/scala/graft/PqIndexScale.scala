@@ -59,6 +59,48 @@ object PqIndexScale {
         pipelines.PqIndex.search(spark, q, ix, 3).count()
       }
       println(s"x$m search rows = $rows")
+
+      // Round 10 (VERDICT r9 #6): the IVF+PQ composition A/B — probe-
+      // limited search vs the exhaustive flat scan over the SAME index,
+      // at the cluster-posture cell width bits(m) = 3+⌈log₂ m⌉ (cell
+      // occupancy ≈ constant as the corpus grows; VectorScale posture).
+      // The claim: ivf search scans only the ≤nprobe probe cells' codes
+      // (file-level partition pruning), flat scans all of them, and the
+      // two agree on almost every top-k pair (codes are codebook-
+      // absolute, so surviving pairs carry IDENTICAL ADC integers).
+      val bits = math.min(8, 3 + math.ceil(math.log(m.toDouble) / math.log(2)).toInt)
+      spark.conf.set("spark.graft.ann.bits", bits.toString)
+      val ivfIx = java.nio.file.Files.createTempDirectory(s"graft_pqivf_x$m").toString
+      timed(s"x$m buildFrom(union, $bits-bit cells) [setup, 1 pass]") {
+        pipelines.PqIndex.buildFrom(spark, vecs, dir, ivfIx)
+      }
+      spark.conf.unset("spark.graft.ann.bits")
+      val codesAll = spark.read.parquet(s"$ivfIx/codes.parquet")
+      val totalCodes = codesAll.count()
+      spark.conf.set("spark.graft.ann.probeRadius", "2")
+      val masks = queries.Ann.probeMasks(bits, 2)
+      val probeCells = q
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(queries.Ann.cellExpr(bits).as("cell"))
+        .collect().map(_.getInt(0)).toSet
+        .flatMap((c: Int) => masks.map(c ^ _))
+      val scanned = codesAll.where(col("cell").isin(probeCells.toSeq: _*)).count()
+      println(f"x$m ivf candidate volume: $scanned of $totalCodes codes " +
+        f"(${100.0 * scanned / totalCodes}%.1f%%, ${probeCells.size} probe cells of ${1 << bits})")
+      def pairs() = pipelines.PqIndex.search(spark, q, ivfIx, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flatPairs = { // pass 1 warms the codegen units, pass 2 is the number
+        timed(s"x$m search FLAT pass1 [warm]")(pairs())
+        timed(s"x$m search FLAT ($totalCodes codes)")(pairs())
+      }
+      spark.conf.set("spark.graft.pq.search", "ivf")
+      val ivfPairs = {
+        timed(s"x$m search IVF pass1 [warm]")(pairs())
+        timed(s"x$m search IVF radius-2 ($scanned codes)")(pairs())
+      }
+      spark.conf.unset("spark.graft.pq.search")
+      spark.conf.unset("spark.graft.ann.probeRadius")
+      println(f"x$m ivf recall@3 vs flat = ${ivfPairs.intersect(flatPairs).size.toDouble / flatPairs.size}%.3f")
     }
     spark.stop()
   }

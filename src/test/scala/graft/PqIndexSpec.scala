@@ -156,6 +156,95 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     got shouldBe want
   }
 
+  test("ivf search: probe-limited candidates, exact-subset ADC, recall floor vs flat") {
+    // flat is the exhaustive-truth arm: every candidate scanned, exact
+    // integer ADC. The ivf composition must (a) return a SUBSET of the
+    // pairs flat could see, with IDENTICAL distances on every pair it
+    // keeps (codes are codebook-absolute — the candidate set shrinks,
+    // the math doesn't change), and (b) at radius 2 (7 of 8 cells at 3
+    // bits) hold a high recall floor vs flat's top-3.
+    val flat = pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = withConf("spark.graft.pq.search" -> "ivf",
+                       "spark.graft.ann.probeRadius" -> "2") {
+      pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    ivf should not be empty
+    // distances agree exactly on the intersection
+    ivf.keySet.intersect(flat.keySet).foreach { p =>
+      ivf(p) shouldBe flat(p)
+    }
+    val recall = ivf.keySet.intersect(flat.keySet).size.toDouble / flat.size
+    info(f"ivf-PQ recall@3 vs flat-PQ = $recall%.3f over ${flat.size} pairs")
+    recall should be >= 0.60 // measured floor at sf0.001, radius 2
+    // radius 0 probes the query's own cell only — the candidate shrink
+    // must be REAL: the code table must hold rows in cells the radius-0
+    // probe set excludes (top-k output size is always k·|queries|, so
+    // the shrink shows in the scanned candidates, not the result rows)
+    val bits = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(indexDir, "_graft_ivf")).trim.toInt
+    val r0cells = queries10
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(queries.Ann.cellExpr(bits).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val excluded = spark.read.parquet(s"$indexDir/codes.parquet")
+      .where(!col("cell").isin(r0cells: _*)).count()
+    excluded should be > 0L
+    // and the radius-0 results still carry exact flat distances on
+    // every pair both modes keep
+    val r0 = withConf("spark.graft.pq.search" -> "ivf",
+                      "spark.graft.ann.probeRadius" -> "0") {
+      pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    r0.keySet.intersect(flat.keySet).foreach { p => r0(p) shouldBe flat(p) }
+    // and the scan really prunes at the partition level: the pruned
+    // relation's chosen files all sit under probe-cell directories
+    val plan = withConf("spark.graft.pq.search" -> "ivf",
+                        "spark.graft.ann.probeRadius" -> "0") {
+      pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
+        .queryExecution.executedPlan.toString
+    }
+    plan should include("PartitionFilters")
+    plan should not include "CartesianProduct"
+    plan should not include "SortMergeJoin"
+  }
+
+  test("ivf search over an extended index: extend stamps cells under the STORED bits") {
+    val cut = vecs.agg(expr("percentile(vec_id, 0.7)")).head().getDouble(0).toLong
+    val d = java.nio.file.Files.createTempDirectory("graft_pqivfx").toString
+    pipelines.PqIndex.buildFrom(spark, vecs.where(col("vec_id") <= cut), sfDir, d)
+    // a DIFFERENT live conf at extend time must not leak into the cell
+    // stamp — cells come from _graft_ivf, or batch-1 vectors would land
+    // in cells the search probe geometry can't reach
+    withConf("spark.graft.ann.bits" -> "4") {
+      pipelines.PqIndex.extend(spark, vecs.where(col("vec_id") > cut), d, 1L)
+    }
+    val got = withConf("spark.graft.pq.search" -> "ivf",
+                       "spark.graft.ann.probeRadius" -> "2") {
+      pipelines.PqIndex.search(spark, queries10, d, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // batch-1 ids are reachable: at least one neighbour above the cut
+    got.exists(_._2 > cut) shouldBe true
+    // an ivf search against an index with no _graft_ivf stamp fails loud
+    val legacy = java.nio.file.Files.createTempDirectory("graft_pqleg").toString
+    spark.read.parquet(s"$indexDir/codebook.parquet")
+      .write.parquet(s"$legacy/codebook.parquet")
+    spark.read.parquet(s"$indexDir/codes.parquet").drop("cell")
+      .withColumn("batch", lit(0L)).write.partitionBy("batch")
+      .parquet(s"$legacy/codes.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(legacy, "_graft_geom"), "16:64:2")
+    val e = intercept[Exception] {
+      withConf("spark.graft.pq.search" -> "ivf") {
+        pipelines.PqIndex.search(spark, queries10, legacy, k = 3).collect()
+      }
+    }
+    e.getMessage should include("_graft_ivf")
+  }
+
   test("an unstamped dir and a foreign geometry both fail loudly") {
     val empty = java.nio.file.Files.createTempDirectory("graft_pqe").toString
     val e1 = intercept[Exception] {

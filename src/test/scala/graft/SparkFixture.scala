@@ -9,6 +9,13 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
   lazy val spark: SparkSession = SparkFixture.session
   val sfDir = "/root/testdata/sf0.001"
 
+  /** Run `f` with session confs set, restoring (unsetting) after —
+    * returns f's value so measured results can escape the scope. */
+  def withConf[T](kvs: (String, String)*)(f: => T): T = {
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   override def afterAll(): Unit = super.afterAll()
 }
 

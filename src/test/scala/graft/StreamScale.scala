@@ -61,17 +61,17 @@ object StreamScale {
       val nRows = spark.read.parquet(stage).count()
       val schema = spark.read.parquet(stage).schema
 
-      def stream(): DataFrame =
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(stage)
+      def stream(mfpt: Int): DataFrame =
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", mfpt).parquet(stage)
 
       var ckptN = 0
-      def run(name: String, provider: String, mode: String)(build: DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
+      def run(name: String, provider: String, mode: String, mfpt: Int = 8)(build: DataFrame => org.apache.spark.sql.Dataset[_]): Unit = {
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
         ckptN += 1
         val ckpt = s"$tmp/ckpt_${k}_$ckptN"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
         val t0 = System.nanoTime()
-        val q = build(stream()).writeStream.format("noop")
+        val q = build(stream(mfpt)).writeStream.format("noop")
           .outputMode(mode).option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -94,6 +94,18 @@ object StreamScale {
       // transformWithState needs column families → RocksDB only
       run("running_tws", ROCKS, "update")(df =>
         streaming.EventStreams.runningUserStateTws(df.as[streaming.Ev]))
+      // Round 10 (VERDICT r9 #7): the micro-batch amortization dial.
+      // StreamScale r9 found interval_join pays a ~3.5 s/micro-batch
+      // two-sided state-commit floor regardless of volume — so at these
+      // row counts wall ≈ batches × floor, and maxFilesPerTrigger is
+      // the dial a 100 TB/day job turns to trade latency for
+      // throughput. Sweep 32 and 64 files/trigger (2 and 1 batches over
+      // the 64 staged files; the 8-files/8-batch arm is the rocks run
+      // above) — the wall curve vs batch count IS the floor's price.
+      for (mfpt <- sys.env.get("SPARK_GRAFT_MFPT")
+             .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32, 64)))
+        run(s"ij[mfpt=$mfpt]", ROCKS, "append", mfpt)(df =>
+          streaming.EventStreams.intervalJoin(df))
       println(s"  (x$k input = $nRows rows; sanity: state/row ratios above)")
     }
     spark.stop()

@@ -97,6 +97,37 @@ object VectorScale {
         case _ =>
       }
     }
+
+    // Round 10 (VERDICT r9 #1 done-criteria): the dense top-k family's
+    // candidate-generator A/B — llm_cosine_topk end-to-end under each
+    // spark.graft.topk.candidates mode, plus the candidate VOLUME the
+    // TopKAgg consumes (the densePairs stream row count: N²−N exact;
+    // the drop is the whole point of the conf). ivf/ivfpq run the
+    // bits-with-corpus posture; exact at ×30 is 3.6e9 dot products on
+    // this box (~4 min) — gated behind SPARK_GRAFT_EXACT=1, its volume
+    // is the formula either way. DenseTopkRecallSpec pins the recall
+    // floors; this measures the price.
+    if (sys.env.get("SPARK_GRAFT_TOPK_AB").forall(_ == "1")) {
+      val exactAll = sys.env.get("SPARK_GRAFT_EXACT").contains("1")
+      for (m <- mults) {
+        val dir = if (m == 1) src else s"${sys.props("java.io.tmpdir")}/graft_vec_x$m"
+        val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+        for (mode <- Seq("exact", "ivf", "ivfpq")
+             if mode != "exact" || m <= 10 || exactAll) {
+          spark.conf.set("spark.graft.topk.candidates", mode)
+          if (mode != "exact")
+            spark.conf.set("spark.graft.ann.bits", bitsFor(m).toString)
+          val cand =
+            if (mode == "exact") n * (n - 1)
+            else queries.Llm.densePairs(spark, dir).count()
+          val (sec, rows) = timed("llm_cosine_topk", dir)
+          spark.conf.unset("spark.graft.topk.candidates")
+          spark.conf.unset("spark.graft.ann.bits")
+          println(f"x$m%-3d cosine_topk[$mode%-6s] $sec%8.2f s  rows=$rows  " +
+            f"candidates=$cand%,d (${100.0 * cand / (n * (n - 1))}%.2f%% of N²)")
+        }
+      }
+    }
     spark.stop()
   }
 }
