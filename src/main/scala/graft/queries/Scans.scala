@@ -158,28 +158,40 @@ object Scans {
     * SOURCE table's octet counts exactly — the roundtrip-lossless
     * upgrade pattern of source_csv/orc/text. */
   val sourceBinary: Q = (s, d) => {
-    // fixed per-(session, dataset) dir, swept at ENTRY: a fresh temp dir
-    // per call would strand one file-per-doc payload copy per invocation
-    // (4 bench passes/round + Verify/tests — review r8); this sink is
-    // one-file-per-doc (no mode("overwrite") dir semantics), so unlike
-    // the scratchDir queries it needs the explicit sweep to guarantee no
-    // stale .bin from a larger prior corpus survives into the census.
-    // The returned frame reads the path LAZILY, so the sweep must never
-    // run at the END of this function.
-    val dir = new java.io.File(scratchDir(s, d, "bin"))
-    dir.listFiles.foreach(_.delete())
+    // fixed per-(session, dataset) PARENT with a fresh CHILD dir per
+    // call, previous children swept at ENTRY: a bare fresh temp dir per
+    // call would strand one file-per-doc payload copy per invocation
+    // (4 bench passes/round + Verify/tests — review r8), while reusing
+    // ONE fixed dir (the r9 form) measured 2.6× slower end-to-end
+    // (BinBisect: 1.32 vs 0.50 s) because ext4 directory htrees never
+    // shrink — 5000 unlink+create cycles bloat the inode and every
+    // subsequent create/listing walks it. The parent bounds the
+    // footprint to one corpus copy; the child gives each pass a compact
+    // directory. The returned frame reads the path LAZILY, so the sweep
+    // must never run at the END of this function.
+    val parent = new java.io.File(scratchDir(s, d, "bin"))
+    // plain recursive unlink — commons-io's deleteQuietly walks with
+    // per-file symlink/type checks that cost ~0.5 s over 5000 entries
+    def rmRf(f: java.io.File): Unit = {
+      val cs = f.listFiles; if (cs != null) cs.foreach(rmRf); f.delete(): Unit
+    }
+    parent.listFiles.foreach(rmRf)
+    val dir = new java.io.File(parent, java.lang.Long.toHexString(System.nanoTime()))
+    dir.mkdirs()
     val tmp = dir.toString
+    // delivery over the InternalRow RDD: Dataset.foreachPartition would
+    // insert a whole extra deserialize-to-Row stage (~0.4 s at sf0.1 —
+    // BinBisect) just to read two fields the unsafe row already exposes
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      .queryExecution.toRdd.foreachPartition { it =>
         it.foreach { r =>
           // null text is in-domain (the collapse path builds null-text
           // docs): deliver it as a zero-byte object instead of NPE-ing
           // the writer; the oracle mirrors with coalesce(strlen,0)
-          val bytes = r.getAs[Array[Byte]](1)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getBinary(1)
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"),
-            if (bytes == null) Array.empty[Byte] else bytes)
+            java.nio.file.Paths.get(tmp, s"${r.getLong(0)}.bin"), bytes)
         }
       }
     // pathGlobFilter, not a glob path: a glob that matches zero files
