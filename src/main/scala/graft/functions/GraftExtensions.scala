@@ -40,6 +40,9 @@ object GraftExtensions {
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       exprs => DotProduct(exprs(0), exprs(1))),
+    ("graft_adc",
+      new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+      exprs => AdcSum(exprs(0), exprs(1))),
     ("graft_agree",
       new ExpressionInfo(classOf[ArrayAgreeCount].getName, "graft_agree"),
       exprs => ArrayAgreeCount(exprs(0), exprs(1))),

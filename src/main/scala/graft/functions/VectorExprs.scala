@@ -57,6 +57,68 @@ case class DotProduct(left: Expression, right: Expression)
     })
 }
 
+/** adc(codes: array<int>, tab: array<array<bigint>>) — the PQ
+  * asymmetric-distance sum: Σᵢ tab[i][codes[i]] over the M subspaces,
+  * as one tight codegen loop. Replaces the `aggregate(sequence(0, M-1),
+  * …)` higher-order-function form on the ADC scan (HOFs don't
+  * participate in whole-stage codegen; at the ×30 ivfpq leg the
+  * interpreted fold priced 2 B element_at evals). Exact integer adds in
+  * subspace order — identical values to the HOF fold and to the
+  * (sub, code)-join + sum form, so every ADC consumer stays
+  * hash-comparable. Fail-loud on a code outside its table row: the
+  * dense-codebook invariant is checked where indexes load
+  * (PqIndex.search) and guaranteed where codebooks train (Pq.train seed
+  * remap), but unsafe array access reads garbage instead of erroring,
+  * so the loop keeps an explicit bounds check (one compare per element
+  * next to a memory load). */
+case class AdcSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_adc"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSum =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tab = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), tab.numElements())
+    var s = 0L
+    var i = 0
+    while (i < m) {
+      val row = tab.getArray(i)
+      val c = codes.getInt(i)
+      if (c < 0 || c >= row.numElements())
+        throw new ArrayIndexOutOfBoundsException(
+          s"graft_adc: code $c outside table row of ${row.numElements()} (sub $i)")
+      s += row.getLong(c)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, tab) => {
+      val m = ctx.freshName("m"); val s = ctx.freshName("s")
+      val i = ctx.freshName("i"); val row = ctx.freshName("row")
+      val c = ctx.freshName("c")
+      s"""
+      |int $m = java.lang.Math.min($codes.numElements(), $tab.numElements());
+      |long $s = 0L;
+      |for (int $i = 0; $i < $m; $i++) {
+      |  org.apache.spark.sql.catalyst.util.ArrayData $row = $tab.getArray($i);
+      |  int $c = $codes.getInt($i);
+      |  if ($c < 0 || $c >= $row.numElements())
+      |    throw new ArrayIndexOutOfBoundsException(
+      |      "graft_adc: code " + $c + " outside table row of " + $row.numElements());
+      |  $s += $row.getLong($c);
+      |}
+      |${ev.value} = $s;
+      |""".stripMargin
+    })
+}
+
 /** agree(a, b) over array<int> — count of positions with equal values
   * (MinHash signature agreement). */
 case class ArrayAgreeCount(left: Expression, right: Expression)

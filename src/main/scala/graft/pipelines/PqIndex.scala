@@ -85,12 +85,9 @@ object PqIndex {
   }
 
   /** (vec_id, codes: array<int>) — assignment packed to the M-cell
-    * layout; sort_array fixes collect_list's arrival order. */
+    * layout (Pq.packCodes — the ONE packing every ADC consumer shares). */
   private def packed(sv: DataFrame, cb: DataFrame): DataFrame =
-    Pq.assign(sv, cb)
-      .groupBy("vec_id")
-      .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
-        .as("codes"))
+    Pq.packCodes(Pq.assign(sv, cb))
 
   /** (vec_id, cell) under the SHARED sign-bucket coarse quantizer
     * (queries.Ann.cellExpr) — the same cell id the ann_ivf query family
@@ -164,19 +161,11 @@ object PqIndex {
       "positional ADC lookup would be silently wrong; rebuild the index")
     val qsv = Pq.subvectors(queryVecs, m)
     // nested per-query table: tab[sub][code] = p9, built from the same
-    // queryTables integers the in-query join consumes
-    val qtab = Pq.queryTables(qsv, cb)
-      .groupBy("qid", "sub")
-      .agg(expr("transform(sort_array(collect_list(struct(code, p9))), t -> t.p9)")
-        .as("row"))
-      .groupBy("qid")
-      .agg(expr("transform(sort_array(collect_list(struct(sub, row))), t -> t.row)")
-        .as("tab"))
+    // queryTables integers the in-query form consumes (Pq.packQueryTables)
+    val qtab = Pq.packQueryTables(Pq.queryTables(qsv, cb))
     // the ADC sum both modes share: M exact-integer lookups per
-    // (query, candidate) row, no join on (sub, code)
-    val adc = expr(s"aggregate(sequence(0, $m - 1), cast(0 as bigint), " +
-      "(acc, i) -> acc + element_at(element_at(tab, i + 1), " +
-      "element_at(codes, i + 1) + 1))").as("ad2_9")
+    // (query, candidate) row, no join on (sub, code) (Pq.adcExpr)
+    val adc = Pq.adcExpr
     val mode = spark.conf.get("spark.graft.pq.search", "flat")
     val sums = mode match {
       case "flat" =>

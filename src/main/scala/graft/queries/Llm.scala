@@ -95,40 +95,50 @@ object Llm {
         val sv = graft.ops.Lineage.cut(
           Sketches.Pq.subvectors(Tables.embeddings(s, d), m))
         val cb = Sketches.Pq.train(sv, k, iters)
-        val codes = Sketches.Pq.assign(sv, cb).select("vec_id", "sub", "code")
-        // every vector is a query: the per-query ADC tables are N·M·K
-        // rows — too wide to broadcast, so the joins SHUFFLE; the
-        // payload is 3 ints + a long per row (codes and exact integer
-        // partials, never embeddings), and the per-pair sum
-        // partial-aggregates map-side before the TopKAgg keeps C
-        val qtab = Sketches.Pq.queryTables(sv, cb)
+        // packed ADC (the PqIndex.search scan shape, shared via Pq):
+        // codes pack to one M-int array per vector, the per-query
+        // tables nest to one tab[sub][code] per query, and each
+        // candidate pair pays M integer lookups INSIDE its row —
+        // no (sub, code) join, no (qid, vid) aggregation. The join
+        // form this replaced shuffled candidates·M rows and
+        // hash-aggregated a candidates-sized group set: 83 s for the
+        // ×10 ivfpq leg where this form runs the same integers in
+        // seconds. codesPk is (M+2) ints/vector → broadcastable far
+        // past bench scale; qtabPk is M·K longs/query → it SHUFFLES
+        // on qid next to the candidate stream.
+        val codesPk = broadcast(
+          Sketches.Pq.packCodes(Sketches.Pq.assign(sv, cb).select("vec_id", "sub", "code"))
+            .withColumnRenamed("vec_id", "vid"))
+        val qtabPk = Sketches.Pq.packQueryTables(Sketches.Pq.queryTables(sv, cb))
+        val adc = Sketches.Pq.adcExpr
         val sums =
           if (candMode(s) == "pq")
-            // flat ADC: every (query, vector) pair meets once per
-            // subspace — recall-optimal, but the scan is N²·M rows
-            // (quadratic with a small constant); the composed mode
-            // below is the 100 TB shape
-            codes.join(qtab, Seq("sub", "code"))
-              .where(col("qid") =!= col("vec_id"))
-              .groupBy(col("qid"), col("vec_id").as("vid"))
-              .agg(sum("p9").as("ad2_9"))
+            // flat ADC: every (query, vector) pair is scanned —
+            // recall-optimal but quadratic (N² rows through the scan
+            // with a small constant, pipelined off the broadcast: no
+            // shuffle at all); the composed mode below is the 100 TB
+            // shape
+            qtabPk.crossJoin(codesPk)
+              .where(col("qid") =!= col("vid"))
+              .select(col("qid"), col("vid"), adc)
           else {
             // ivfpq — the FAISS IVF-PQ composition: the shared coarse
-            // quantizer prunes candidates to the probed cells FIRST, so
-            // the ADC scan is probePairs·M rows (~linear under the
-            // bits-with-corpus posture), and only N·C pairs ever see an
-            // embedding again (the exact rescore). No stage shuffles
-            // vector payloads: the probe join carries two longs + a
-            // cell id, the ADC join 3 ints + a long.
+            // quantizer prunes candidates to the probed cells FIRST
+            // (~nprobe/2^bits of N² pairs under the bits-with-corpus
+            // posture), each surviving pair pays the in-row ADC sum,
+            // and only N·C pairs ever see an embedding again (the
+            // exact rescore). No stage shuffles vector payloads: the
+            // probe join carries two longs + a cell id, the ADC stage
+            // one packed code row (broadcast) + the qid-keyed table.
             val v = Ann.bucketed(s, d)
             val a = Ann.withProbes(s, v)
               .select(col("vec_id").as("qid"), col("probe"))
             val b = v.select(col("vec_id").as("vid"), col("bkt").as("probe"))
             a.join(b, Seq("probe")).where(col("qid") =!= col("vid"))
               .select("qid", "vid")
-              .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
-              .join(qtab, Seq("qid", "sub", "code"))
-              .groupBy("qid", "vid").agg(sum("p9").as("ad2_9"))
+              .join(codesPk, Seq("vid"))
+              .join(qtabPk, Seq("qid"))
+              .select(col("qid"), col("vid"), adc)
           }
         val cand = Sketches.Pq.topkOfSums(sums, cBudget).select("qid", "vid")
         val v = withNorm(s, d)

@@ -315,6 +315,40 @@ object Sketches {
         joined.groupBy(col("qid"), col("vec_id").as("vid"))
           .agg(sum("p9").as("ad2_9")),
         k)
+
+    /** (vec_id, codes: array<int>) — `assign` output packed to the
+      * M-cell-per-vector layout (sort_array fixes collect_list's
+      * arrival order): the row shape PqIndex persists and the packed
+      * ADC scan (`adcExpr`) consumes. */
+    def packCodes(assigned: DataFrame): DataFrame =
+      assigned.groupBy("vec_id")
+        .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
+          .as("codes"))
+
+    /** (qid, tab: array<array<long>>) — `queryTables` output nested to
+      * tab[sub][code]: the per-query lookup table `adcExpr` reads.
+      * ≤ queries·M·K cells by construction. */
+    def packQueryTables(qtab: DataFrame): DataFrame =
+      qtab.groupBy("qid", "sub")
+        .agg(expr("transform(sort_array(collect_list(struct(code, p9))), t -> t.p9)")
+          .as("row"))
+        .groupBy("qid")
+        .agg(expr("transform(sort_array(collect_list(struct(sub, row))), t -> t.row)")
+          .as("tab"))
+
+    /** The ADC sum over a (codes, tab) row pair: M exact-integer array
+      * lookups INSIDE the row — no per-(sub, code) join, no aggregation
+      * after. This is the IVFADC scan shape every ADC consumer shares
+      * (PqIndex.search and the dense top-k pq/ivfpq candidate modes):
+      * the join form shuffles candidates·M rows and hash-aggregates
+      * candidates groups; this form shuffles candidates rows and
+      * aggregates nothing. graft_adc is the codegen'd loop
+      * (functions.AdcSum — the HOF fold it replaced kept the whole scan
+      * stage out of whole-stage codegen). Callers hold the usual
+      * VectorExprs.register precondition; the loop bound is row-derived
+      * (min(|codes|, |tab|)), M being pinned by the packing. */
+    def adcExpr: org.apache.spark.sql.Column =
+      expr("graft_adc(codes, tab)").as("ad2_9")
   }
 
   val llmAnnPq: Q = (s, d) => {

@@ -64,10 +64,19 @@ object PqIndexScale {
       // limited search vs the exhaustive flat scan over the SAME index,
       // at the cluster-posture cell width bits(m) = 3+⌈log₂ m⌉ (cell
       // occupancy ≈ constant as the corpus grows; VectorScale posture).
-      // The claim: ivf search scans only the ≤nprobe probe cells' codes
-      // (file-level partition pruning), flat scans all of them, and the
-      // two agree on almost every top-k pair (codes are codebook-
-      // absolute, so surviving pairs carry IDENTICAL ADC integers).
+      // Three measured claims:
+      //  (1) candidate volume — each query's probe set covers
+      //      |masks|/2^bits of the cells, so the per-query ADC join
+      //      input drops to ~14.5% (radius 2 at 8 bits) of the corpus;
+      //  (2) file-level pruning — a SMALL query set's probe-cell union
+      //      scans a fraction of the code files (the multi-query union
+      //      saturates toward full scan by design: pruning is per-cell,
+      //      the JOIN volume in (1) is what scales);
+      //  (3) recall — on PLANTED near-duplicate queries (jittered
+      //      corpus vectors — the twin structure semdedup/dedup
+      //      corpora actually have) the probe keeps the true source;
+      //      on the hash-uniform worst case the probe survival is the
+      //      sign-LSH formula, reported for honesty, not as a floor.
       val bits = math.min(8, 3 + math.ceil(math.log(m.toDouble) / math.log(2)).toInt)
       spark.conf.set("spark.graft.ann.bits", bits.toString)
       val ivfIx = java.nio.file.Files.createTempDirectory(s"graft_pqivf_x$m").toString
@@ -79,16 +88,28 @@ object PqIndexScale {
       val totalCodes = codesAll.count()
       spark.conf.set("spark.graft.ann.probeRadius", "2")
       val masks = queries.Ann.probeMasks(bits, 2)
-      val probeCells = q
+      def cellsOf(qq: org.apache.spark.sql.DataFrame): Seq[Int] = qq
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
         .select(queries.Ann.cellExpr(bits).as("cell"))
-        .collect().map(_.getInt(0)).toSet
-        .flatMap((c: Int) => masks.map(c ^ _))
-      val scanned = codesAll.where(col("cell").isin(probeCells.toSeq: _*)).count()
-      println(f"x$m ivf candidate volume: $scanned of $totalCodes codes " +
-        f"(${100.0 * scanned / totalCodes}%.1f%%, ${probeCells.size} probe cells of ${1 << bits})")
-      def pairs() = pipelines.PqIndex.search(spark, q, ivfIx, 3)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .collect().map(_.getInt(0)).toSeq
+      // (1) per-query candidate volume: avg codes across each query's
+      // own 37-cell probe set — the ADC join input per query
+      val cellCounts = codesAll.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val perQ = cellsOf(q).map(c => masks.map(mk => cellCounts.getOrElse(c ^ mk, 0L)).sum)
+      println(f"x$m ivf per-query candidates: avg ${perQ.sum / perQ.size}%,d of $totalCodes codes " +
+        f"(${100.0 * perQ.sum / perQ.size / totalCodes}%.1f%% each; ${masks.size} of ${1 << bits} cells probed)")
+      // (2) file-level pruning with a small probe set: 2 queries, radius 1
+      val q2 = vecs.where(col("vec_id") < 2)
+      val probe2 = cellsOf(q2).toSet
+        .flatMap((c: Int) => queries.Ann.probeMasks(bits, 1).map(c ^ _))
+      val scanned2 = codesAll.where(col("cell").isin(probe2.toSeq: _*)).count()
+      println(f"x$m ivf 2-query radius-1 scan: $scanned2%,d of $totalCodes%,d codes " +
+        f"(${100.0 * scanned2 / totalCodes}%.1f%%, ${probe2.size} cells pruned at file level)")
+      def pairsOf(qq: org.apache.spark.sql.DataFrame) =
+        pipelines.PqIndex.search(spark, qq, ivfIx, 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def pairs() = pairsOf(q)
       val flatPairs = { // pass 1 warms the codegen units, pass 2 is the number
         timed(s"x$m search FLAT pass1 [warm]")(pairs())
         timed(s"x$m search FLAT ($totalCodes codes)")(pairs())
@@ -96,11 +117,33 @@ object PqIndexScale {
       spark.conf.set("spark.graft.pq.search", "ivf")
       val ivfPairs = {
         timed(s"x$m search IVF pass1 [warm]")(pairs())
-        timed(s"x$m search IVF radius-2 ($scanned codes)")(pairs())
+        timed(s"x$m search IVF radius-2 (avg ${perQ.sum / perQ.size} codes/query)")(pairs())
+      }
+      timed(s"x$m search IVF 2-query radius-1 ($scanned2 codes scanned)") {
+        spark.conf.set("spark.graft.ann.probeRadius", "1")
+        try pairsOf(q2) finally spark.conf.set("spark.graft.ann.probeRadius", "2")
+      }
+      spark.conf.unset("spark.graft.pq.search")
+      println(f"x$m ivf probe survival vs flat (hash-uniform worst case) = " +
+        f"${ivfPairs.intersect(flatPairs).size.toDouble / flatPairs.size}%.3f")
+      // (3) planted-twin recall: 20 queries, each an additive-noise twin
+      // of a corpus vector (cos ≈ 0.93) under an OFFSET qid so the
+      // source stays findable (search excludes qid == vid self-pairs);
+      // recall = fraction of twins whose top-3 contains their source.
+      val twins = vecs.where(col("vec_id") < 20)
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          expr("""transform(embedding,
+                 (x, i) -> cast(x + 0.4 * sqrt(aggregate(embedding, cast(0.0 as double),
+                     (a, y) -> a + double(y) * double(y)) / size(embedding))
+                   * sin((vec_id + 1) * (i + 1)) as float))""").as("embedding"))
+      for (mode <- Seq("flat", "ivf")) {
+        spark.conf.set("spark.graft.pq.search", mode)
+        val got = pairsOf(twins)
+        val hits = (0 until 20).count(i => got.contains((i + 1000000000L, i.toLong)))
+        println(f"x$m planted-twin recall@3 [$mode%4s] = ${hits / 20.0}%.3f")
       }
       spark.conf.unset("spark.graft.pq.search")
       spark.conf.unset("spark.graft.ann.probeRadius")
-      println(f"x$m ivf recall@3 vs flat = ${ivfPairs.intersect(flatPairs).size.toDouble / flatPairs.size}%.3f")
     }
     spark.stop()
   }
