@@ -37,10 +37,12 @@ object GraphHubScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def sweep(): Unit = {
+    // sweep clears the SQL cache only: the graph under test is itself a
+    // localCheckpoint (Lineage.cut) whose blocks are the ONLY copy —
+    // the usual getPersistentRDDs unpersist would destroy it between
+    // passes (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+    def sweep(): Unit =
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    }
     def timed[A](what: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
