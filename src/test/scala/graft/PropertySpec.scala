@@ -573,6 +573,37 @@ class PropertySpec extends AnyFunSuite with Matchers with SparkFixture {
     df.where(col("mc") > 0).count() should be > 0L
   }
 
+  test("graft_adc equals the aggregate() HOF fold on generated code/table pairs, and bounds-checks loudly") {
+    // the ADC-scan contract (VectorExprs.AdcSum): the codegen loop must
+    // return the identical exact-integer sum as the interpreted HOF fold
+    // it replaced, across random M, K, code values and table contents —
+    // through the SQL surface so the codegen path is the one under test
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val gen = for {
+      m <- Gen.chooseNum(1, 24)
+      k <- Gen.chooseNum(1, 16)
+      codes <- Gen.listOfN(m, Gen.chooseNum(0, k - 1))
+      tab <- Gen.listOfN(m, Gen.listOfN(k, Gen.chooseNum(-1000000000L, 1000000000L)))
+    } yield (codes, tab)
+    val samples = collection.mutable.Buffer.empty[(Seq[Int], Seq[Seq[Long]])]
+    forAllSeeded(gen) { case (c, t) => samples += ((c, t)) }
+    val df = samples.toSeq.toDF("codes", "tab").selectExpr(
+      "graft_adc(codes, tab) AS native",
+      "aggregate(sequence(0, size(codes) - 1), cast(0 as bigint), " +
+        "(acc, i) -> acc + element_at(element_at(tab, i + 1), " +
+        "element_at(codes, i + 1) + 1)) AS hof")
+    df.where(col("native") =!= col("hof")).count() shouldBe 0L
+    df.where(col("native") =!= 0L).count() should be > 0L
+    // a code outside its table row fails LOUD (unsafe array access would
+    // otherwise read garbage memory silently)
+    val bad = Seq((Seq(5), Seq(Seq(1L, 2L)))).toDF("codes", "tab")
+    val e = intercept[Exception] {
+      bad.selectExpr("graft_adc(codes, tab)").collect()
+    }
+    e.getMessage should include("graft_adc")
+  }
+
   test("MinKAgg bottom-k equals the ranking-window selection on generated token tables") {
     // the blocking-stage contract (VERDICT r6 #3 rewrite): MinKAgg over
     // (df, token, k) must select exactly the rows row_number().over(
