@@ -197,7 +197,8 @@ object PqIndex {
         val qprobes = qcells.select(col("qid"), explode(array(
           masks.map(mk => col("cell").bitwiseXOR(lit(mk))): _*)).as("cell"))
         // driver-side probe-cell union for PARTITION pruning — bounded
-        // ≤ 2^bits ≤ 256 by the annBits cap (bounded-collect class)
+        // ≤ 2^bits ≤ 65 536 ints (≤ 256 KB) by the annBits cap
+        // (bounded-collect class)
         val probeSet = qprobes.select("cell").distinct().collect()
           .map(_.getInt(0)).toSeq
         spark.read.parquet(s"$index/codes.parquet")

@@ -22,7 +22,15 @@ private[graft] object Ann {
     * embedding dim (hyperplane k reads dim 8k+1). */
   def annBits(s: org.apache.spark.sql.SparkSession): Int = {
     val b = s.conf.get("spark.graft.ann.bits", "3").toInt
-    require(b >= 1 && b <= 8, s"spark.graft.ann.bits must be in [1, 8], got $b")
+    // 16-bit ceiling = 65 536 cells: the probe-cell unions that collect
+    // driver-side (PqIndex.search partition pruning) stay ≤ 256 KB of
+    // ints, and probeMasks at radius 2 stays ≤ 137 rows per query. The
+    // binding constraint in practice is the EMBEDDING DIM, not this
+    // ceiling — cellExpr's hyperplane k reads dim 8k+1, so 64-d
+    // fixtures top out at 8 bits while a 768-d production corpus can
+    // carry the full 16 (the round-10 VectorScale A/B measured ivf's
+    // ×30 candidate growth cap-bound at 8 bits on the 64-d fixture).
+    require(b >= 1 && b <= 16, s"spark.graft.ann.bits must be in [1, 16], got $b")
     b
   }
 

@@ -135,6 +135,42 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     stats.map(t => t._1 -> t._2).toMap shouldBe recount
   }
 
+  test("wide quantizers (bits > 8) work end-to-end on wide embeddings; 17 bits rejects") {
+    // round 10 widened the annBits ceiling 8 → 16: the 64-d fixture is
+    // dim-bound at 8 (cellExpr reads dim 8k+1), but a production-width
+    // corpus carries more — pin the whole cell/probe machinery at
+    // bits=12 (4 096 cells) over a 128-d synthetic corpus: cells land
+    // in range, the census partitions the corpus exactly, shares sum
+    // to 1, and probing stays an equi-join (distinct masks)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ann_wide").toString
+    val rnd = new scala.util.Random(7)
+    (0 until 400).map { i =>
+      (i.toLong, Array.fill(128)(rnd.nextFloat() * 2 - 1), i % 5)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    spark.conf.set("spark.graft.ann.bits", "12")
+    try {
+      val cells = queries.Ann.bucketed(spark, tmp).select("vec_id", "bkt").collect()
+      cells.length shouldBe 400
+      all(cells.map(_.getInt(1)).toSeq) should (be >= 0 and be < 4096)
+      val stats = Extras.llmAnnStats(spark, tmp)
+        .agg(org.apache.spark.sql.functions.sum("n_vecs"),
+             org.apache.spark.sql.functions.sum("share")).head()
+      stats.getLong(0) shouldBe 400L
+      math.abs(stats.getDouble(1) - 1.0) should be <= 1e-3
+      // radius-2 masks at 12 bits: 1 + 12 + 66 = 79, all distinct
+      val masks = queries.Ann.probeMasks(12, 2)
+      masks.distinct.size shouldBe 79
+    } finally spark.conf.unset("spark.graft.ann.bits")
+    val e = intercept[IllegalArgumentException] {
+      spark.conf.set("spark.graft.ann.bits", "17")
+      try queries.Ann.bucketed(spark, tmp).collect()
+      finally spark.conf.unset("spark.graft.ann.bits")
+    }
+    e.getMessage should include("[1, 16]")
+  }
+
   test("ann.bits wider than the embedding dim fails loudly instead of silently empty results") {
     // hyperplane k reads dim 8k+1; on 4-dim vectors even the default 3
     // bits (needs dim 17) must raise, not NULL-bucket into an empty
