@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Lineage
@@ -29,6 +30,29 @@ import graft.ops.Det._
   */
 object Graphs {
 
+  /** Session-scoped materialized graph views (round 10). Six graph
+    * queries derive from the SAME co-purchase edge extraction (and its
+    * two sparsified/oriented sub-views); rebuilding the link graph from
+    * the fact table inside every query is the unrealistic posture — a
+    * production deployment materializes the web/link graph ONCE and
+    * every graph job reads the artifact (the DigestIndex/SignatureIndex
+    * economics, in-session form). Each view is Lineage.cut at build, so
+    * a cache hit returns already-materialized blocks; entries key on
+    * (session identity, dataset, variant) — a few tens of MB per
+    * dataset, dying with the SparkContext. `spark.graft.graph
+    * .materialize=false` bypasses the cache (every query pays its own
+    * build — the A/B posture; content identical either way, and the
+    * three-SF oracle sweep runs with the default ON). */
+  private val viewCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String, Int), DataFrame]()
+
+  private def view(s: org.apache.spark.sql.SparkSession, d: String,
+                   variant: Int)(build: => DataFrame): DataFrame =
+    if (s.conf.get("spark.graft.graph.materialize", "true") != "true") build
+    else viewCache.computeIfAbsent(
+      (System.identityHashCode(s), s.sparkContext.applicationId, d, variant),
+      _ => build)
+
   /** The undirected co-purchase edge set, one row per UNORDERED pair
     * (src < dst), distinct: parts that appear in the same order.
     * Materialized (Lineage.cut) — every caller reuses it for degree /
@@ -48,6 +72,10 @@ object Graphs {
     * built (the fixture's fan-out is bounded by schema). */
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
                               d: String): DataFrame =
+    view(s, d, -1) { buildCopurchaseEdges(s, d) }
+
+  private def buildCopurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                                   d: String): DataFrame = {
     Lineage.cut(Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -57,6 +85,38 @@ object Graphs {
           |    struct(x AS src, y AS dst))))""".stripMargin)).as("e"))
       .select(col("e.src"), col("e.dst"))
       .distinct())
+  }
+
+  /** graph_edges_build — the edge-extraction/materialization step ITSELF
+    * as a first-class priced operation: rebuild the co-purchase edge
+    * view fresh (never from cache), refresh the session view
+    * write-through, and emit the build census (edges, nodes, average
+    * degree). This is the number the materialized-view posture rests
+    * on: the other graph queries price their query-specific work OVER
+    * the view; this query prices making it. Fresh-per-call is the
+    * honest form — a cache hit here would measure nothing. */
+  val graphEdgesBuild: Q = (s, d) => {
+    val edges = buildCopurchaseEdges(s, d)
+    viewCache.put(
+      (System.identityHashCode(s), s.sparkContext.applicationId, d, -1), edges)
+    val nodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct()
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_edges"), col("n_nodes"),
+        r4(col("n_edges") * 2.0 / col("n_nodes")).as("avg_degree"))
+  }
+
+  /** Cached pct-sparsified sub-view of the co-purchase graph. */
+  private def cachedKept(s: org.apache.spark.sql.SparkSession, d: String,
+                         pct: Int): DataFrame =
+    view(s, d, pct) { keptEdges(copurchaseEdges(s, d), pct) }
+
+  /** Cached degree-oriented form of the pct sub-view (shared by the
+    * triangle census and the clustering-coefficient profile). */
+  private def cachedOriented(s: org.apache.spark.sql.SparkSession, d: String,
+                             pct: Int): DataFrame =
+    view(s, d, 1000 + pct) { orientByDegree(cachedKept(s, d, pct)) }
 
   /** graph_pagerank — 3 synchronous PageRank iterations (d = 0.85) over
     * the SYMMETRIZED co-purchase graph, rank scaled by N (initial mass
@@ -128,25 +188,25 @@ object Graphs {
     * id-oriented SQL counts the identical subgraph — the hash match
     * pins orientation-invariance every run. GraphSpec's hub test pins
     * correctness on a graph where the two orientations differ most. */
-  def sparsifiedTriangles(edges: DataFrame, pct: Int): DataFrame = {
-    val scale = (100.0 / pct) * (100.0 / pct) * (100.0 / pct)
-    // callers pass an already-materialized (or trivially cheap) edge
-    // frame — copurchaseEdges is Lineage.cut at construction, so the
-    // census counts and the sparsify filter re-read the cut RDD; a
-    // second cut here would double-buffer the full edge set (measured
-    // ~600 MB of extra block churn at GraphScale ×30). Both census
-    // counts join in LAZILY as broadcast 1-row aggregates — an eager
-    // count() here would run a driver action at plan-construction time
-    // (plan inspection, every bench pass) before the query itself.
-    val keptU = Lineage.cut(edges.where(
+  /** Deterministic hash sparsifier: keep a canonical (src < dst) pair iff
+    * its md5 bucket < pct — the repo's standard cross-engine sampling
+    * rule (a FIXED subgraph, not a random one: both engines and every
+    * rerun keep the same edges). Cut: every caller runs ≥ 2 passes
+    * (degree + wedge/frontier) over the kept set. */
+  private[queries] def keptEdges(edges: DataFrame, pct: Int): DataFrame =
+    Lineage.cut(edges.where(
       conv(substring(md5(concat_ws("_", col("src"), col("dst"))), 1, 6),
         16, 10).cast("long") % 100 < pct))
-    // undirected degree on the KEPT subgraph (|nodes| rows, broadcast),
-    // then re-orient each pair from the (degree, id)-smaller endpoint
+
+  /** Re-orient canonical pairs from the (degree, id)-smaller endpoint —
+    * the compact-forward bound (oriented out-degree O(√E)) shared by the
+    * triangle census and the per-node clustering coefficient. Degree is
+    * computed on the KEPT subgraph (|nodes| rows, broadcast). */
+  private def orientByDegree(keptU: DataFrame): DataFrame = {
     val deg = keptU.select(col("src").as("n"))
       .union(keptU.select(col("dst").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    val kept = Lineage.cut(keptU
+    Lineage.cut(keptU
       .join(broadcast(deg.select(col("n").as("src"), col("dg").as("ds"))), "src")
       .join(broadcast(deg.select(col("n").as("dst"), col("dg").as("dd"))), "dst")
       .select(
@@ -156,6 +216,23 @@ object Graphs {
         when(col("ds") < col("dd") ||
              (col("ds") === col("dd") && col("src") < col("dst")),
           col("dst")).otherwise(col("src")).as("dst")))
+  }
+
+  def sparsifiedTriangles(edges: DataFrame, pct: Int): DataFrame =
+    census(orientByDegree(keptEdges(edges, pct)), edges, pct)
+
+  /** The census tail over an already-sparsified-and-oriented edge frame
+    * — split out so the registered query reuses the cached sub-views.
+    * Callers pass already-materialized (or trivially cheap) frames —
+    * the cached views are Lineage.cut at construction, so the census
+    * counts and wedge join re-read cut RDDs; a second cut here would
+    * double-buffer the full edge set (measured ~600 MB of extra block
+    * churn at GraphScale ×30). Both census counts join in LAZILY as
+    * broadcast 1-row aggregates — an eager count() here would run a
+    * driver action at plan-construction time (plan inspection, every
+    * bench pass) before the query itself. */
+  private def census(kept: DataFrame, edges: DataFrame, pct: Int): DataFrame = {
+    val scale = (100.0 / pct) * (100.0 / pct) * (100.0 / pct)
     val tri = kept.as("e1")
       .join(kept.as("e2"), col("e1.dst") === col("e2.src"))
       .join(kept.as("e3"),
@@ -182,17 +259,186 @@ object Graphs {
     * sampled count is exact-checked cross-engine, not just the scaled
     * estimate. */
   val graphTriangles: Q = (s, d) =>
-    sparsifiedTriangles(copurchaseEdges(s, d), 25)
+    census(cachedOriented(s, d, 25), copurchaseEdges(s, d), 25)
+
+  /** graph_degree_hist — the degree distribution of the FULL co-purchase
+    * graph: per undirected degree, node count and node share. The first
+    * census anyone runs on a web/link graph (hub detection, power-law
+    * fit, join-skew forecasting — the degree histogram is what tells a
+    * pipeline whether the triangle census or pair join needs the
+    * hub-bound orientation / salting at all).
+    *
+    * Scale shape: one exchange to the |nodes|-row degree frame, one
+    * map-side-combined agg to the |distinct degrees|-row histogram; the
+    * total joins in as a broadcast 1-row aggregate (lazy — no driver
+    * action at plan-construction time). Never edge-order-dependent:
+    * every output is an exact count or one r4'd ratio of exact longs. */
+  def degreeHist(und: DataFrame): DataFrame = {
+    val deg = Lineage.cut(
+      und.select(col("src").as("n")).union(und.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("degree")))
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_total"))))
+      .select(col("degree"), col("n_nodes"),
+        r4(col("n_nodes") / col("n_total")).as("node_share"))
+      .orderBy("degree")
+  }
+
+  val graphDegreeHist: Q = (s, d) => degreeHist(copurchaseEdges(s, d))
+
+  /** graph_cluster_coeff — per-node local clustering coefficient
+    * cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) on the pct = 25 sparsified
+    * subgraph, reported as the degree-decile profile (the classic
+    * "clustering vs degree" curve: per decile of the (degree, id) order,
+    * node count, degree range, triangle mass, average cc). Community
+    * density / spam-farm structure per node, where graph_triangles is
+    * the one global census.
+    *
+    * Scale shape: triangles enumerate ONCE each under the shared
+    * degree-ordered orientation (orientByDegree — the O(√E) hub bound),
+    * then explode to their 3 corners and hash-aggregate per node; deg is
+    * the |nodes|-row frame. The decile runs ntile over the |nodes|-row
+    * lcc frame — a single-partition sort of a DIMENSION-sized frame
+    * (nodes ≪ edges; past ~1e8 nodes the win_ntile prefix-sum escape
+    * applies unchanged). Determinism: cc is the identical IEEE division
+    * of exact longs in both engines, per-decile average rides the
+    * r8-grain exact-decimal sum (merge-order-free), ntile keys on the
+    * unique (dg, n) total order. */
+  def clusterCoeffProfile(keptU: DataFrame): DataFrame =
+    clusterCoeffProfile(keptU, orientByDegree(keptU))
+
+  def clusterCoeffProfile(keptU: DataFrame, or: DataFrame): DataFrame = {
+    val sym = keptU.union(keptU.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("dg"))
+    val tri = or.as("e1")
+      .join(or.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(or.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(explode(array(col("e1.src"), col("e1.dst"), col("e2.dst"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("ntri"))
+    val lcc = deg.join(tri, Seq("n"), "left")
+      .select(col("n"), col("dg"),
+        coalesce(col("ntri"), lit(0L)).as("ntri"),
+        when(col("dg") < 2, lit(0.0))
+          .otherwise(coalesce(col("ntri"), lit(0L)) * lit(2.0) /
+                     (col("dg") * (col("dg") - 1))).as("cc"))
+    lcc.withColumn("decile",
+        ntile(10).over(Window.orderBy("dg", "n")).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_nodes"),
+           min("dg").as("min_dg"), max("dg").as("max_dg"),
+           sum("ntri").as("tri_sum"),
+           r4(sumR8(col("cc")) / count(lit(1))).as("avg_cc"))
+      .orderBy("decile")
+  }
+
+  val graphClusterCoeff: Q = (s, d) =>
+    clusterCoeffProfile(cachedKept(s, d, 25), cachedOriented(s, d, 25))
+
+  /** graph_jaccard — neighborhood-Jaccard link prediction on the
+    * pct = 10 sparsified subgraph: for every NON-adjacent 2-hop pair
+    * with ≥ 2 common neighbors, |N(a)∩N(b)| / |N(a)∪N(b)|; top-20. The
+    * similar-entity recommender primitive (related domains, co-citation,
+    * substitute parts) — the graph twin of llm_ngram_jaccard's token-set
+    * form.
+    *
+    * Scale shape: candidates come from the wedge join (pairs sharing a
+    * neighbor — never all pairs), bounded by the sparsifier exactly like
+    * the triangle census; the ≥ 2 common-neighbor floor cuts the tail
+    * BEFORE the degree joins; degrees broadcast (|nodes| rows); existing
+    * edges leave by left_anti on the canonical pair; the top-20 is
+    * TakeOrderedAndProject (no global sort materializes). At power-law
+    * hub degrees the wedge volume needs the DOULION pct dial or a
+    * per-node neighbor cap — same knob as graph_triangles, documented
+    * there. Determinism: ranking keys on exact integer division
+    * (cn·10¹² div un — engines share no double), ties on the unique
+    * (node_a, node_b); jaccard displays as one r4'd ratio of exact
+    * longs. */
+  def jaccardTopk(kept: DataFrame, k: Int): DataFrame = {
+    val nb = kept.select(col("src").as("n"), col("dst").as("m"))
+      .union(kept.select(col("dst").as("n"), col("src").as("m")))
+    val dgt = nb.groupBy("n").agg(count(lit(1)).as("dg"))
+    val pairs = nb.as("a")
+      .join(nb.as("b"), col("a.n") === col("b.n") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("node_a"), col("b.m").as("node_b"))
+      .agg(count(lit(1)).as("common_n"))
+      .where(col("common_n") >= 2)
+    pairs
+      .join(kept, pairs("node_a") === kept("src") &&
+                  pairs("node_b") === kept("dst"), "left_anti")
+      .join(broadcast(dgt.select(col("n").as("node_a"), col("dg").as("dga"))), "node_a")
+      .join(broadcast(dgt.select(col("n").as("node_b"), col("dg").as("dgb"))), "node_b")
+      .select(col("node_a"), col("node_b"), col("common_n"),
+        (col("dga") + col("dgb") - col("common_n")).as("union_n"))
+      .withColumn("jkey", expr("common_n * 1000000000000L div union_n"))
+      .orderBy(col("jkey").desc, col("node_a"), col("node_b"))
+      .limit(k)
+      .select(col("node_a"), col("node_b"), col("common_n"), col("union_n"),
+        r4(col("common_n") / col("union_n")).as("jaccard"))
+  }
+
+  val graphJaccard: Q = (s, d) =>
+    jaccardTopk(cachedKept(s, d, 10), 20)
+
+  /** graph_khop — BFS frontier profile: nodes reachable within 0..3 hops
+    * of the seed set (node id ≡ 0 mod 97) on the symmetrized pct = 25
+    * subgraph — the ego-net / influence-radius primitive (crawl frontier
+    * sizing, contamination blast-radius, feature neighborhoods for
+    * graph-ML sampling).
+    *
+    * Scale shape: the frontier is a |reached|-row set, broadcast into
+    * the edge join each hop (≤ |nodes| rows — past broadcast range the
+    * join falls back to shuffle on src, same semantics); one distinct
+    * exchange per hop; per-hop Lineage.cut so a 50-hop job stays
+    * plannable (the llm_dedup_cluster discipline). Counts join in as
+    * lazy 1-row aggregates; n_new derives from lag over the 4-row
+    * result — all exact longs, merge-order-free. */
+  def khopProfile(kept: DataFrame, hops: Int): DataFrame = {
+    val sym = kept.union(kept.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = Lineage.cut(sym.select(col("src").as("n")).distinct())
+    var reach = Lineage.cut(nodes.where(col("n") % 97 === 0))
+    def level(h: Int, r: DataFrame): DataFrame =
+      r.agg(count(lit(1)).as("n_reached"))
+        .select(lit(h.toLong).as("hop"), col("n_reached"))
+    var out = level(0, reach)
+    for (h <- 1 to hops) {
+      reach = Lineage.cut(
+        reach.union(
+          sym.join(broadcast(reach.select(col("n").as("src"))), "src")
+            .select(col("dst").as("n")))
+        .distinct())
+      out = out.union(level(h, reach))
+    }
+    out.select(col("hop"), col("n_reached"),
+        (col("n_reached") -
+         coalesce(lag(col("n_reached"), 1).over(Window.orderBy("hop")),
+                  lit(0L))).as("n_new"))
+      .orderBy("hop")
+  }
+
+  val graphKhop: Q = (s, d) =>
+    khopProfile(cachedKept(s, d, 25), 3)
 
   val queries: Map[String, Q] = Map(
-    "graph_pagerank"  -> graphPagerank,
-    "graph_triangles" -> graphTriangles,
+    "graph_pagerank"      -> graphPagerank,
+    "graph_triangles"     -> graphTriangles,
+    "graph_edges_build"   -> graphEdgesBuild,
+    "graph_degree_hist"   -> graphDegreeHist,
+    "graph_cluster_coeff" -> graphClusterCoeff,
+    "graph_jaccard"       -> graphJaccard,
+    "graph_khop"          -> graphKhop,
   )
 
   private val edgeSql =
     """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
+
+  /** Oracle twin of `keptEdges` — same md5 bucket rule over a named CTE. */
+  private def keptSql(tbl: String, pct: Int): String =
+    s"""SELECT src, dst FROM $tbl
+       | WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '_' ||
+       |       CAST(dst AS VARCHAR)), 1, 6)) AS BIGINT) % 100 < $pct""".stripMargin
 
   private def prIter(prev: String, out: String): String =
     s"""c$out AS (
@@ -227,5 +473,80 @@ object Graphs {
         | (SELECT count(*) FROM k) AS edges_kept,
         | (SELECT count(*) FROM e0) AS edges_total
         |FROM t""".stripMargin,
+    "graph_edges_build" ->
+      s"""WITH und AS ($edgeSql),
+        |nodes AS (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM und UNION ALL SELECT dst FROM und))
+        |SELECT (SELECT count(*) FROM und) AS n_edges,
+        | (SELECT count(*) FROM nodes) AS n_nodes,
+        | ${r4Sql("(SELECT count(*) FROM und) * 2.0 / (SELECT count(*) FROM nodes)")} AS avg_degree""".stripMargin,
+    "graph_degree_hist" ->
+      s"""WITH und AS ($edgeSql),
+        |deg AS (SELECT n, count(*) AS degree FROM
+        |  (SELECT src AS n FROM und UNION ALL SELECT dst FROM und)
+        |  GROUP BY n)
+        |SELECT degree, count(*) AS n_nodes,
+        | ${r4Sql("count(*) * 1.0 / (SELECT count(*) FROM deg)")} AS node_share
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+    "graph_cluster_coeff" ->
+      s"""WITH und AS ($edgeSql),
+        |k AS (${keptSql("und", 25)}),
+        |sym AS (SELECT src, dst FROM k UNION ALL SELECT dst, src FROM k),
+        |deg AS (SELECT src AS n, count(*) AS dg FROM sym GROUP BY src),
+        |tr AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |       FROM k e1 JOIN k e2 ON e1.dst = e2.src
+        |       JOIN k e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |tri AS (SELECT t.n, count(*) AS ntri
+        |        FROM tr, LATERAL (SELECT unnest([tr.a, tr.b, tr.c]) AS n) t
+        |        GROUP BY t.n),
+        |lcc AS (SELECT d.n, d.dg, coalesce(t.ntri, 0) AS ntri,
+        |        CASE WHEN d.dg < 2 THEN 0.0
+        |             ELSE coalesce(t.ntri, 0) * 2.0 / (d.dg * (d.dg - 1)) END AS cc,
+        |        ntile(10) OVER (ORDER BY d.dg, d.n) AS decile
+        |        FROM deg d LEFT JOIN tri t ON t.n = d.n)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_nodes,
+        | min(dg) AS min_dg, max(dg) AS max_dg,
+        | CAST(sum(ntri) AS BIGINT) AS tri_sum,
+        | ${r4Sql(s"${sumR8Sql("cc")} / count(*)")} AS avg_cc
+        |FROM lcc GROUP BY decile ORDER BY decile""".stripMargin,
+    "graph_jaccard" ->
+      s"""WITH und AS ($edgeSql),
+        |k AS (${keptSql("und", 10)}),
+        |nb AS (SELECT src AS n, dst AS m FROM k UNION ALL SELECT dst, src FROM k),
+        |dgt AS (SELECT n, count(*) AS dg FROM nb GROUP BY n),
+        |pairs AS (SELECT a.m AS node_a, b.m AS node_b, count(*) AS common_n
+        |          FROM nb a JOIN nb b ON a.n = b.n AND a.m < b.m
+        |          GROUP BY a.m, b.m HAVING count(*) >= 2),
+        |ne AS (SELECT p.* FROM pairs p
+        |       WHERE NOT EXISTS (SELECT 1 FROM k e
+        |                         WHERE e.src = p.node_a AND e.dst = p.node_b)),
+        |sc AS (SELECT node_a, node_b, common_n,
+        |              dx.dg + dy.dg - common_n AS union_n
+        |       FROM ne JOIN dgt dx ON dx.n = node_a
+        |               JOIN dgt dy ON dy.n = node_b),
+        |r AS (SELECT node_a, node_b, common_n, union_n,
+        |             common_n * 1000000000000 // union_n AS jkey FROM sc)
+        |SELECT node_a, node_b, common_n, union_n,
+        | ${r4Sql("common_n * 1.0 / union_n")} AS jaccard
+        |FROM r ORDER BY jkey DESC, node_a, node_b LIMIT 20""".stripMargin,
+    "graph_khop" ->
+      s"""WITH und AS ($edgeSql),
+        |k AS (${keptSql("und", 25)}),
+        |sym AS (SELECT src, dst FROM k UNION ALL SELECT dst, src FROM k),
+        |r0 AS (SELECT DISTINCT src AS n FROM sym WHERE src % 97 = 0),
+        |r1 AS (SELECT n FROM r0 UNION
+        |       SELECT e.dst FROM sym e JOIN r0 ON e.src = r0.n),
+        |r2 AS (SELECT n FROM r1 UNION
+        |       SELECT e.dst FROM sym e JOIN r1 ON e.src = r1.n),
+        |r3 AS (SELECT n FROM r2 UNION
+        |       SELECT e.dst FROM sym e JOIN r2 ON e.src = r2.n),
+        |c AS (SELECT CAST(0 AS BIGINT) AS hop, count(*) AS n_reached FROM r0
+        |      UNION ALL SELECT 1, count(*) FROM r1
+        |      UNION ALL SELECT 2, count(*) FROM r2
+        |      UNION ALL SELECT 3, count(*) FROM r3)
+        |SELECT hop, n_reached,
+        | n_reached - coalesce(lag(n_reached) OVER (ORDER BY hop),
+        |                      CAST(0 AS BIGINT)) AS n_new
+        |FROM c ORDER BY hop""".stripMargin,
   )
 }

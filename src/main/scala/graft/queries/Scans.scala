@@ -213,6 +213,92 @@ object Scans {
       .orderBy("mime")
   }
 
+  /** copy_compact — the small-files compaction every long-lived lake
+    * needs: a directory of many tiny parquet files (here 64, written by
+    * an over-parallel upstream — the classic streaming/ingest footprint)
+    * re-delivered as ceil(rows / 20 000) right-sized files. At 100 TB the
+    * small-files problem is what kills NameNode/objstore listing and
+    * per-file open cost; compaction is the layout op that fixes it.
+    *
+    * Shape: the target file count derives from ONE bounded count (the
+    * row-count proxy for the production bytes/128 MB rule), then ONE
+    * round-robin repartition writes evenly-sized files — distributed,
+    * no single-writer coalesce(1) funnel. The query PROVES the layout:
+    * both file counts come from a post-write FS listing, not the plan,
+    * and the read-back aggregate proves content-losslessness (oracle
+    * aggregates the original table and pins the expected file counts). */
+  val copyCompact: Q = (s, d) => {
+    val tmp = scratchDir(s, d, "compact")
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    val back = s.read.parquet(s"$tmp/small")
+    val rows = back.count()
+    val nFiles = math.max(1L, (rows + 19999) / 20000).toInt
+    back.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/compact")
+    def dataFiles(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val (before, after) = (dataFiles(s"$tmp/small"), dataFiles(s"$tmp/compact"))
+    s.read.parquet(s"$tmp/compact")
+      .agg(count(lit(1)).as("n_rows"), sumR4(col("o_totalprice")).as("sum_total"))
+      .select(col("n_rows"), col("sum_total"),
+        lit(before).as("files_small"), lit(after).as("files_compacted"))
+  }
+
+  /** sink_stream — the Structured Streaming file-sink delivery surface:
+    * readStream over the events parquet → project + day column →
+    * writeStream (parquet sink, day-partitioned, checkpointed) under
+    * Trigger.AvailableNow → read the delivered lake back and aggregate.
+    * This is the incremental ingest shape of a 100 TB/day pipeline (new
+    * files land, the checkpoint processes exactly the delta into the
+    * partitioned lake); AvailableNow drains the backlog and stops, so
+    * the batch contract holds. The read-back goes through the sink's
+    * _spark_metadata exactly-once manifest, and the oracle aggregates
+    * the ORIGINAL table — the streamed delivery must be lossless AND
+    * exactly-once to match.
+    *
+    * Each call runs the stream fresh (checkpoint + output swept at
+    * entry): a persistent checkpoint would no-op every pass after the
+    * first — the zero-delta refresh cost, not the delivery cost this
+    * query prices. */
+  val sinkStream: Q = (s, d) => {
+    val tmp = scratchDir(s, d, "stream")
+    def rmRf(f: java.io.File): Unit = {
+      val cs = f.listFiles; if (cs != null) cs.foreach(rmRf); f.delete(): Unit
+    }
+    new java.io.File(tmp).listFiles.foreach(rmRf)
+    // file streams need an explicit schema (no inference pass) and a
+    // DIRECTORY source (a bare file path fails basePath validation):
+    // stream the dataset dir with a glob filter for the events table —
+    // exactly the "watch this landing directory" production shape.
+    // Footer schema is RAW; the loader's one NTZ normalization applies
+    // on top.
+    val raw = s.read.parquet(s"$d/events.parquet").schema
+    val stream = graft.Tables.castTimestampCols(
+      s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
+        .parquet(d),
+      org.apache.spark.sql.types.TimestampNTZType, "timestamp")
+    val q = stream
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .partitionBy("day")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(s"$tmp/out")
+    q.awaitTermination()
+    s.read.parquet(s"$tmp/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumR4(col("value")).as("sum_value"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_binary"    -> sourceBinary,
     "source_text"      -> sourceText,
@@ -223,6 +309,8 @@ object Scans {
     "source_json"      -> sourceJson,
     "source_orc"       -> sourceOrc,
     "copy_partitioned" -> copyPartitioned,
+    "copy_compact"     -> copyCompact,
+    "sink_stream"      -> sinkStream,
   )
 
   val oracle: Map[String, String] = Map(
@@ -263,5 +351,16 @@ object Scans {
     "source_orc" ->
       """SELECT p_type, count(*) AS n, CAST(sum(CAST(floor((p_retailprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "copy_compact" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CAST(floor((o_totalprice) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_total,
+        | CAST(64 AS BIGINT) AS files_small,
+        | CAST(greatest(1, ceil(count(*) / 20000.0)) AS BIGINT) AS files_compacted
+        |FROM orders""".stripMargin,
+    "sink_stream" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(floor((value) * 10000 + 0.5) / 10000 AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -18,8 +18,8 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 170
-    SparkEntry.oracleSql.size shouldBe 162
+    SparkEntry.queries.size shouldBe 177
+    SparkEntry.oracleSql.size shouldBe 169
   }
 
   test("dq_delta's oracle schema pin matches the live orders fixture (ADVICE r7)") {
@@ -38,7 +38,8 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
       queries.Aggs.queries, queries.Sorts.queries, queries.Sets.queries,
       queries.Windows.queries, queries.Scalars.queries, queries.Events.queries,
       queries.Llm.queries, queries.Sketches.queries, queries.Extras.queries,
-      queries.Textops.queries, queries.Webops.queries).flatMap(_.keys)
+      queries.Textops.queries, queries.Webops.queries,
+      queries.Graphs.queries).flatMap(_.keys)
     all.size shouldBe all.distinct.size
   }
 }

@@ -77,4 +77,62 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     r.getLong(2) shouldBe 25L
     r.getLong(3) should be <= r.getLong(4)
   }
+
+  test("degreeHist: disjoint cliques collapse to one analytic histogram row") {
+    // every node of a K6 has degree 5; share = all of them
+    val rows = Graphs.degreeHist(cliques(30, 6)).collect()
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 5L
+    rows.head.getLong(1) shouldBe 180L
+    rows.head.getDouble(2) shouldBe 1.0
+  }
+
+  test("clusterCoeffProfile: cliques have cc = 1.0 in every decile, wedges-only graph cc = 0") {
+    // K6 cliques: per node deg 5, tri C(5,2) = 10 → cc = 2·10/(5·4) = 1.0
+    val prof = Graphs.clusterCoeffProfile(cliques(30, 6)).collect()
+    prof.length shouldBe 10
+    prof.foreach { r =>
+      r.getDouble(5) shouldBe 1.0   // avg_cc
+      r.getLong(1) shouldBe 18L     // 180 nodes / 10 deciles
+      r.getLong(2) shouldBe 5L      // min_dg
+      r.getLong(3) shouldBe 5L      // max_dg
+    }
+    // a star (wedges, no closures): every cc is 0, triangle mass 0
+    import spark.implicits._
+    val star = (1 to 40).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val sp = Graphs.clusterCoeffProfile(star).collect()
+    sp.map(_.getLong(4)).sum shouldBe 0L
+    sp.foreach(_.getDouble(5) shouldBe 0.0)
+  }
+
+  test("jaccardTopk: identical-neighborhood pair ranks first with jaccard 1.0, adjacent pairs excluded") {
+    import spark.implicits._
+    // nodes 100, 101 both adjacent to 1..5 and NOT to each other:
+    // N(100) = N(101) → jaccard 1.0; the c-nodes pairwise share {100,101}
+    // (jaccard 1.0 too, common 2) — the 10^12-scaled integer key ties,
+    // id order puts the larger-common pair's ids (100,101) AFTER (1,2):
+    // assert the top row is (1,2) and that (100,101) appears with
+    // common_n = 5 — and that no output pair is an edge.
+    val edges = (1 to 5).flatMap(c => Seq((100L, c.toLong), (101L, c.toLong)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toDF("src", "dst")
+    val top = Graphs.jaccardTopk(edges, 20).collect()
+    top.head.getLong(0) shouldBe 1L
+    top.head.getLong(1) shouldBe 2L
+    top.head.getDouble(4) shouldBe 1.0
+    val best = top.find(r => r.getLong(0) == 100L && r.getLong(1) == 101L).get
+    best.getLong(2) shouldBe 5L  // common_n — the full shared neighborhood
+    best.getLong(3) shouldBe 5L  // union_n = 5+5-5
+    // none of the emitted pairs is an existing edge
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    top.foreach(r => edgeSet should not contain ((r.getLong(0), r.getLong(1))))
+  }
+
+  test("khopProfile: path graph frontier grows one node per hop from the id-0 seed") {
+    import spark.implicits._
+    // path 0–1–2–…–9: only node 0 matches the % 97 seed rule
+    val path = (0 until 9).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val prof = Graphs.khopProfile(path, 3).collect()
+    prof.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
+      Array((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+  }
 }
