@@ -1,25 +1,14 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayAgreeCount, DotProduct}
 
-/** Production registration path for the engine's custom Catalyst
-  * expressions: `--conf spark.sql.extensions=graft.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`) injects them at session build,
-  * so spark-submit / thrift-server users get `graft_dot` / `graft_agree`
-  * without calling VectorExprs.register. Query bodies still call the
-  * idempotent runtime registration so they work on any session. */
+/** Back-compat alias of the canonical extension class: some deployments
+  * configured `--conf spark.sql.extensions=graft.GraftExtensions` before
+  * the class moved beside its function table. Delegates to
+  * [[graft.functions.GraftExtensions]] — the ONE (name, info, builder)
+  * table — so the two registration paths cannot drift (a hand-copied
+  * list here silently missed graft_adc when it was added; review r10). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_agree"),
-      new ExpressionInfo(classOf[ArrayAgreeCount].getName, "graft_agree"),
-      (children: Seq[Expression]) => ArrayAgreeCount(children(0), children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    new graft.functions.GraftExtensions().apply(ext)
 }

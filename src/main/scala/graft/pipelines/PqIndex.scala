@@ -106,12 +106,24 @@ object PqIndex {
     * instead of tasks × cells smalls — at scale, cells per batch track
     * 2^bits, which grows with the corpus (Ann.annBits scaladoc). */
   private def writeBatch(spark: SparkSession, codes: DataFrame, out: String,
-                         batch: Long): Unit =
+                         batch: Long): Unit = {
+    // dynamic overwrite only replaces (batch, cell) leaves PRESENT in
+    // the new data: a re-run of the same batch with changed content
+    // (fewer vectors, or embeddings whose cells moved) would leave the
+    // old rows in cells the retry doesn't touch — ghost candidates in
+    // every later search (review r10). Drop the whole batch=<id>
+    // subtree first, restoring "a retried batch replaces exactly its
+    // own batch" under the (batch, cell) layout; other batches stay
+    // untouched either way.
+    val batchDir = new org.apache.hadoop.fs.Path(s"$out/codes.parquet/batch=$batch")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(batchDir)) { fs.delete(batchDir, true); () }
     codes.withColumn("batch", lit(batch))
       .repartition(col("cell"))
       .write.partitionBy("batch", "cell")
       .option("partitionOverwriteMode", "dynamic").mode("overwrite")
       .parquet(s"$out/codes.parquet")
+  }
 
   /** Index the embeddings table of a delivered corpus dir (batch 0):
     * train the codebook, encode, stamp. */

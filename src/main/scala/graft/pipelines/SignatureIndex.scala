@@ -143,18 +143,16 @@ object SignatureIndex {
       .get("spark.graft.sigindex.broadcastSigs", "65536").toLong
     val sigStore = spark.read.parquet(s"$index/signatures.parquet")
     val nCand = cand.count()
+    // ONE candidate-pruned oldSigs construction (key-broadcast map-side
+    // semi); the gates only pick the final join shape, so the two
+    // pruned forms cannot drift apart (review r10)
+    lazy val oldSigs = sigStore
+      .join(broadcast(cand.select(col("doc_old").as("doc_id")).distinct()), "doc_id")
+      .select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
     val withOld =
-      if (nCand <= maxBcastSigs) {
-        val oldSigs = sigStore
-          .join(broadcast(cand.select(col("doc_old").as("doc_id")).distinct()), "doc_id")
-          .select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
-        cand.join(broadcast(oldSigs), "doc_old")
-      } else if (nCand <= maxBcastKeys) {
-        val oldSigs = sigStore
-          .join(broadcast(cand.select(col("doc_old").as("doc_id")).distinct()), "doc_id")
-          .select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
-        cand.join(oldSigs, "doc_old")
-      } else cand.join(
+      if (nCand <= maxBcastSigs) cand.join(broadcast(oldSigs), "doc_old")
+      else if (nCand <= maxBcastKeys) cand.join(oldSigs, "doc_old")
+      else cand.join(
         sigStore.select(col("doc_id").as("doc_old"), col("sig").as("sig_old"))
           .hint("merge"), "doc_old")
     withOld

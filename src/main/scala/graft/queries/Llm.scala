@@ -69,6 +69,12 @@ object Llm {
     * N·C pairs into the exact-cosine stage — the candidate-volume drop
     * VectorScale's A/B leg measures. */
   private[graft] def densePairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // register up front (idempotent): the pq/ivfpq branch runs EAGER
+    // work (Lineage.cut on the subvector frame, codebook training) whose
+    // plans use graft_dot/graft_adc before any downstream helper would
+    // have registered them — on a fresh session that branch would
+    // otherwise throw 'Undefined function' (review r10)
+    graft.functions.VectorExprs.register(s)
     def rescore(p: org.apache.spark.sql.DataFrame) =
       p.withColumn("cos", r4(expr("graft_dot(ea, eb)") / (col("na") * col("nb"))))
     candMode(s) match {

@@ -32,6 +32,14 @@ object Scans {
     dir.toString
   }
 
+  /** Plain recursive unlink — commons-io's deleteQuietly walks with
+    * per-file symlink/type checks that cost ~0.5 s over 5000 entries
+    * (BinBisect). Shared by every roundtrip query that sweeps its
+    * scratch children at entry. */
+  private[queries] def rmRf(f: java.io.File): Unit = {
+    val cs = f.listFiles; if (cs != null) cs.foreach(rmRf); f.delete(): Unit
+  }
+
   /** scan_parquet — full vectorized scan of lineitem, totally ordered.
     * Raw columns only (no arithmetic) so doubles are bit-identical to the
     * oracle's read of the same file. */
@@ -170,11 +178,6 @@ object Scans {
     // directory. The returned frame reads the path LAZILY, so the sweep
     // must never run at the END of this function.
     val parent = new java.io.File(scratchDir(s, d, "bin"))
-    // plain recursive unlink — commons-io's deleteQuietly walks with
-    // per-file symlink/type checks that cost ~0.5 s over 5000 entries
-    def rmRf(f: java.io.File): Unit = {
-      val cs = f.listFiles; if (cs != null) cs.foreach(rmRf); f.delete(): Unit
-    }
     parent.listFiles.foreach(rmRf)
     val dir = new java.io.File(parent, java.lang.Long.toHexString(System.nanoTime()))
     dir.mkdirs()
@@ -268,9 +271,6 @@ object Scans {
     * query prices. */
   val sinkStream: Q = (s, d) => {
     val tmp = scratchDir(s, d, "stream")
-    def rmRf(f: java.io.File): Unit = {
-      val cs = f.listFiles; if (cs != null) cs.foreach(rmRf); f.delete(): Unit
-    }
     new java.io.File(tmp).listFiles.foreach(rmRf)
     // file streams need an explicit schema (no inference pass) and a
     // DIRECTORY source (a bare file path fails basePath validation):

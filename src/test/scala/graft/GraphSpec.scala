@@ -127,6 +127,20 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     top.foreach(r => edgeSet should not contain ((r.getLong(0), r.getLong(1))))
   }
 
+  test("materialized graph views survive a harness sweep (unpersist-all between queries)") {
+    // Bench.sweep() unpersists EVERY persistent RDD between queries; a
+    // block-backed view cache dies at the first sweep and every later
+    // hit throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (silently swallowed
+    // by the bench's failure guard — the bug this test pins out). The
+    // parquet-backed views must return identical rows after a sweep.
+    def runAll() = Seq("graph_khop", "graph_triangles", "graph_jaccard")
+      .map(q => queries.Graphs.queries(q)(spark, sfDir).collect().toSeq)
+    val before = runAll()
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    runAll() shouldBe before
+  }
+
   test("khopProfile: path graph frontier grows one node per hop from the id-0 seed") {
     import spark.implicits._
     // path 0–1–2–…–9: only node 0 matches the % 97 seed rule

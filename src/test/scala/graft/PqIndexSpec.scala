@@ -69,6 +69,27 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     again shouldBe got
   }
 
+  test("re-extending a batch with CHANGED content leaves no ghost rows (review r10)") {
+    // batch 1 first lands with a wide vector slice, then is retried
+    // with a much smaller, different slice: under plain dynamic
+    // overwrite the (batch, cell) leaves absent from the retry kept
+    // their old rows — search returned ghosts. The batch subtree drop
+    // must make the retry authoritative for the whole batch.
+    val cut = vecs.agg(expr("percentile(vec_id, 0.7)")).head().getDouble(0).toLong
+    val oldV = vecs.where(col("vec_id") <= cut)
+    val d = java.nio.file.Files.createTempDirectory("graft_pqretry").toString
+    pipelines.PqIndex.buildFrom(spark, oldV, sfDir, d)
+    pipelines.PqIndex.extend(spark, vecs.where(col("vec_id") > cut), d, 1L)
+    // the corrected batch: only a handful of the batch-1 vectors
+    val corrected = vecs.where(col("vec_id") > cut && col("vec_id") % 7 === 0)
+    pipelines.PqIndex.extend(spark, corrected, d, 1L)
+    val stored = spark.read.parquet(s"$d/codes.parquet")
+      .where(col("batch") === 1L).select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = corrected.select("vec_id").collect().map(_.getLong(0)).toSet
+    stored shouldBe expected
+  }
+
   test("the search plan streams the codes — query tables broadcast, no SMJ") {
     val plan = pipelines.PqIndex.search(spark, queries10, indexDir, k = 3)
       .queryExecution.executedPlan.toString
