@@ -105,6 +105,46 @@ object Extras {
       .orderBy("doc_id")
   }
 
+  /** llm_curriculum — curriculum construction for training delivery:
+    * stage docs by quality QUARTILE (stage 1 = lowest quality … stage 4
+    * = highest — the anneal-up schedule curriculum-learning recipes
+    * feed a trainer), round-robin shards within each stage, and emit
+    * the per-(stage, shard) manifest (docs, tokens, quality stats) a
+    * dataloader consumes.
+    *
+    * Scale shape: staging is NOT a global ntile window (ranking the
+    * corpus through one partition is the web-scale trap win_ntile
+    * documents) — the three quartile boundaries are ONE bounded
+    * aggregate broadcast back as a 1-row frame, and each doc stages by
+    * comparison, so the plan is two corpus scans of the cut quality
+    * frame and zero corpus-sized sorts. At 100 TB the exact percentile
+    * swaps for approx_percentile/t-digest (documented, same shape).
+    * Determinism: boundaries are r4'd (identical IEEE interpolation of
+    * r4'd inputs in both engines, then the same grid rounding), so the
+    * <= staging comparisons agree engine-to-engine; quality ties at a
+    * boundary all land in the same stage by construction. */
+  val llmCurriculum: Q = (s, d) => {
+    val q = graft.ops.Lineage.cut(llmQualityScore(s, d)
+      .select("doc_id", "n_tok", "quality"))
+    val bounds = q.agg(
+      r4(expr("percentile(quality, 0.25)")).as("b1"),
+      r4(expr("percentile(quality, 0.5)")).as("b2"),
+      r4(expr("percentile(quality, 0.75)")).as("b3"))
+    q.crossJoin(broadcast(bounds))
+      .withColumn("stage",
+        when(col("quality") <= col("b1"), 1)
+          .when(col("quality") <= col("b2"), 2)
+          .when(col("quality") <= col("b3"), 3)
+          .otherwise(4).cast("long"))
+      .withColumn("shard", col("doc_id") % 4)
+      .groupBy("stage", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tok"),
+        r4(sumR8(col("quality")) / count(lit(1))).as("mean_quality"),
+        min("quality").as("min_q"), max("quality").as("max_q"))
+      .orderBy("stage", "shard")
+  }
+
   /** llm_fingerprint — rolling 3-gram shingle fingerprint: md5 every token
     * trigram, keep the lexicographic minimum (min-hash of shingles; md5 is
     * engine-independent so this one IS oracle-checkable). */
@@ -1120,6 +1160,7 @@ object Extras {
     "agg_bool"          -> aggBool,
     "llm_lang_id"       -> llmLangId,
     "llm_quality_score" -> llmQualityScore,
+    "llm_curriculum" -> llmCurriculum,
     "llm_fingerprint"   -> llmFingerprint,
     "llm_ann_ivf"       -> llmAnnIvf,
     "llm_embed_neardup" -> llmEmbedNeardup,
@@ -1137,6 +1178,24 @@ object Extras {
     * MATERIALIZED hints stop DuckDB inlining the chain into each of the 8
     * label rounds (8× recompute spilled >79 GB at sf0.1 without them —
     * the oracle-side mirror of the Spark lineage fix). */
+  /** Shared quality-scoring CTE chain (llm_quality_score is the base
+    * view, llm_curriculum stages over it — ONE SQL definition so the
+    * two oracles cannot drift). */
+  private val qualityCtes =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |stop AS (SELECT token, 1 AS is_stop FROM (
+      |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+      |  FROM tok GROUP BY token) WHERE rn <= 5),
+      |per_doc AS (
+      |  SELECT t.doc_id, count(*) AS n_tok,
+      |   ${r4Sql("sum(length(t.token)) * 1.0 / count(*)")} AS avg_len,
+      |   ${r4Sql("count(DISTINCT t.token) * 1.0 / count(*)")} AS ttr,
+      |   ${r4Sql("sum(coalesce(s.is_stop, 0)) * 1.0 / count(*)")} AS swr
+      |  FROM tok t LEFT JOIN stop s ON s.token = t.token GROUP BY t.doc_id),
+      |scored AS (SELECT doc_id, n_tok, avg_len, ttr, swr,
+      | ${r4Sql("0.4 * ttr + 0.4 * (1.0 - swr) + 0.2 * least(avg_len / 10.0, 1.0)")} AS quality
+      | FROM per_doc)""".stripMargin
+
   private val jaccardCtes =
     s"""tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
       |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
@@ -1528,19 +1587,25 @@ object Extras {
         |  FROM scores s JOIN documents dd ON dd.doc_id = s.doc_id)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "llm_quality_score" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |stop AS (SELECT token, 1 AS is_stop FROM (
-        |  SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
-        |  FROM tok GROUP BY token) WHERE rn <= 5),
-        |per_doc AS (
-        |  SELECT t.doc_id, count(*) AS n_tok,
-        |   ${r4Sql("sum(length(t.token)) * 1.0 / count(*)")} AS avg_len,
-        |   ${r4Sql("count(DISTINCT t.token) * 1.0 / count(*)")} AS ttr,
-        |   ${r4Sql("sum(coalesce(s.is_stop, 0)) * 1.0 / count(*)")} AS swr
-        |  FROM tok t LEFT JOIN stop s ON s.token = t.token GROUP BY t.doc_id)
-        |SELECT doc_id, n_tok, avg_len, ttr, swr,
-        | ${r4Sql("0.4 * ttr + 0.4 * (1.0 - swr) + 0.2 * least(avg_len / 10.0, 1.0)")} AS quality
-        |FROM per_doc ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualityCtes
+        |SELECT doc_id, n_tok, avg_len, ttr, swr, quality
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "llm_curriculum" ->
+      s"""WITH $qualityCtes,
+        |b AS (SELECT ${r4Sql("quantile_cont(quality, 0.25)")} AS b1,
+        |             ${r4Sql("quantile_cont(quality, 0.5)")} AS b2,
+        |             ${r4Sql("quantile_cont(quality, 0.75)")} AS b3 FROM scored),
+        |st AS (SELECT s.doc_id, s.n_tok, s.quality,
+        |       CASE WHEN s.quality <= b.b1 THEN 1
+        |            WHEN s.quality <= b.b2 THEN 2
+        |            WHEN s.quality <= b.b3 THEN 3 ELSE 4 END AS stage,
+        |       s.doc_id % 4 AS shard
+        |       FROM scored s, b)
+        |SELECT CAST(stage AS BIGINT) AS stage, shard, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        | ${r4Sql(s"${sumR8Sql("quality")} / count(*)")} AS mean_quality,
+        | min(quality) AS min_q, max(quality) AS max_q
+        |FROM st GROUP BY stage, shard ORDER BY stage, shard""".stripMargin,
     "llm_fingerprint" ->
       """SELECT doc_id, list_min(shs) AS fp, CAST(len(shs) AS BIGINT) AS n_shingles FROM (
         |  SELECT doc_id,

@@ -56,8 +56,16 @@ object Graphs {
   private val viewLock = new Object
 
   private def viewDir(s: org.apache.spark.sql.SparkSession, d: String,
-                      tag: String): String =
-    Scans.scratchDir(s, d, s"gview_$tag")
+                      tag: String): String = {
+    // stamp the key with the source fact table's mtime: a regenerated
+    // corpus at the SAME path (StressGen reuse=0 reruns) must never be
+    // served a stale view — a fresh generation shifts the mtime, which
+    // shifts the scratch dir (the abandoned old view is bounded by the
+    // number of regenerations and lives in tmp)
+    val src = new java.io.File(d, "lineitem.parquet")
+    Scans.scratchDir(s, d,
+      s"gview_${tag}_${java.lang.Long.toHexString(src.lastModified())}")
+  }
 
   private def view(s: org.apache.spark.sql.SparkSession, d: String,
                    tag: String)(build: => DataFrame): DataFrame =

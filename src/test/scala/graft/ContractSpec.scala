@@ -18,8 +18,8 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 177
-    SparkEntry.oracleSql.size shouldBe 169
+    SparkEntry.queries.size shouldBe 178
+    SparkEntry.oracleSql.size shouldBe 170
   }
 
   test("dq_delta's oracle schema pin matches the live orders fixture (ADVICE r7)") {

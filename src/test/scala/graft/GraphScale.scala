@@ -49,7 +49,13 @@ object GraphScale {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1")
     val names = Seq(
-      "graph_pagerank", "graph_triangles", "win_scd2",
+      // graph_edges_build FIRST: it prices (and refreshes) the
+      // materialized view the round-10 family reads; consumers then
+      // measure query-over-view scaling — the posture's two honest
+      // numbers, separated
+      "graph_edges_build", "graph_pagerank", "graph_triangles",
+      "graph_degree_hist", "graph_cluster_coeff", "graph_jaccard",
+      "graph_khop", "win_scd2",
       "ev_markov", "ev_gap_fill", "agg_corr"
     ).filter(n => only.forall(_.contains(n)))
 
