@@ -20,13 +20,16 @@ import graft.ops.Det._
   * carry no hyperlinks, so the graph is the part CO-PURCHASE graph
   * (parts sharing an order — 2.4 M directed edges / 20 k nodes at
   * sf0.1), standing in for the domain link graph with the same code
-  * shape. Both operators keep every intermediate bounded the way the
-  * 100 TB versions must: PageRank's per-node state is |nodes| rows
-  * (broadcast as the per-iteration message table), never edge-sized;
-  * the triangle census never materializes the O(Σ deg²) wedge set of
-  * the FULL graph — it counts on a deterministically hash-sparsified
-  * subgraph (DOULION, Tsourakakis et al. KDD'09) whose wedge volume
-  * scales by p², and scales the count back by 1/p³.
+  * shape. Round 10 widened the family to seven operators (edges_build,
+  * degree_hist, cluster_coeff, jaccard, khop beside pagerank/triangles)
+  * over parquet-backed materialized views (below). Every operator keeps
+  * its intermediates bounded the way the 100 TB versions must:
+  * PageRank's per-node state is |nodes| rows (broadcast as the
+  * per-iteration message table), never edge-sized; every wedge join
+  * (triangles, cluster_coeff, jaccard) runs on a deterministically
+  * hash-sparsified subgraph (DOULION, Tsourakakis et al. KDD'09) —
+  * never the FULL graph's O(Σ deg²) wedge set — with the census scaled
+  * back by 1/p³ where an unbiased estimate is the contract.
   */
 object Graphs {
 
@@ -82,9 +85,8 @@ object Graphs {
 
   /** The undirected co-purchase edge set, one row per UNORDERED pair
     * (src < dst), distinct: parts that appear in the same order.
-    * Materialized (Lineage.cut) — every caller reuses it for degree /
-    * sparsify / census passes, and the cut is what keeps those passes
-    * off the corpus.
+    * Served from the materialized parquet view — every caller's degree
+    * / sparsify / census passes read the artifact, never the corpus.
     *
     * Built as ONE exchange, not a self-join: groupBy order →
     * sort_array(collect_set(part)) (map-side combined, ≤ 7 parts per
