@@ -136,7 +136,13 @@ object Graphs {
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n_nodes"))))
       .select(col("n_edges"), col("n_nodes"),
-        r4(col("n_edges") * 2.0 / col("n_nodes")).as("avg_degree"))
+        // zero-node guard: under ANSI even the double division throws
+        // on an empty graph; NULL is the honest average degree of no
+        // nodes (the fixture corpora always have nodes, so the oracle
+        // form is unchanged)
+        when(col("n_nodes") === 0, lit(null).cast("double"))
+          .otherwise(r4(col("n_edges") * 2.0 / col("n_nodes")))
+          .as("avg_degree"))
   }
 
   /** Materialized pct-sparsified sub-view of the co-purchase graph. */

@@ -232,14 +232,19 @@ object Scans {
     * aggregates the original table and pins the expected file counts). */
   val copyCompact: Q = (s, d) => {
     val tmp = scratchDir(s, d, "compact")
-    Tables.orders(s, d)
+    val src = Tables.orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      .repartition(64)
+    src.repartition(64)
       .write.mode("overwrite").parquet(s"$tmp/small")
-    val back = s.read.parquet(s"$tmp/small")
+    // explicit schema on both read-backs: an EMPTY upstream slice writes
+    // no (or one schema-only) data file, and schema inference over a
+    // fileless directory throws — the zero-row day is in-domain for a
+    // compaction job
+    val back = s.read.schema(src.schema).parquet(s"$tmp/small")
     val rows = back.count()
     val nFiles = math.max(1L, (rows + 19999) / 20000).toInt
     back.repartition(nFiles).write.mode("overwrite").parquet(s"$tmp/compact")
+    val compacted = s.read.schema(src.schema).parquet(s"$tmp/compact")
     def dataFiles(p: String): Long = {
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -247,7 +252,7 @@ object Scans {
         .count(_.getPath.getName.endsWith(".parquet")).toLong
     }
     val (before, after) = (dataFiles(s"$tmp/small"), dataFiles(s"$tmp/compact"))
-    s.read.parquet(s"$tmp/compact")
+    compacted
       .agg(count(lit(1)).as("n_rows"), sumR4(col("o_totalprice")).as("sum_total"))
       .select(col("n_rows"), col("sum_total"),
         lit(before).as("files_small"), lit(after).as("files_compacted"))
@@ -292,7 +297,11 @@ object Scans {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start(s"$tmp/out")
     q.awaitTermination()
-    s.read.parquet(s"$tmp/out")
+    // explicit schema: a zero-event slice commits a batch with no data
+    // files, and inference over the metadata-log-listed empty set throws
+    val outSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, day DATE")
+    s.read.schema(outSchema).parquet(s"$tmp/out")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sumR4(col("value")).as("sum_value"),
         countDistinct(col("day")).as("n_days"))

@@ -89,7 +89,15 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     "fn_try", "agg_chisq",
     // hard-negative mining's empty cross join; rank fusion's two empty
     // top-20 frames full-outer-joined
-    "llm_hardneg_mine", "llm_rank_fusion")
+    "llm_hardneg_mine", "llm_rank_fusion",
+    // round-10 additions: the materialized-view graph family over an
+    // empty fact table (empty parquet views, empty wedge joins), the
+    // stream sink whose read-back carries an explicit schema exactly
+    // for the zero-row slice, and curriculum's NULL quartile boundaries
+    // (no doc ever stages). edges_build/khop/copy_compact are censuses
+    // (well-defined non-empty zero rows) — dedicated tests below.
+    "graph_degree_hist", "graph_cluster_coeff", "graph_jaccard",
+    "sink_stream", "llm_curriculum")
 
   // graph_triangles is a census: on an empty graph it is ONE well-defined
   // zero row (0 sampled, 0.0 estimate, the fixed pct, 0 kept / 0 total
@@ -101,6 +109,33 @@ class EmptyInputSpec extends AnyFunSuite with Matchers with SparkFixture {
     rows.head.getDouble(1) shouldBe 0.0
     rows.head.getLong(3) shouldBe 0L
     rows.head.getLong(4) shouldBe 0L
+  }
+
+  // graph_edges_build is the build census: one row, zero edges/nodes
+  // (avg_degree is NULL — 0·2.0/0 — the honest value for a graph with
+  // no nodes)
+  test("graph_edges_build on an empty fact table: the one-row zero census") {
+    val rows = SparkEntry.queries("graph_edges_build")(spark, emptyDir).collect()
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 0L
+    rows.head.getLong(1) shouldBe 0L
+  }
+
+  // graph_khop is a frontier PROFILE: hops 0..3 always exist; an empty
+  // graph reaches zero nodes at every hop
+  test("graph_khop on an empty graph: four all-zero frontier rows") {
+    val rows = SparkEntry.queries("graph_khop")(spark, emptyDir).collect()
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L))
+  }
+
+  // copy_compact is the layout census: one row; an empty upstream slice
+  // still compacts to exactly one (schema-only) file
+  test("copy_compact on an empty table: the one-row zero-rows census") {
+    val rows = SparkEntry.queries("copy_compact")(spark, emptyDir).collect()
+    rows.length shouldBe 1
+    rows.head.getLong(0) shouldBe 0L               // n_rows
+    rows.head.getLong(3) should be >= 1L           // files_compacted
   }
 
   // agg_bloom_partial probes a FIXED 20-key set per sketch row, so on an
