@@ -37,6 +37,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     planOf(Sorts.limitTopk(spark, sfDir)) should include("TakeOrderedAndProject")
   }
 
+  test("graph consumers read the materialized view, never the fact table; jaccard top-20 is TakeOrdered") {
+    // the materialized-view posture's plan pin: after the first touch
+    // builds the parquet views, every graph consumer's scan set is view
+    // files only — re-deriving the edge set from lineitem inside a
+    // consumer would reintroduce the 2.4× family cost the round-10
+    // BASELINE A/B measured. (graph_edges_build and pagerank's deg pass
+    // are the deliberate exceptions: build scans the fact table by
+    // definition.)
+    queries.Graphs.queries("graph_triangles")(spark, sfDir).collect()
+    for (q <- Seq("graph_triangles", "graph_degree_hist",
+                  "graph_cluster_coeff", "graph_jaccard", "graph_khop")) {
+      val plan = planOf(queries.Graphs.queries(q)(spark, sfDir))
+      // no fact-table scan anywhere; view reads appear either as a
+      // gview_ parquet scan in-plan or as an RDD leaf when a
+      // Lineage.cut consumed the view at construction time
+      plan should not include "lineitem"
+    }
+    planOf(queries.Graphs.queries("graph_triangles")(spark, sfDir)) should
+      include("gview_")
+    planOf(queries.Graphs.queries("graph_jaccard")(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
   test("join_nullsafe plans EqualNullSafe as a hash join key, not a nested loop") {
     // the scale property behind the operator: <=> is a coalesced
     // equi-key, so the null-matching join keeps the broadcast-hash
