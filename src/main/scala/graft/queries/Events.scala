@@ -66,6 +66,37 @@ object Events {
       .orderBy("user_id", "event_type")
   }
 
+  /** ev_cdc_apply — apply an event changelog as a latest-wins upsert and
+    * derive the current entity snapshot (the SCD-1 / CDC-merge shape: a
+    * MERGE INTO with ONLY the newest change per key surviving, plus
+    * tombstone deletes): per user the last event under the (ts,
+    * event_id) arrival order wins; a user whose LAST event is an
+    * 'error' is a tombstoned entity and drops from the snapshot
+    * entirely (an earlier error is superseded by the later state — the
+    * standard changelog-compaction rule). n_events carries the
+    * changelog depth per surviving key (how many changes compacted into
+    * the one snapshot row — the amplification a CDC consumer plans
+    * around).
+    *
+    * Scale shape: ONE shuffle on user_id serves both window functions
+    * (same partition spec; the row_number adds the in-partition sort),
+    * so the 100 TB changelog compaction is a single exchange + sort —
+    * exactly the shape a MERGE materializes — and the snapshot never
+    * exists as a second copy before the rn = 1 filter. Determinism: the
+    * (ts desc, event_id desc) order is strict (event_id unique), counts
+    * are exact longs, and the one double in the output is r4'd. */
+  val evCdcApply: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), epochS(col("ts")).as("last_ts_s"),
+        col("event_type").as("last_type"), r4(col("value")).as("last_value"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
   /** ev_late_watermark — batch mirror of a 10-minute watermark: arrival
     * order = event_id; a row is late (dropped) if its ts is more than 10
     * minutes behind the max event-time seen so far. Deliberately a global
@@ -451,6 +482,7 @@ object Events {
     "ev_sliding"        -> evSliding,
     "ev_session"        -> evSession,
     "ev_dedup"          -> evDedup,
+    "ev_cdc_apply"      -> evCdcApply,
     "ev_late_watermark" -> evLateWatermark,
     "ev_stateful"       -> evStateful,
     "ev_funnel"         -> evFunnel,
@@ -522,6 +554,13 @@ object Events {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts, event_id) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ev_cdc_apply" ->
+      s"""SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_s,
+        | event_type AS last_type, ${r4Sql("value")} AS last_value, n_events
+        |FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_events FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "ev_late_watermark" ->
       s"""SELECT event_type, count(*) AS n_kept, ${r4Sql("sum(value)")} AS sum_value
         |FROM (SELECT *, max(ts) OVER (ORDER BY event_id

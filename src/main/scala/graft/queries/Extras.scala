@@ -895,6 +895,30 @@ object Extras {
       .orderBy("lang")
   }
 
+  /** llm_sample_topk — fixed-size deterministic uniform sample (the
+    * eval/audit draw every pipeline takes before shipping a corpus):
+    * exactly k = 256 documents, selected as the k smallest md5 ranks of
+    * a salted doc_id — never `rand()` (the same 256 docs come back on
+    * every engine, run, and cluster topology), and never a rate (the
+    * md5-bucket samplers llm_sample_balanced / llm_split keep a
+    * PROPORTION; an eval set wants an exact COUNT regardless of corpus
+    * size). The salt ("smp_") decorrelates this draw from the split /
+    * balance bucket rules so the sample is uniform across their strata.
+    *
+    * Scale shape: hash-rank top-k compiles to TakeOrderedAndProject —
+    * each scan partition keeps a k-row heap and one k-row partial moves
+    * per partition, so the 100 TB draw is ONE pass with O(k) memory and
+    * O(k · partitions) exchange volume: the distributed reservoir
+    * sample, with the full sort the naive ORDER BY would pay never
+    * materializing. */
+  val llmSampleTopk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("rk", md5(concat(lit("smp_"), col("doc_id").cast("string"))))
+      .orderBy("rk")
+      .limit(256)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("rk"))
+      .orderBy("doc_id")
+
   /** llm_split — reproducible train/val/test assignment (80/10/10) by
     * md5 bucket of doc_id: stable across engines, runs, and cluster
     * topologies (never `rand()` — the only way a 100 TB split is
@@ -1142,6 +1166,7 @@ object Extras {
     "llm_dedup_incremental" -> llmDedupIncremental,
     "llm_dedup_bloom"   -> llmDedupBloom,
     "llm_sample_balanced" -> llmSampleBalanced,
+    "llm_sample_topk"   -> llmSampleTopk,
     "llm_split"         -> llmSplit,
     "llm_chunk"         -> llmChunk,
     "llm_dedup_cluster" -> llmDedupCluster,
@@ -1360,6 +1385,12 @@ object Extras {
         |WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000)
         |       * 1.0 / 10000 < r.rate
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "llm_sample_topk" ->
+      """SELECT doc_id, lang, source, n_chars, rk FROM (
+        | SELECT doc_id, lang, source, n_chars,
+        |  md5('smp_' || CAST(doc_id AS VARCHAR)) AS rk
+        | FROM documents ORDER BY rk LIMIT 256)
+        |ORDER BY doc_id""".stripMargin,
     "llm_split" ->
       """SELECT lang, split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM (

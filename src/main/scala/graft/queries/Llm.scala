@@ -385,6 +385,55 @@ object Llm {
       .orderBy("qid", "rn")
   }
 
+  /** llm_pref_pairs — preference-pair construction for contrastive /
+    * DPO-style training delivery: per query vector, the single most
+    * similar SAME-label neighbour (chosen) paired with the single most
+    * similar DIFFERENT-label neighbour (rejected) and the cosine margin
+    * between them — the (prompt, chosen, rejected) row a preference
+    * trainer consumes, with the hardest available negative as the
+    * rejected side (llm_hardneg_mine's selection at k = 1). Queries
+    * whose label has no second member drop out (no positive exists to
+    * prefer) — an inner join, identically in both engines.
+    *
+    * Scale shape: ONE pass over the conf-switched densePairs candidate
+    * stream (exact cross join by default — the oracle contract;
+    * spark.graft.topk.candidates=ivf|pq|ivfpq swaps in the ANN
+    * generators for the 100 TB path): the bounded TopKAgg is keyed on
+    * (qid, qlabel, is_pos) so the positive and negative winners fall
+    * out of the SAME shuffle — never two candidate passes. The ≤2·N-row
+    * aggregate is cut once and the chosen/rejected sides self-join on
+    * qid, so the N²-shaped candidate stage runs exactly once however
+    * the output is consumed.
+    *
+    * Determinism: cos is r4'd by densePairs before selection; TopKAgg's
+    * (cos desc, vid asc) total order is strict (vid unique per qid) and
+    * merge-order-free; the margin is one IEEE subtraction of two
+    * already-rounded doubles, r4'd — the oracle mirrors each step. */
+  val llmPrefPairs: Q = (s, d) => {
+    val topk = udaf(new graft.functions.TopKAgg(1),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long, Long)]())
+    val t = graft.ops.Lineage.cut(
+      densePairs(s, d)
+        .withColumn("is_pos", col("qlabel") === col("nb_label"))
+        .groupBy("qid", "qlabel", "is_pos")
+        .agg(topk(col("cos"), col("vid"), col("nb_label").cast("long")).as("top"))
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("is_pos"),
+          col("top").getItem(0).getField("_2").as("vid"),
+          col("top").getItem(0).getField("_1").as("cos")))
+    val pos = t.where(col("is_pos"))
+      .select(col("qid"), col("qlabel"),
+        col("vid").as("chosen_vid"), col("cos").as("chosen_cos"))
+    val neg = t.where(!col("is_pos"))
+      .select(col("qid"),
+        col("vid").as("rejected_vid"), col("cos").as("rejected_cos"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("qlabel"), col("chosen_vid"), col("chosen_cos"),
+        col("rejected_vid"), col("rejected_cos"),
+        r4(col("chosen_cos") - col("rejected_cos")).as("margin"))
+      .orderBy("qid")
+  }
+
   /** llm_rank_fusion — reciprocal-rank fusion (RRF, Cormack et al.
     * SIGIR'09) of two retrieval rankings for the same fixed query: the
     * BM25 lexical top-20 (llm_bm25's scorer) fused with a tf-idf-
@@ -918,6 +967,7 @@ object Llm {
     "llm_bm25"              -> llmBm25,
     "llm_rank_fusion"       -> llmRankFusion,
     "llm_hardneg_mine"      -> llmHardnegMine,
+    "llm_pref_pairs"        -> llmPrefPairs,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
     "llm_pair_table"        -> llmPairTable,
     "llm_containment"       -> llmContainment,
@@ -1027,6 +1077,24 @@ object Llm {
         |       FROM embeddings a, embeddings b
         |       WHERE a.vec_id <> b.vec_id AND a.label <> b.label))
         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
+    "llm_pref_pairs" ->
+      s"""WITH pairs AS (
+        | SELECT a.vec_id AS qid, CAST(a.label AS BIGINT) AS qlabel,
+        |        b.vec_id AS vid, CAST(b.label AS BIGINT) AS nb_label,
+        |        $cosSql AS cos
+        | FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |pos AS (SELECT qid, qlabel, vid, cos FROM (
+        |  SELECT qid, qlabel, vid, cos,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        |  FROM pairs WHERE qlabel = nb_label) WHERE rn = 1),
+        |neg AS (SELECT qid, vid, cos FROM (
+        |  SELECT qid, vid, cos,
+        |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+        |  FROM pairs WHERE qlabel <> nb_label) WHERE rn = 1)
+        |SELECT p.qid, p.qlabel, p.vid AS chosen_vid, p.cos AS chosen_cos,
+        | n.vid AS rejected_vid, n.cos AS rejected_cos,
+        | ${r4Sql("p.cos - n.cos")} AS margin
+        |FROM pos p JOIN neg n ON p.qid = n.qid ORDER BY p.qid""".stripMargin,
     "llm_rank_fusion" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |nd AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),

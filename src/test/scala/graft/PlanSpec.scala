@@ -458,6 +458,24 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkFixture {
     "BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size should be >= 1
   }
 
+  test("llm_sample_topk's draw compiles to TakeOrderedAndProject (distributed reservoir)") {
+    // the scale shape: the k smallest md5 ranks come from per-partition
+    // k-row heaps, never a full sort of the corpus — a regression to a
+    // global Sort + Limit turns a 100 TB one-pass draw into a full
+    // corpus sort
+    planOf(queries.Extras.llmSampleTopk(spark, sfDir)) should
+      include("TakeOrderedAndProject")
+  }
+
+  test("ev_cdc_apply's two windows share the one user_id exchange") {
+    // the MERGE-shape pin: row_number and the changelog-depth count run
+    // over the same partitioning, so the compaction is ONE shuffle (plus
+    // the output-order range exchange); a second hashpartitioning means
+    // the window specs drifted apart and the changelog shuffles twice
+    val plan = planOf(queries.Events.evCdcApply(spark, sfDir))
+    "hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("hot paths stay inside WholeStageCodegen") {
     // AQE hides codegen stages in executedPlan.toString; use codegen explain
     import org.apache.spark.sql.execution.CodegenMode

@@ -1116,6 +1116,81 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     out.foreach(t => assert(t._2 != t._4))
   }
 
+  test("llm_pref_pairs pairs each query's best positive with its hardest negative (brute force twin)") {
+    val out = queries.Llm.llmPrefPairs(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) e")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Double](2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map(t => t._1 * t._2).sum
+      graft.ops.Det.r4d(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val exp = vecs.flatMap { case (q, ql, qe) =>
+      val others = vecs.filter(_._1 != q).map(v => (v._1, v._2, cos(qe, v._3)))
+      val pos = others.filter(_._2 == ql).sortBy(t => (-t._3, t._1)).headOption
+      val neg = others.filter(_._2 != ql).sortBy(t => (-t._3, t._1)).headOption
+      for (p <- pos; n <- neg)
+        yield (q, ql, p._1, p._3, n._1, n._3)
+    }.sortBy(_._1)
+    // selection (ids, labels) exact; cosines/margins at one-grain tolerance
+    // (driver fold sums the dot in its own order — same rationale as the
+    // hardneg twin above)
+    out.map(t => (t._1, t._2, t._3, t._5)) shouldBe
+      exp.map(t => (t._1, t._2, t._3, t._5))
+    out.zip(exp).foreach { case (o, e) =>
+      o._4 shouldBe e._4 +- 2e-4
+      o._6 shouldBe e._6 +- 2e-4
+      o._7 shouldBe (e._4 - e._6) +- 4e-4
+      // the pair is trainable: chosen really shares the label, and the
+      // margin column is exactly chosen - rejected at the r4 grain
+      assert(o._7 == graft.ops.Det.r4d(o._4 - o._6))
+    }
+  }
+
+  test("llm_sample_topk draws exactly k docs, stable across runs and corpus order") {
+    val a = queries.Extras.llmSampleTopk(spark, sfDir).collect().toSeq
+    a.size shouldBe math.min(256,
+      Tables.documents(spark, sfDir).count()).toInt
+    // deterministic: a second evaluation returns the identical draw
+    val b = queries.Extras.llmSampleTopk(spark, sfDir).collect().toSeq
+    a.map(_.getLong(0)) shouldBe b.map(_.getLong(0))
+    // the draw really is the k smallest salted ranks (driver-side twin)
+    val ranks = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+      .map(id => (id, java.security.MessageDigest.getInstance("MD5")
+        .digest(s"smp_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString))
+    val expIds = ranks.sortBy(_._2).take(256).map(_._1).sorted.toSeq
+    a.map(_.getLong(0)) shouldBe expIds
+  }
+
+  test("ev_cdc_apply compacts the changelog latest-wins and drops tombstoned users (driver twin)") {
+    val out = queries.Events.evCdcApply(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    // order on FULL-precision event time (unix_micros), not the seconds
+    // the output reports — two events of one user inside the same second
+    // must still resolve by raw ts first, exactly as the query's window
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) ts_us",
+        "cast(floor(unix_timestamp(ts)) as long) ts_s",
+        "event_id", "event_type", "value")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getDouble(5)))
+    val exp = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val last = rows.maxBy(r => (r._2, r._4))
+      if (last._5 == "error") None
+      else Some((uid, last._3, last._5, graft.ops.Det.r4d(last._6), rows.size.toLong))
+    }.sortBy(_._1)
+    out shouldBe exp
+    // tombstone rule really fired on this fixture (an 'error'-last user exists)
+    assert(out.size < ev.map(_._1).distinct.size)
+  }
+
   test("llm_rank_fusion's RRF scores are a pure function of the two rank columns") {
     val out = queries.Llm.llmRankFusion(spark, sfDir).collect().toSeq
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
