@@ -44,18 +44,29 @@ object Validate {
     * min/max columns — a unified VARCHAR column would pull
     * engine-specific number formatting into any cross-engine compare
     * (queries.Extras.dqProfile is the oracle-checked twin on orders).
-    * Scale: ONE scan; the exact multi-distinct compiles to Spark's
-    * Expand (len(numCols)+len(strCols) × width) — the declared profile
-    * cost; at extreme scale swap in approx_count_distinct. */
+    * Scale: the non-distinct metrics (rows, nulls, bounds) are ONE
+    * scan/agg; each exact distinct count is its own two-level
+    * aggregate (groupBy column → count groups) crossJoined in as a
+    * broadcast 1-row frame — NOT one agg carrying every countDistinct,
+    * which Catalyst compiles to an Expand that shuffles
+    * (n_profiled_cols + 1) × the row count in one wide exchange
+    * (measured 1.24 vs 0.74 s warm on sf0.1 orders, DqProfileProbe).
+    * The per-column subtrees re-scan, but each scan PRUNES to its one
+    * column (column re-reads, not corpus re-reads — parquet pays bytes
+    * per column), and each shuffle moves only the map-side-combined
+    * distinct partials of that column: at 100 TB that trades
+    * (cols+1)× row-count exchange volume for cols× single-column
+    * scans — the right side of the trade everywhere shuffle is the
+    * scarcer resource. At extreme cardinalities swap in
+    * approx_count_distinct. */
   def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
     require(numCols.nonEmpty || strCols.nonEmpty, "profile needs at least one column")
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
-      (numCols ++ strCols).flatMap { c =>
+      (numCols ++ strCols).map { c =>
         // sum over zero rows is NULL — an EMPTY table has 0 nulls, and
         // the profile must stay well-typed on it (EmptyInputSpec)
-        Seq(coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"null_$c"),
-            countDistinct(col(c)).as(s"nd_$c"))
+        coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"null_$c")
       } ++
       numCols.flatMap { c =>
         Seq(graft.ops.Det.r4(min(col(c)).cast("double")).as(s"min_$c"),
@@ -64,8 +75,17 @@ object Validate {
       strCols.flatMap { c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
       }
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    // one narrow two-level aggregate per profiled column (isNotNull
+    // mirrors countDistinct's null handling; 0 groups on an empty or
+    // all-null column still counts to one 0-valued row)
+    val withNd = (numCols ++ strCols).foldLeft(base) { (acc, c) =>
+      acc.crossJoin(broadcast(
+        df.select(col(c)).where(col(c).isNotNull).groupBy(col(c)).agg(lit(1))
+          .agg(count(lit(1)).as(s"nd_$c"))))
+    }
     // cut: the 1-row metrics frame feeds one select per profiled column
-    val m = graft.ops.Lineage.cut(df.agg(aggs.head, aggs.tail: _*))
+    val m = graft.ops.Lineage.cut(withNd)
     val rows = numCols.map { c =>
       m.select(lit(c).as("col_name"), col("n_rows"),
         col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
