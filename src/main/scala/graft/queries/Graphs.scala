@@ -20,8 +20,9 @@ import graft.ops.Det._
   * carry no hyperlinks, so the graph is the part CO-PURCHASE graph
   * (parts sharing an order — 2.4 M directed edges / 20 k nodes at
   * sf0.1), standing in for the domain link graph with the same code
-  * shape. Round 10 widened the family to seven operators (edges_build,
-  * degree_hist, cluster_coeff, jaccard, khop beside pagerank/triangles)
+  * shape. Round 10 widened the family to eight operators (edges_build,
+  * degree_hist, cluster_coeff, jaccard, khop, cc beside
+  * pagerank/triangles)
   * over parquet-backed materialized views (below). Every operator keeps
   * its intermediates bounded the way the 100 TB versions must:
   * PageRank's per-node state is |nodes| rows (broadcast as the
@@ -146,6 +147,11 @@ object Graphs {
   }
 
   /** Materialized pct-sparsified sub-view of the co-purchase graph. */
+  /** Probe hook (CcRoundsProbe): the kept sub-view by pct. */
+  private[graft] def keptForProbe(s: org.apache.spark.sql.SparkSession,
+                                  d: String, pct: Int): DataFrame =
+    cachedKept(s, d, pct)
+
   private def cachedKept(s: org.apache.spark.sql.SparkSession, d: String,
                          pct: Int): DataFrame =
     view(s, d, s"kept$pct") { copurchaseEdges(s, d).where(keptCond(pct)) }
@@ -426,6 +432,58 @@ object Graphs {
   val graphJaccard: Q = (s, d) =>
     jaccardTopk(cachedKept(s, d, 10), 20)
 
+  /** graph_cc — connected components of the pct = 2 sparsified
+    * co-purchase subgraph, reported as the component-size histogram
+    * (component count, node count, node share per size) — the community
+    * census a link-graph pipeline runs beside PageRank (mirror-site /
+    * link-farm detection, crawl-frontier partitioning); the GRAPH twin
+    * of llm_dedup_cluster's document clustering, on the sparsified
+    * sub-view where components are plural. pct = 2 is the one graph
+    * operator below the wedge family's 10/25: the co-purchase graph is
+    * so dense that even its 5%% subgraph is a single connected
+    * component at every fixture scale (measured via union-find across
+    * sf0.001-0.1) — a one-row census; at 2%% the graph fragments into
+    * hundreds of components with a six-row size spectrum, which is the
+    * structure the operator exists to report.
+    *
+    * Scale shape: ConnectedComponents.auto — the size-adaptive entry.
+    * Above the `spark.graft.graph.cc.localMaxEdges` threshold it is the
+    * same large-star/small-star iteration (O(log d) rounds, per-round
+    * lineage cuts) that llm_dedup_cluster runs at corpus scale, entered
+    * preOriented (the kept view is canonical src < dst, duplicate-free,
+    * self-loop-free by construction); at or below it — the bench
+    * fixtures' 24k-edge subgraph, or any sparsified subgraph that fits
+    * one partition — a single-job partition-local union-find replaces
+    * six alternation rounds' worth of cut + signature jobs (measured
+    * 3.1 s → ~0.3 s; the per-round job floor, not data volume, priced
+    * the small case). Labels are identical either way (component min —
+    * GraphSpec pins it). Both censuses are bounded aggregates over the
+    * |nodes|-row label frame, the total a lazy broadcast 1-row
+    * aggregate.
+    *
+    * Determinism: lss converges to the exact min-node label per
+    * component (engine-independent); the oracle reproduces it as
+    * 24 fixed min-label propagation rounds over the same md5-kept
+    * subgraph (the 2%% subgraph's giant component is tree-like, so its
+    * label radius is the one LONG propagation in the repo: measured
+    * 13/13/18 across sf0.001/0.01/0.1 — 24 carries a third margin
+    * where the dedup_cluster oracle needs only 8),
+    * and the hash compare fails loudly if a fixture regeneration ever
+    * stretches a component past that radius. All outputs exact longs
+    * plus one r4'd exact-ratio share. */
+  val graphCc: Q = (s, d) => {
+    val (labels, _) = graft.ops.ConnectedComponents.auto(
+      cachedKept(s, d, 2), preOriented = true)
+    val comp = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    comp.groupBy("csize").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_total"))))
+      .select(col("csize"),
+        col("n_components"),
+        (col("csize") * col("n_components")).as("n_nodes"),
+        r4(col("csize") * col("n_components") / col("n_total")).as("node_share"))
+      .orderBy("csize")
+  }
+
   /** graph_khop — BFS frontier profile: nodes reachable within 0..3 hops
     * of the seed set (node id ≡ 0 mod 97) on the symmetrized pct = 25
     * subgraph — the ego-net / influence-radius primitive (crawl frontier
@@ -473,6 +531,7 @@ object Graphs {
     "graph_cluster_coeff" -> graphClusterCoeff,
     "graph_jaccard"       -> graphJaccard,
     "graph_khop"          -> graphKhop,
+    "graph_cc"            -> graphCc,
   )
 
   private val edgeSql =
@@ -594,5 +653,38 @@ object Graphs {
         | n_reached - coalesce(lag(n_reached) OVER (ORDER BY hop),
         |                      CAST(0 AS BIGINT)) AS n_new
         |FROM c ORDER BY hop""".stripMargin,
+    "graph_cc" -> {
+      // 24 fixed min-label rounds (the llm_dedup_cluster oracle pattern
+      // at triple depth — the sparse 2% subgraph's measured label radius
+      // peaks at 18 at sf0.1): converged ≡ lss's exact min-node labels
+      // as long as no component's label radius exceeds 24 — the hash
+      // compare is what enforces that bound stays true. EVERY round is
+      // MATERIALIZED, not just the chain inputs: DuckDB inlines
+      // non-materialized CTEs, and a depth-24 inlined aggregation tree
+      // took >340 s at sf0.001 where the fully-materialized chain runs
+      // in 0.08 s (the jaccardCtes hints document the 8-round form of
+      // the same failure mode)
+      val ccRounds = (1 to 24).map { i =>
+        s"l$i AS MATERIALIZED (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM sym e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
+      }.mkString(",\n")
+      // MATERIALIZED on the chain's shared inputs: without it DuckDB
+      // inlines und/k/sym into EVERY one of the 24 label rounds — the
+      // edge extraction recomputes 24× and the planner grinds on a
+      // depth-24 inlined join tree (>5 min even at sf0.001; the
+      // jaccardCtes hints document the same failure mode at 8 rounds)
+      s"""WITH und AS MATERIALIZED ($edgeSql),
+        |k AS MATERIALIZED (${keptSql("und", 2)}),
+        |nodes AS MATERIALIZED (SELECT DISTINCT n FROM
+        |  (SELECT src AS n FROM k UNION ALL SELECT dst FROM k)),
+        |sym AS MATERIALIZED (SELECT src, dst FROM k UNION ALL SELECT dst, src FROM k
+        |        UNION ALL SELECT n, n FROM nodes),
+        |l0 AS (SELECT n AS dd, n AS lbl FROM nodes),
+        |$ccRounds,
+        |comp AS (SELECT lbl, count(*) AS csize FROM l24 GROUP BY lbl)
+        |SELECT csize, count(*) AS n_components,
+        | CAST(csize * count(*) AS BIGINT) AS n_nodes,
+        | ${r4Sql("csize * count(*) / (SELECT count(*) FROM nodes)")} AS node_share
+        |FROM comp GROUP BY csize ORDER BY csize""".stripMargin
+    },
   )
 }

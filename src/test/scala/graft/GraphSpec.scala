@@ -149,4 +149,36 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     prof.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) shouldBe
       Array((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
   }
+
+  test("localUnionFind labels equal lss labels (component min) on the kept2 fixture subgraph") {
+    // the auto() contract: both CC branches emit the identical
+    // (node, label = component min) frame, so the threshold can never
+    // change a result — only its price
+    val kept = Graphs.keptForProbe(spark, sfDir, 2)
+    val local = graft.ops.ConnectedComponents.localUnionFind(kept)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (lssL, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
+      kept, preOriented = true)
+    val lss = lssL.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    local should not be empty
+    local shouldBe lss
+  }
+
+  test("graph_cc output is branch-independent (localMaxEdges=0 forces lss)") {
+    val auto = queries.Graphs.graphCc(spark, sfDir).collect().toSeq.map(_.toString)
+    spark.conf.set("spark.graft.graph.cc.localMaxEdges", "0")
+    try {
+      val viaLss = queries.Graphs.graphCc(spark, sfDir).collect().toSeq.map(_.toString)
+      viaLss shouldBe auto
+    } finally spark.conf.unset("spark.graft.graph.cc.localMaxEdges")
+  }
+
+  test("localUnionFind on a long path: one component labeled by its min node") {
+    import spark.implicits._
+    val path = (0 until 63).map(i => (i.toLong + 100, i.toLong + 101)).toDF("src", "dst")
+    val labels = graft.ops.ConnectedComponents.localUnionFind(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    labels.length shouldBe 64
+    labels.foreach { case (_, lbl) => lbl shouldBe 100L }
+  }
 }
