@@ -199,8 +199,10 @@ object CorpusPrep {
         .join(ids.select(col("doc_id").as("src")), Seq("src"))
         .join(ids.select(col("doc_id").as("dst")), Seq("dst"))
       // id-filtered pair rows stay duplicate-free with doc_a < doc_b →
-      // skip the normalization distinct (preOriented contract)
-      val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
+      // skip the normalization distinct (preOriented contract); the
+      // size-adaptive entry (round 10) runs small pair graphs through
+      // the one-job local union-find, corpus-scale ones through lss
+      val (lbl, _) = graft.ops.ConnectedComponents.auto(
         e, preOriented = true)
       ids.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))

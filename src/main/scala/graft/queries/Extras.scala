@@ -773,8 +773,16 @@ object Extras {
       if (s.conf.get("spark.graft.cc.algo", "lss") == "lss") {
         // the raw pair list is duplicate-free with doc_a < doc_b by
         // construction → skip the normalization distinct; the collapsed
-        // quotient edges are neither, so the mapping path normalizes
-        val (lbl, _) = graft.ops.ConnectedComponents.largeStarSmallStar(
+        // quotient edges are neither, so the mapping path normalizes.
+        // Routed through the size-adaptive entry (round 10): a pair
+        // graph at or under spark.graft.graph.cc.localMaxEdges runs the
+        // one-job partition-local union-find (the sf0.1 bench corpus:
+        // ~0.5 M quotient edges — the lss alternation's ~12 cut +
+        // signature jobs, not data volume, price that case), a corpus
+        // past the threshold runs the unchanged O(log d) alternation;
+        // labels identical either way (GraphSpec-pinned), so the oracle
+        // and CollapseSpec hold on both branches
+        val (lbl, _) = graft.ops.ConnectedComponents.auto(
           pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
           preOriented = mapping.isEmpty)
         // isolated docs have no edges → label themselves
