@@ -55,7 +55,7 @@ object GraphScale {
       // numbers, separated
       "graph_edges_build", "graph_pagerank", "graph_triangles",
       "graph_degree_hist", "graph_cluster_coeff", "graph_jaccard",
-      "graph_khop", "win_scd2",
+      "graph_khop", "graph_cc", "win_scd2",
       "ev_markov", "ev_gap_fill", "agg_corr"
     ).filter(n => only.forall(_.contains(n)))
 
