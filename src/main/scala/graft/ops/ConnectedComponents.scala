@@ -32,7 +32,11 @@ object ConnectedComponents {
     * six lss rounds cost ~12 (cut + signature per round) — at bench
     * scale the alternation's per-round job floor (~0.5 s) dominates a
     * 24k-edge input by 10×. Memory is the caller's contract: bounded
-    * by the `auto` threshold below (~50 B/node of hash map). */
+    * by the `auto` threshold below (~50 B/node of hash map). Direct
+    * calls differ from the alternation on one degenerate input: a
+    * self-loop-only node gets a label row here and none there — enter
+    * through `auto` (which normalizes first) for the branch-identical
+    * contract. */
   def localUnionFind(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
@@ -59,21 +63,32 @@ object ConnectedComponents {
       .toDF("node", "label")
   }
 
-  /** Size-adaptive entry: exact min-node labels either way. Counts the
-    * edge frame (metadata-only on a materialized parquet view) and
-    * routes ≤-threshold subgraphs through the one-job local union-find,
-    * larger ones through the O(log d) distributed alternation — the
-    * AQE posture applied to the CC algorithm choice. The threshold
+  /** Size-adaptive entry: exact min-node labels either way. Normalizes
+    * and cuts the edge frame ONCE, counts the cut (a block scan — the
+    * edge-producing pipeline never executes twice however expensive its
+    * plan; review r10), and routes ≤-threshold subgraphs through the
+    * one-job local union-find, larger ones through the O(log d)
+    * distributed alternation — the AQE posture applied to the CC
+    * algorithm choice. Because BOTH branches consume the same
+    * normalized frame, their outputs are identical by construction on
+    * ANY input, self-loops included (review r10 — the raw
+    * localUnionFind would emit a label for a self-loop-only node where
+    * the alternation drops it; entering through the shared
+    * normalization closes that divergence). The threshold
     * (`spark.graft.graph.cc.localMaxEdges`, default 4M ≈ a few hundred
-    * MB of union-find state) is the small-subgraph dial: a 100 TB
-    * corpus's sparsified graph blows past it and runs lss unchanged;
-    * 0 disables the local path entirely. Returns (labels, rounds) with
-    * rounds = 0 on the local path. */
+    * MB of union-find state) is the small-subgraph dial — its binding
+    * constraint is single-task memory and straggler latency on a
+    * shared cluster, not wall (CcCrossover: the local path wins
+    * single-box wall to ≥15M edges); a 100 TB corpus's pair graph
+    * blows past it and runs lss unchanged; 0 disables the local path
+    * entirely. Returns (labels, rounds) with rounds = 0 on the local
+    * path. */
   def auto(edges: DataFrame, preOriented: Boolean = false): (DataFrame, Int) = {
     val thr = edges.sparkSession.conf
       .get("spark.graft.graph.cc.localMaxEdges", "4000000").toLong
-    if (thr > 0 && edges.count() <= thr) (localUnionFind(edges), 0)
-    else largeStarSmallStar(edges, preOriented = preOriented)
+    val e = Lineage.cut(normalized(edges, preOriented))
+    if (thr > 0 && e.count() <= thr) (localUnionFind(e), 0)
+    else alternateFrom(e, maxRounds = 50)
   }
 
   /** Large-star: for every node u, hang each LARGER neighbor v off the
@@ -120,15 +135,25 @@ object ConnectedComponents {
     *        orients src > dst internally, so the input's (lo, hi) rows
     *        are swapped projection-only. */
   def largeStarSmallStar(edges: DataFrame, maxRounds: Int = 50,
-                         preOriented: Boolean = false): (DataFrame, Int) = {
-    var e = Lineage.cut(
-      if (preOriented)
-        edges.select(col("dst").as("src"), col("src").as("dst"))
-      else
-        edges.where(col("src") =!= col("dst"))
-          .select(greatest(col("src"), col("dst")).as("src"),
-                  least(col("src"), col("dst")).as("dst"))
-          .distinct())
+                         preOriented: Boolean = false): (DataFrame, Int) =
+    alternateFrom(Lineage.cut(normalized(edges, preOriented)), maxRounds)
+
+  /** src > dst orientation with self-loops dropped and (on the
+    * non-preOriented path) duplicates collapsed — the ONE normalization
+    * both the alternation and `auto` enter through, cut exactly once by
+    * the caller. */
+  private def normalized(edges: DataFrame, preOriented: Boolean): DataFrame =
+    if (preOriented)
+      edges.select(col("dst").as("src"), col("src").as("dst"))
+    else
+      edges.where(col("src") =!= col("dst"))
+        .select(greatest(col("src"), col("dst")).as("src"),
+                least(col("src"), col("dst")).as("dst"))
+        .distinct()
+
+  /** The alternation over an ALREADY-cut, already-normalized frame. */
+  private def alternateFrom(e0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var e = e0
     var rounds = 0
     var stable = false
     var prev: (Long, java.math.BigDecimal) = null

@@ -586,7 +586,10 @@ object Extras {
     * delivery.Validate.profile applied to orders — the same call a
     * delivery job runs on BOTH sides of a copy as a cheap equality
     * witness (DeliverySpec pins profile(src) == profile(delivered)).
-    * Scale notes live on Validate.profile (one Expand-compiled scan). */
+    * Scale notes live on Validate.profile (non-distinct metrics in one
+    * scan/agg; each exact distinct count its own column-pruned
+    * two-level aggregate — the round-10 rewrite that replaced the
+    * multi-distinct Expand). */
   val dqProfile: Q = (s, d) =>
     graft.delivery.Validate.profile(Tables.orders(s, d),
       numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),

@@ -472,8 +472,12 @@ object Graphs {
     * stretches a component past that radius. All outputs exact longs
     * plus one r4'd exact-ratio share. */
   val graphCc: Q = (s, d) => {
-    val (labels, _) = graft.ops.ConnectedComponents.auto(
+    val (labels0, _) = graft.ops.ConnectedComponents.auto(
       cachedKept(s, d, 2), preOriented = true)
+    // cut: the label frame feeds BOTH the census groupBy and the
+    // n_total aggregate — uncut, the CC pass (the one-core union-find
+    // on the local branch) would execute once per subtree (review r10)
+    val labels = Lineage.cut(labels0)
     val comp = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     comp.groupBy("csize").agg(count(lit(1)).as("n_components"))
       .crossJoin(broadcast(labels.agg(count(lit(1)).as("n_total"))))
