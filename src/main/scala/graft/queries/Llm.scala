@@ -434,6 +434,79 @@ object Llm {
       .orderBy("qid")
   }
 
+  /** llm_kmeans — whole-vector Lloyd k-means over the embedding corpus
+    * (k = 8, 2 fixed rounds), reported as the per-cluster census
+    * (size, inertia, centroid norm) — the topic/domain clustering step
+    * a curation pipeline runs over document embeddings (cluster-then-
+    * sample, the SemDeDup/"cluster before you curate" shape) where
+    * llm_ann_ivf's sign-LSH cells are hash-fixed and llm_ann_pq's
+    * Lloyd runs per SUBSPACE; this is the one whole-vector learned
+    * partitioning. Seeds = the k lowest-id vectors (deterministic,
+    * never rand()); empty clusters keep their previous centroid.
+    *
+    * Scale shape: the Pq.train economics at M = 1 — the ≤k-row
+    * codebook lives as a local relation between rounds (bounded-collect
+    * class), so each Lloyd round is ONE job: scan the cut vector
+    * frame, broadcast the codebook, argmin per vector via min_by, two
+    * bounded aggregates, collect ≤k rows. Nothing per-round is ever
+    * corpus-sized, and the round count is a fixed contract (the
+    * convergence variant is one `while` away).
+    *
+    * Determinism: distances are r4'd BEFORE the (d2, code) argmin —
+    * both engines rank identical rounded values (the llm_cosine_topk
+    * discipline); centroid means accumulate per-dimension as exact
+    * scaled integers (sum of floor(x·1e9 + 0.5) — merge-order-free)
+    * and divide back identically; the census inertia sums the already-
+    * r4'd d2 as exact scaled integers (sumR4). */
+  val llmKmeans: Q = (s, d) => {
+    graft.functions.VectorExprs.register(s)
+    val spark = s
+    import spark.implicits._
+    val k = 8
+    val v = graft.ops.Lineage.cut(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("ne", expr("graft_dot(e, e)")))
+    val seeds: Seq[(Int, Seq[Double])] =
+      v.select("vec_id", "e").orderBy("vec_id").limit(k)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // empty corpus → empty, well-typed census (EmptyInputSpec contract)
+    if (seeds.isEmpty) {
+      Seq.empty[(Long, Long, Double, Double)]
+        .toDF("cluster", "n_vecs", "inertia", "centroid_norm")
+    } else {
+      def assign(cb: Seq[(Int, Seq[Double])]) =
+        v.crossJoin(broadcast(
+            cb.toDF("code", "c").withColumn("nc", expr("graft_dot(c, c)"))))
+          .withColumn("d2", r4(col("ne") - expr("graft_dot(e, c)") * 2 + col("nc")))
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("code"), col("e"), col("d2"), col("nc")),
+            struct(col("d2"), col("code"))).as("t"))
+          .select(col("vec_id"), col("t.code").as("code"), col("t.e").as("e"),
+            col("t.d2").as("d2"), col("t.nc").as("nc"))
+      var cb = seeds
+      for (_ <- 1 to 2) {
+        val means = assign(cb)
+          .select(col("code"), posexplode(col("e")).as(Seq("p", "x")))
+          .groupBy("code", "p")
+          .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
+               count(lit(1)).as("n"))
+          .withColumn("m", col("sx9") / 1e9 / col("n"))
+          .groupBy("code")
+          .agg(expr("transform(sort_array(collect_list(struct(p, m))), t -> t.m)").as("cnew"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+        cb = cb.map { case (code, c) => (code, means.getOrElse(code, c)) }
+      }
+      assign(cb)
+        .groupBy(col("code").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sumR4(col("d2")).as("inertia"),
+          r4(sqrt(max(col("nc")))).as("centroid_norm"))
+        .orderBy("cluster")
+    }
+  }
+
   /** llm_rank_fusion — reciprocal-rank fusion (RRF, Cormack et al.
     * SIGIR'09) of two retrieval rankings for the same fixed query: the
     * BM25 lexical top-20 (llm_bm25's scorer) fused with a tf-idf-
@@ -968,6 +1041,7 @@ object Llm {
     "llm_rank_fusion"       -> llmRankFusion,
     "llm_hardneg_mine"      -> llmHardnegMine,
     "llm_pref_pairs"        -> llmPrefPairs,
+    "llm_kmeans"            -> llmKmeans,
     "llm_jaccard_pairs"     -> llmJaccardPairs,
     "llm_pair_table"        -> llmPairTable,
     "llm_containment"       -> llmContainment,
@@ -1095,6 +1169,53 @@ object Llm {
         | n.vid AS rejected_vid, n.cos AS rejected_cos,
         | ${r4Sql("p.cos - n.cos")} AS margin
         |FROM pos p JOIN neg n ON p.qid = n.qid ORDER BY p.qid""".stripMargin,
+    "llm_kmeans" -> {
+      // the r4'd squared distance both engines rank on (ne/nc broadcast
+      // with each side's frame); tie → code asc, mirroring min_by's
+      // (d2, code) struct order
+      def d2Sql(c: String) = r4Sql(
+        s"v.ne - 2*list_inner_product(v.e, $c.c) + list_inner_product($c.c, $c.c)")
+      // one Lloyd assign round as SQL: argmin centroid per vector
+      def asnSql(cb: String) =
+        s"""SELECT vec_id, code, e FROM (
+           |  SELECT v.vec_id, $cb.code, v.e,
+           |   row_number() OVER (PARTITION BY v.vec_id
+           |     ORDER BY ${d2Sql(cb)}, $cb.code) AS rn
+           |  FROM v CROSS JOIN $cb) WHERE rn = 1""".stripMargin
+      // recenter: per-dim exact scaled-int means, arrays rebuilt in dim
+      // order; codes that received no members carry the previous
+      // centroid (the Spark train contract)
+      def recSql(asn: String, prev: String) =
+        s"""SELECT code, list(m ORDER BY p) AS c FROM (
+           |  SELECT code, p,
+           |   CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS m
+           |  FROM (SELECT code, unnest(e) AS x, generate_subscripts(e, 1) AS p FROM $asn)
+           |  GROUP BY code, p) GROUP BY code
+           |UNION ALL SELECT code, c FROM $prev
+           | WHERE code NOT IN (SELECT DISTINCT code FROM $asn)""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+        | SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS ne
+        | FROM embeddings),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |          FROM (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+        |c0 AS MATERIALIZED (SELECT s.code, v.e AS c FROM seeds s JOIN v ON v.vec_id = s.vec_id),
+        |a1 AS MATERIALIZED (${asnSql("c0")}),
+        |c1 AS MATERIALIZED (${recSql("a1", "c0")}),
+        |a2 AS MATERIALIZED (${asnSql("c1")}),
+        |c2 AS MATERIALIZED (${recSql("a2", "c1")}),
+        |a3 AS MATERIALIZED (
+        | SELECT vec_id, code, d2, nc FROM (
+        |  SELECT v.vec_id, c2.code, ${d2Sql("c2")} AS d2,
+        |   list_inner_product(c2.c, c2.c) AS nc,
+        |   row_number() OVER (PARTITION BY v.vec_id
+        |     ORDER BY ${d2Sql("c2")}, c2.code) AS rn
+        |  FROM v CROSS JOIN c2) WHERE rn = 1)
+        |SELECT CAST(code AS BIGINT) AS cluster, count(*) AS n_vecs,
+        | ${sumR4Sql("d2")} AS inertia,
+        | ${r4Sql("sqrt(max(nc))")} AS centroid_norm
+        |FROM a3 GROUP BY code ORDER BY cluster""".stripMargin
+    },
     "llm_rank_fusion" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |nd AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),

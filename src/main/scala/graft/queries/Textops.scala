@@ -835,6 +835,49 @@ object Textops {
       .orderBy("doc_id")
   }
 
+  /** llm_kl_shift — unigram-distribution shift between the train and
+    * test sides of the reproducible md5 split (llm_split's bucket
+    * rule): per language, the Laplace-smoothed KL divergence
+    * KL(train ‖ test) over the union vocabulary — the token-level
+    * drift check a pretraining pipeline runs before trusting its
+    * held-out loss (a test split whose unigram distribution has
+    * drifted from train measures something other than generalization;
+    * the textual sibling of dq_drift's numeric PSI). Smoothing
+    * p = (c+1)/(N+V) keeps tokens one side never saw defined; the val
+    * bucket (80–89) is excluded from both sides, exactly as llm_split
+    * carves it.
+    *
+    * Scale shape: one token-stream scan to the (lang, token) count
+    * frame (map-side combined, vocab-sized — never corpus-sized), the
+    * per-lang totals and vocab sizes as a bounded broadcast, one
+    * vocab-sized scoring pass collapsing to |langs| rows. Per-token
+    * terms are pure functions of exact longs, r8'd (KL terms live at
+    * the 1e-6 scale — the 1e-4 grain would zero most of the mass) and
+    * summed as exact scaled integers — merge-order-free. */
+  val llmKlShift: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val tok = Tables.documents(s, d)
+      .withColumn("b", bucket)
+      .where(col("b") < 80 || col("b") >= 90)
+      .select(col("lang"), (col("b") < 80).as("is_train"),
+        explode(split(col("text"), " ")).as("t"))
+    val counts = tok.groupBy("lang", "t").agg(
+      count(when(col("is_train"), 1)).as("ca"),
+      count(when(!col("is_train"), 1)).as("cb"))
+    val tots = counts.groupBy("lang").agg(
+      sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("v"))
+    counts.join(broadcast(tots), "lang")
+      .select(col("lang"), col("na"), col("nb"), col("v"),
+        r8(((col("ca") + 1.0) / (col("na") + col("v"))) *
+           log(((col("ca") + 1.0) / (col("na") + col("v"))) /
+               ((col("cb") + 1.0) / (col("nb") + col("v"))))).as("term"))
+      .groupBy("lang")
+      .agg(max("na").as("n_train_tok"), max("nb").as("n_test_tok"),
+        max("v").as("vocab"), sumR8(col("term")).as("kl_shift"))
+      .orderBy("lang")
+  }
+
   /** llm_bpe_merges — the distributed tokenizer-training primitive: one
     * BPE iteration's merge-candidate table (Sennrich et al., "Neural
     * Machine Translation of Rare Words with Subword Units", ACL 2016 —
@@ -874,6 +917,7 @@ object Textops {
   val queries: Map[String, Q] = Map(
     "llm_bpe_merges"     -> llmBpeMerges,
     "llm_dsir"           -> llmDsir,
+    "llm_kl_shift"       -> llmKlShift,
     "llm_token_histogram" -> llmTokenHistogram,
     "llm_bigram_score"   -> llmBigramScore,
     "llm_code_detect"    -> llmCodeDetect,
@@ -943,6 +987,28 @@ object Textops {
         | ${r4Sql("avg(lr)")} AS dsir_avg
         |FROM tok JOIN ratio USING (b)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_kl_shift" ->
+      s"""WITH tok AS (
+        | SELECT lang, b < 80 AS is_train, unnest(string_split(text, ' ')) AS t
+        | FROM (SELECT lang, text,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        |       FROM documents)
+        | WHERE b < 80 OR b >= 90),
+        |counts AS (
+        | SELECT lang, t,
+        |  count(*) FILTER (WHERE is_train) AS ca,
+        |  count(*) FILTER (WHERE NOT is_train) AS cb
+        | FROM tok GROUP BY lang, t),
+        |tots AS (SELECT lang, sum(ca) AS na, sum(cb) AS nb, count(*) AS v
+        |         FROM counts GROUP BY lang),
+        |terms AS (
+        | SELECT c.lang, t.na, t.nb, t.v,
+        |  ${r8Sql("((c.ca + 1.0) / (t.na + t.v)) * ln(((c.ca + 1.0) / (t.na + t.v)) / ((c.cb + 1.0) / (t.nb + t.v)))")} AS term
+        | FROM counts c JOIN tots t ON c.lang = t.lang)
+        |SELECT lang, CAST(max(na) AS BIGINT) AS n_train_tok,
+        | CAST(max(nb) AS BIGINT) AS n_test_tok, max(v) AS vocab,
+        | ${sumR8Sql("term")} AS kl_shift
+        |FROM terms GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_token_histogram" ->
       s"""WITH b AS (
         | SELECT least(len(string_split(text, ' ')) // 16, 19) AS bin,

@@ -18,8 +18,8 @@ class ContractSpec extends AnyFunSuite with Matchers with SparkFixture {
   }
 
   test("inventory size matches the documented contract (update SURVEY/README on change)") {
-    SparkEntry.queries.size shouldBe 182
-    SparkEntry.oracleSql.size shouldBe 174
+    SparkEntry.queries.size shouldBe 184
+    SparkEntry.oracleSql.size shouldBe 176
   }
 
   test("dq_delta's oracle schema pin matches the live orders fixture (ADVICE r7)") {
