@@ -1191,6 +1191,92 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     assert(out.size < ev.map(_._1).distinct.size)
   }
 
+  test("llm_kmeans matches a driver-side Lloyd fold exactly (seeds, rounds, scaled-int means)") {
+    val out = queries.Llm.llmKmeans(spark, sfDir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val vecs = Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding as array<double>) e")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cb: Map[Int, Array[Double]] =
+      vecs.take(8).zipWithIndex.map { case ((_, e), i) => i -> e }.toMap
+    def assign(c: Map[Int, Array[Double]]): Seq[(Long, Int, Double)] =
+      vecs.map { case (id, e) =>
+        val ne = dot(e, e)
+        val best = c.toSeq.map { case (code, cc) =>
+          (graft.ops.Det.r4d(ne - 2 * dot(e, cc) + dot(cc, cc)), code)
+        }.minBy(identity)
+        (id, best._2, best._1)
+      }
+    for (_ <- 1 to 2) {
+      val byCode = assign(cb).groupBy(_._2)
+      cb = cb.map { case (code, prev) =>
+        code -> byCode.get(code).fold(prev) { rows =>
+          val members = rows.map(r => vecs(vecs.indexWhere(_._1 == r._1))._2)
+          Array.tabulate(prev.length) { p =>
+            members.map(e => math.floor(e(p) * 1e9 + 0.5).toLong).sum / 1e9 / members.size
+          }
+        }
+      }
+    }
+    val fin = assign(cb)
+    val exp = fin.groupBy(_._2).toSeq.map { case (code, rows) =>
+      val inertia = rows.map(r => math.floor(r._3 * 1e4 + 0.5).toLong).sum / 1e4
+      (code.toLong, rows.size.toLong, inertia,
+        graft.ops.Det.r4d(math.sqrt(dot(cb(code), cb(code)))))
+    }.sortBy(_._1)
+    out shouldBe exp
+    // the census partitions the corpus
+    out.map(_._2).sum shouldBe vecs.size
+  }
+
+  test("llm_kl_shift matches a driver-side smoothed-KL fold and is 0 for identical sides") {
+    val out = queries.Textops.llmKlShift(spark, sfDir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val exp = docs
+      .filter(d => d._2 != null && { val b = bucket(d._1); b < 80 || b >= 90 })
+      .flatMap { case (id, lang, text) =>
+        val train = bucket(id) < 80
+        Option(text).toSeq.flatMap(_.split(" ", -1)).map(t => (lang, t, train))
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, _), rows) =>
+        (lang, rows.count(_._3).toLong, rows.count(!_._3).toLong)
+      }
+      .groupBy(_._1).toSeq.map { case (lang, toks) =>
+        val na = toks.map(_._2).sum; val nb = toks.map(_._3).sum
+        val v = toks.size.toLong
+        val kl = toks.map { case (_, ca, cb) =>
+          val p = (ca + 1.0) / (na + v); val q = (cb + 1.0) / (nb + v)
+          math.floor(p * math.log(p / q) * 1e8 + 0.5).toLong
+        }.sum / 1e8
+        (lang, na, nb, v, kl)
+      }.sortBy(_._1)
+    out shouldBe exp
+    // smoothed KL of a distribution against itself is 0 by construction:
+    // identical counts make p == q per token — sanity on the formula
+    val self = Seq((3L, 3L), (1L, 1L)).map { case (ca, cbb) =>
+      val p = (ca + 1.0) / (4 + 2); val q = (cbb + 1.0) / (4 + 2)
+      p * math.log(p / q)
+    }.sum
+    self shouldBe 0.0
+  }
+
   test("llm_rank_fusion's RRF scores are a pure function of the two rank columns") {
     val out = queries.Llm.llmRankFusion(spark, sfDir).collect().toSeq
       .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
