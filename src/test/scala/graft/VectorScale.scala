@@ -61,7 +61,8 @@ object VectorScale {
     val names = Seq(
       ("llm_embed_quantize", false), ("llm_ann_pq", false),
       ("llm_ann_stats", true), ("llm_ann_ivf", true),
-      ("llm_embed_neardup", true), ("llm_semdedup", true)
+      ("llm_embed_neardup", true), ("llm_semdedup", true),
+      ("llm_kmeans", false)
     ).filter { case (n, _) => only.forall(_.contains(n)) }
 
     SparkEntry.queries("llm_ann_stats")(spark, src).queryExecution.toRdd.count() // warmup
