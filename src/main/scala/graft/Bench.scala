@@ -120,6 +120,13 @@ object Bench {
     val nonLlmSum = total - llmSum
     val worst     = byName.maxBy(_._2)
     val wSpread   = byName.maxBy(_._3)
+    // Raw per-pass times (run order) for the worst-spread query: a cold
+    // start shows pass 1 slow + the rest calm; a co-tenant stall shows a
+    // late pass slow. Without these the artifact cannot distinguish the
+    // two (BENCH_r10's 93.8 s ann_pq excursion vs its 2.7 s min was
+    // unadjudicable; VERDICT r10 #1).
+    val wPasses = samples.map(_.find(_._1 == wSpread._1).get._2)
+      .map(fmt).mkString("[", ",", "]")
     // Top-8 heaviest per-query mins inline in the final line: the queries
     // any budget conversation is actually about, at ~25 B each.
     val top8 = byName.sortBy(-_._2).take(8)
@@ -139,6 +146,7 @@ object Bench {
       s""","llm":${fmt(llmSum)},"nonllm":${fmt(nonLlmSum)}""" +
       s""","worst":["${worst._1}",${fmt(worst._2)}]""" +
       s""","max_spread":["${wSpread._1}",${fmt(wSpread._3)}]""" +
+      s""","spread_passes":$wPasses""" +
       s""","top":$top8,"iters":$iters,"n":${names.size}}""")
     spark.stop()
   }

@@ -61,6 +61,25 @@ object Validate {
     * approx_count_distinct. */
   def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
     require(numCols.nonEmpty || strCols.nonEmpty, "profile needs at least one column")
+    // The per-column fan-out executes the input (cols+1)×. That is only
+    // the cheap column-pruned re-scan — and only a CONSISTENT snapshot
+    // (n_rows agreeing with every nd_*) — when the input is a
+    // deterministic scan (optionally projected/filtered). A derived or
+    // non-deterministic input is cut once so every subtree reads the
+    // same materialized rows instead of re-running its upstream plan
+    // (ADVICE r10: profile() is a public delivery API, not just the
+    // scan-shaped internal callers).
+    val src = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      def scanish(p: LogicalPlan): Boolean = p match {
+        case _: LeafNode      => true
+        case s: SubqueryAlias => scanish(s.child)
+        case pr: Project      => pr.projectList.forall(_.deterministic) && scanish(pr.child)
+        case f: Filter        => f.condition.deterministic && scanish(f.child)
+        case _                => false
+      }
+      if (scanish(df.queryExecution.analyzed)) df else graft.ops.Lineage.cut(df)
+    }
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
       (numCols ++ strCols).map { c =>
@@ -75,13 +94,13 @@ object Validate {
       strCols.flatMap { c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
       }
-    val base = df.agg(aggs.head, aggs.tail: _*)
+    val base = src.agg(aggs.head, aggs.tail: _*)
     // one narrow two-level aggregate per profiled column (isNotNull
     // mirrors countDistinct's null handling; 0 groups on an empty or
     // all-null column still counts to one 0-valued row)
     val withNd = (numCols ++ strCols).foldLeft(base) { (acc, c) =>
       acc.crossJoin(broadcast(
-        df.select(col(c)).where(col(c).isNotNull).groupBy(col(c)).agg(lit(1))
+        src.select(col(c)).where(col(c).isNotNull).groupBy(col(c)).agg(lit(1))
           .agg(count(lit(1)).as(s"nd_$c"))))
     }
     // cut: the 1-row metrics frame feeds one select per profiled column

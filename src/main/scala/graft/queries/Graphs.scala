@@ -49,9 +49,11 @@ object Graphs {
     * sweep and every later hit throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND;
     * GraphSpec pins sweep-immunity). Readers re-resolve the file
     * listing per call, so a graph_edges_build refresh between queries
-    * is safe in the sequential bench/verify posture (concurrent
-    * sessions on one scratch dir would race the overwrite — the
-    * documented single-writer constraint of any unversioned table).
+    * is safe, and the view is published by ATOMIC RENAME of a
+    * process-unique temp dir (publish() below) — concurrent sessions
+    * landing on one scratch key each build privately and exactly one
+    * rename wins, so a reader never observes a half-written view
+    * (round 11; previously a documented single-writer constraint).
     * `spark.graft.graph.materialize=false` bypasses the artifact
     * (every query pays its own in-memory build — the A/B posture;
     * content identical either way, and the three-SF oracle sweep runs
@@ -79,10 +81,41 @@ object Graphs {
       val dir = viewDir(s, d, tag)
       val done = new java.io.File(dir, "_SUCCESS")
       if (!done.exists) viewLock.synchronized {
-        if (!done.exists) build.write.mode("overwrite").parquet(dir)
+        if (!done.exists) {
+          // Build into a process-unique sibling, then atomically rename
+          // into place (VERDICT r10 #4): the old in-place overwrite was
+          // single-writer — a second JVM landing on the same scratch key
+          // could read a half-overwritten view. With rename(2) publish,
+          // readers only ever see an absent or a COMPLETE view; the
+          // losing writer discards its copy (publish() below).
+          val tmp = new java.io.File(
+            dir + s".tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+          build.write.mode("overwrite").parquet(tmp.getPath)
+          publish(tmp, new java.io.File(dir))
+        }
       }
       s.read.parquet(dir)
     }
+
+  /** Atomically publish a fully-written view dir: rename `tmp` over
+    * `dir`. rename(2) is atomic on one filesystem and tmp is created as
+    * a sibling of dir, so readers never observe a partial view. A
+    * competitor that published a complete view first wins (our tmp is
+    * discarded); a stale PARTIAL target (a crashed build: dir exists
+    * without _SUCCESS — a live competitor can never leave that state,
+    * it also publishes by rename) is cleared and the rename retried.
+    * Returns true iff `dir` holds a complete view on exit. Exposed
+    * package-private for GraphSpec's two-writer race test. */
+  private[graft] def publish(tmp: java.io.File, dir: java.io.File): Boolean = {
+    def complete = new java.io.File(dir, "_SUCCESS").exists()
+    var ok = tmp.renameTo(dir)
+    if (!ok && !complete) {
+      Scans.rmRf(dir)
+      ok = tmp.renameTo(dir)
+    }
+    if (!ok) Scans.rmRf(tmp)
+    ok || complete
+  }
 
   /** The undirected co-purchase edge set, one row per UNORDERED pair
     * (src < dst), distinct: parts that appear in the same order.
@@ -661,8 +694,11 @@ object Graphs {
       // 24 fixed min-label rounds (the llm_dedup_cluster oracle pattern
       // at triple depth — the sparse 2% subgraph's measured label radius
       // peaks at 18 at sf0.1): converged ≡ lss's exact min-node labels
-      // as long as no component's label radius exceeds 24 — the hash
-      // compare is what enforces that bound stays true. EVERY round is
+      // as long as no component's label radius exceeds 24. The `conv`
+      // guard below asserts l23 ≡ l24 and error()s the SELECT otherwise,
+      // so a fixture regeneration that stretches a component past the
+      // radius reports as ORACLE non-convergence, not as a Spark-side
+      // hash mismatch (ADVICE r10). EVERY round is
       // MATERIALIZED, not just the chain inputs: DuckDB inlines
       // non-materialized CTEs, and a depth-24 inlined aggregation tree
       // took >340 s at sf0.001 where the fully-materialized chain runs
@@ -684,8 +720,13 @@ object Graphs {
         |        UNION ALL SELECT n, n FROM nodes),
         |l0 AS (SELECT n AS dd, n AS lbl FROM nodes),
         |$ccRounds,
+        |conv AS MATERIALIZED (SELECT count(*) AS n_open FROM l24 a
+        |  JOIN l23 b ON a.dd = b.dd WHERE a.lbl <> b.lbl),
         |comp AS (SELECT lbl, count(*) AS csize FROM l24 GROUP BY lbl)
-        |SELECT csize, count(*) AS n_components,
+        |SELECT csize,
+        | CASE WHEN (SELECT n_open FROM conv) > 0 THEN
+        |   error('graph_cc oracle: min-label propagation not converged at 24 rounds - regenerated fixture stretched a component past the oracle label radius; raise the round count')
+        | ELSE count(*) END AS n_components,
         | CAST(csize * count(*) AS BIGINT) AS n_nodes,
         | ${r4Sql("csize * count(*) / (SELECT count(*) FROM nodes)")} AS node_share
         |FROM comp GROUP BY csize ORDER BY csize""".stripMargin

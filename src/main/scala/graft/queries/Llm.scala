@@ -435,7 +435,8 @@ object Llm {
   }
 
   /** llm_kmeans — whole-vector Lloyd k-means over the embedding corpus
-    * (k = 8, 2 fixed rounds), reported as the per-cluster census
+    * (k = 8, 2 rounds by default; both are confs, see below), reported
+    * as the per-cluster census
     * (size, inertia, centroid norm) — the topic/domain clustering step
     * a curation pipeline runs over document embeddings (cluster-then-
     * sample, the SemDeDup/"cluster before you curate" shape) where
@@ -449,8 +450,7 @@ object Llm {
     * class), so each Lloyd round is ONE job: scan the cut vector
     * frame, broadcast the codebook, argmin per vector via min_by, two
     * bounded aggregates, collect ≤k rows. Nothing per-round is ever
-    * corpus-sized, and the round count is a fixed contract (the
-    * convergence variant is one `while` away).
+    * corpus-sized (the convergence variant is one `while` away).
     *
     * Determinism: distances are r4'd BEFORE the (d2, code) argmin —
     * both engines rank identical rounded values (the llm_cosine_topk
@@ -462,7 +462,14 @@ object Llm {
     graft.functions.VectorExprs.register(s)
     val spark = s
     import spark.implicits._
-    val k = 8
+    // k / round-count are production dials (spark.graft.kmeans.{k,rounds});
+    // the defaults 8/2 are the oracle contract — the DuckDB twin replays
+    // exactly that Lloyd schedule, so Verify must run with the confs unset
+    // (same pattern as llm_pack_sequences' shards conf). KmeansSpec pins
+    // conf-unset ≡ literal-default, and VectorScale's k=64 row shows the
+    // broadcast-codebook shape holds at real cluster counts.
+    val k = s.conf.get("spark.graft.kmeans.k", "8").toInt
+    val rounds = s.conf.get("spark.graft.kmeans.rounds", "2").toInt
     val v = graft.ops.Lineage.cut(
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
@@ -486,7 +493,7 @@ object Llm {
           .select(col("vec_id"), col("t.code").as("code"), col("t.e").as("e"),
             col("t.d2").as("d2"), col("t.nc").as("nc"))
       var cb = seeds
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to rounds) {
         val means = assign(cb)
           .select(col("code"), posexplode(col("e")).as(Seq("p", "x")))
           .groupBy("code", "p")

@@ -101,6 +101,48 @@ class DenseTopkRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("pref_pairs ANN modes: pair recall vs exact >= 0.9 and margins stay exact-cos consistent") {
+    // llm_pref_pairs consumes the same conf-switched candidate stream as
+    // cosine_topk/hardneg but had no pinned ANN floor (VERDICT r10 #5):
+    // pin the full (qid, chosen, rejected) triple recall for the pq
+    // route and margin-sign agreement on the qids both modes emit
+    def pairs(rows: Array[org.apache.spark.sql.Row], vidCol: Int) =
+      rows.map(r => (r.getLong(0), r.getLong(vidCol))).toSet
+    val exact = Llm.llmPrefPairs(spark, sfDir).collect()
+    val exactMargin = exact.map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val exactByTriple = exact.map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(4)) -> r.getDouble(6)).toMap
+    for (m <- Seq("pq", "ivf")) {
+      val ann = inMode(m) {
+        spark.conf.set("spark.graft.ann.probeRadius", "2")
+        try Llm.llmPrefPairs(spark, sfDir).collect()
+        finally spark.conf.unset("spark.graft.ann.probeRadius")
+      }
+      def recall(vidCol: Int) = {
+        val t = pairs(exact, vidCol)
+        (t & pairs(ann, vidCol)).size.toDouble / t.size
+      }
+      val (rc, rr) = (recall(2), recall(4))
+      // margin-sign agreement on the qids both modes emit: the pair is
+      // trainable iff chosen outranks rejected, so a flipped sign is the
+      // failure that matters downstream
+      val signs = ann.flatMap(r => exactMargin.get(r.getLong(0))
+        .map(e => e.sign == r.getDouble(6).sign))
+      val agree = signs.count(identity).toDouble / signs.length
+      info(f"$m%s-mode pref-pair recall: chosen $rc%.3f, rejected $rr%.3f, " +
+        f"margin-sign agreement $agree%.3f over ${exact.length} exact pairs")
+      rc should be >= 0.9
+      rr should be >= 0.9
+      agree should be >= 0.95
+      // scoring is exact on candidates: a triple the ANN route agrees
+      // on must carry the IDENTICAL margin (rounded cos discipline)
+      ann.foreach { r =>
+        exactByTriple.get((r.getLong(0), r.getLong(2), r.getLong(4)))
+          .foreach(_ shouldBe r.getDouble(6))
+      }
+    }
+  }
+
   test("hardneg pq-mode recall@3 vs exact") {
     val truth = topkPairs(Llm.llmHardnegMine(spark, sfDir))
     val found = inMode("pq") { topkPairs(Llm.llmHardnegMine(spark, sfDir)) }

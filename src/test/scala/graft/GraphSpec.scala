@@ -173,6 +173,65 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset("spark.graft.graph.cc.localMaxEdges")
   }
 
+  test("publish: losing writer's complete copy is discarded, winner's view survives intact") {
+    // the cross-JVM race the atomic-rename publish exists for: two
+    // writers each built a complete private copy; exactly one rename
+    // wins and the loser must (a) report the dir complete, (b) remove
+    // its own copy, (c) leave the winner's files untouched
+    val base = java.nio.file.Files.createTempDirectory("graft_pub_race").toFile
+    def mkTmp(marker: String): java.io.File = {
+      val t = new java.io.File(base, s"view.tmp_$marker"); t.mkdirs()
+      java.nio.file.Files.createFile(new java.io.File(t, "_SUCCESS").toPath)
+      java.nio.file.Files.createFile(new java.io.File(t, marker).toPath)
+      t
+    }
+    val dir = new java.io.File(base, "view")
+    val a = mkTmp("writer_a"); val b = mkTmp("writer_b")
+    Graphs.publish(a, dir) shouldBe true
+    new java.io.File(dir, "writer_a").exists shouldBe true
+    Graphs.publish(b, dir) shouldBe true
+    b.exists shouldBe false
+    new java.io.File(dir, "writer_a").exists shouldBe true
+    new java.io.File(dir, "writer_b").exists shouldBe false
+  }
+
+  test("publish: stale partial target (crash residue without _SUCCESS) is cleared and replaced") {
+    val base = java.nio.file.Files.createTempDirectory("graft_pub_stale").toFile
+    val dir = new java.io.File(base, "view"); dir.mkdirs()
+    java.nio.file.Files.createFile(new java.io.File(dir, "part-stale").toPath)
+    val t = new java.io.File(base, "view.tmp_x"); t.mkdirs()
+    java.nio.file.Files.createFile(new java.io.File(t, "_SUCCESS").toPath)
+    Graphs.publish(t, dir) shouldBe true
+    new java.io.File(dir, "_SUCCESS").exists shouldBe true
+    new java.io.File(dir, "part-stale").exists shouldBe false
+  }
+
+  test("two sessions racing one scratch key build identical views, no orphan temp dirs") {
+    // end-to-end over a FRESH dataset dir (its own scratch key, so no
+    // interference with the suite's shared views): two sessions hit the
+    // same never-built view concurrently; both must return the full
+    // correct result, and afterwards exactly the published views exist —
+    // no .tmp_* residue
+    val ds = java.nio.file.Files.createTempDirectory("graft_race_ds").toFile
+    java.nio.file.Files.copy(
+      new java.io.File(sfDir, "lineitem.parquet").toPath,
+      new java.io.File(ds, "lineitem.parquet").toPath)
+    val s2 = spark.newSession()
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val fa = pool.submit(() => Graphs.queries("graph_degree_hist")(spark, ds.getPath)
+      .collect().toSeq.map(_.toString).sorted)
+    val fb = pool.submit(() => Graphs.queries("graph_degree_hist")(s2, ds.getPath)
+      .collect().toSeq.map(_.toString).sorted)
+    pool.shutdown(); pool.awaitTermination(120, TimeUnit.SECONDS) shouldBe true
+    val (ra, rb) = (fa.get(), fb.get())
+    ra should not be empty
+    rb shouldBe ra
+    val residue = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
+      .filter(f => f.getName.startsWith("graft_gview_") && f.getName.contains(".tmp_"))
+    residue shouldBe empty
+  }
+
   test("localUnionFind on a long path: one component labeled by its min node") {
     import spark.implicits._
     val path = (0 until 63).map(i => (i.toLong + 100, i.toLong + 101)).toDF("src", "dst")

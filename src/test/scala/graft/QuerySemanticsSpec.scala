@@ -136,6 +136,27 @@ class QuerySemanticsSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally spark.conf.unset(key)
   }
 
+  test("llm_kmeans: k/rounds confs re-shape the clustering; defaults equal the literal schedule") {
+    // spark.graft.kmeans.{k,rounds} are the production dials (round 11);
+    // the conf-unset result must stay byte-identical to the oracle's
+    // fixed k=8/2-round schedule, and a widened k must really widen the
+    // census while still partitioning the corpus
+    val base = queries.Llm.llmKmeans(spark, sfDir).collect().toSeq
+    val n = Tables.embeddings(spark, sfDir).count()
+    base.map(_.getLong(0)).toSet.subsetOf((0L until 8L).toSet) shouldBe true
+    base.map(_.getLong(1)).sum shouldBe n
+    withConf("spark.graft.kmeans.k" -> "8", "spark.graft.kmeans.rounds" -> "2") {
+      queries.Llm.llmKmeans(spark, sfDir).collect().toSeq shouldBe base
+    }
+    val wide = withConf("spark.graft.kmeans.k" -> "16",
+                        "spark.graft.kmeans.rounds" -> "3") {
+      queries.Llm.llmKmeans(spark, sfDir).collect().toSeq
+    }
+    wide.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet) shouldBe true
+    wide.size should be > base.size // the extra codebook rows really attract
+    wide.map(_.getLong(1)).sum shouldBe n
+  }
+
   test("ev_anomaly flags exactly the synthesized spike hour; constant-rate types stay silent") {
     // the oracle SQL shares the z-score formula, so it cannot catch a
     // wrong formula — pin detection behavior on a corpus with a KNOWN
