@@ -72,15 +72,24 @@ object Aggs {
       16, 10).cast("long") % 100
     val vers = Tables.orders(s, d)
       .withColumn("version", when(bucket < 80, "v_prev").otherwise("v_new"))
-    val sk = graft.ops.Lineage.cut(vers.groupBy("version")
+    // ONE corpus scan (round 11; the old form scanned orders 3× — sketch
+    // build plus two countDistinct twins, each re-paying the md5 bucket
+    // per row): the cut (version, custkey) distinct-pair frame is
+    // everything downstream needs — HLL state depends only on the SET of
+    // hashed keys, so a sketch built from distinct pairs is bit-identical
+    // to one built from all rows, and both exact twins are row counts of
+    // the same pair frame.
+    val kv = graft.ops.Lineage.cut(
+      vers.select("version", "o_custkey").distinct())
+    val sk = kv.groupBy("version")
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-           countDistinct("o_custkey").as("n_exact")))
+           count(lit(1)).as("n_exact"))
     val per = sk.select(col("version"),
       hll_sketch_estimate(col("sk")).as("n_est"), col("n_exact"))
     val total = sk.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
       .crossJoin(broadcast(
-        vers.agg(countDistinct("o_custkey").as("n_exact"))))
+        kv.select("o_custkey").distinct().agg(count(lit(1)).as("n_exact"))))
       .select(lit("total_merged").as("version"), col("n_est"), col("n_exact"))
       // an empty corpus has no version sketches to union, but the
       // global agg still emits one row (union of zero sketches = the
@@ -126,10 +135,17 @@ object Aggs {
       .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("sk")))
     val merged = sk.agg(cmsMerge(col("sk")).as("sk"))
       .select(lit("total_merged").as("version"), col("sk"))
-    val exact = vers.groupBy("version", "o_orderpriority")
-      .agg(count(lit(1)).as("n_exact"))
-      .unionByName(vers.groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_exact"))
+    // the versions PARTITION the corpus (one bucket per orderkey), so
+    // the merged exact counts are the SUM of the per-version partials —
+    // one cut census scan instead of a second full-corpus aggregation
+    // (round 11; the CMS itself still needs the raw rows: unlike
+    // HLL/Bloom it counts frequencies, so its scan can't dedup)
+    val exactVer = graft.ops.Lineage.cut(
+      vers.groupBy("version", "o_orderpriority")
+        .agg(count(lit(1)).as("n_exact")))
+    val exact = exactVer
+      .unionByName(exactVer.groupBy("o_orderpriority")
+        .agg(sum("n_exact").as("n_exact"))
         .withColumn("version", lit("total_merged")))
     exact.join(broadcast(sk.unionAll(merged)), "version")
       .select(col("version"), col("o_orderpriority").as("priority"),
@@ -164,15 +180,22 @@ object Aggs {
       16, 10).cast("long") % 100
     val vers = Tables.orders(s, d)
       .withColumn("version", when(bucket < 80, "v_prev").otherwise("v_new"))
-    val sk = graft.ops.Lineage.cut(vers.groupBy("version")
-      .agg(bloomBuild(col("o_custkey")).as("sk")))
+    // ONE corpus scan (round 11; the old form scanned orders 3× — the
+    // bitmap build plus two exact-membership distincts): Bloom bitmaps
+    // are insert-idempotent, so a filter built from the cut distinct
+    // (version, custkey) pairs is bit-identical to one built from all
+    // rows — and the same pair frame IS the exact-membership truth the
+    // probes join against.
+    val kv = graft.ops.Lineage.cut(
+      vers.select("version", "o_custkey").distinct())
+    val sk = kv.groupBy("version").agg(bloomBuild(col("o_custkey")).as("sk"))
     val all = sk.unionAll(
       sk.agg(bloomMerge(col("sk")).as("sk"))
         .select(lit("total_merged").as("version"), col("sk")))
     val probeKeys = ((1L to 10L) ++ (-10L to -1L)).toArray
     // exact membership per version; the merged row's truth is the union
-    val exact = vers.select(col("version"), col("o_custkey")).distinct()
-      .unionAll(vers.select(lit("total_merged").as("version"),
+    val exact = kv
+      .unionAll(kv.select(lit("total_merged").as("version"),
         col("o_custkey")).distinct())
       .withColumn("present", lit(1L))
     all.select(col("version"), col("sk"),
