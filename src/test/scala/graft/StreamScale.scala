@@ -106,6 +106,44 @@ object StreamScale {
              .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(32, 64)))
         run(s"ij[mfpt=$mfpt]", ROCKS, "append", mfpt)(df =>
           streaming.EventStreams.intervalJoin(df))
+      // Round 11 (VERDICT r10 #6): the file-sink DELIVERY leg —
+      // sink_stream's scale posture. Unlike the noop pipelines above,
+      // this prices the real parquet sink: day-partitioned data files
+      // plus the _spark_metadata exactly-once manifest, THEN the
+      // read-back a downstream consumer pays through that manifest (the
+      // listing a 100 TB/day lake depends on). Stateless projection →
+      // no state operator; files and manifest-read seconds are the
+      // scaling quantities beside wall.
+      locally {
+        val out = s"$tmp/sink_out_$k"; val ckpt = s"$tmp/sink_ckpt_$k"
+        Seq(out, ckpt).foreach(p =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+        val t0 = System.nanoTime()
+        val q = stream(8)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), to_date(col("ts")).as("day"))
+          .writeStream.format("parquet").option("checkpointLocation", ckpt)
+          .partitionBy("day").trigger(Trigger.AvailableNow()).start(out)
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.toSeq
+        val rows = prog.map(_.numInputRows).sum
+        val batches = prog.count(_.numInputRows > 0)
+        val t1 = System.nanoTime()
+        val back = spark.read.parquet(out).count() // resolves via _spark_metadata
+        val readSec = (System.nanoTime() - t1) / 1e9
+        def files(f: java.io.File): Long = {
+          val cs = f.listFiles
+          if (cs == null) 0L
+          else cs.map(c => if (c.isDirectory) files(c)
+                           else if (c.getName.endsWith(".parquet")) 1L else 0L).sum
+        }
+        val nFiles = files(new java.io.File(out))
+        require(back == rows, s"manifest read-back $back != streamed $rows")
+        println(f"x$k%-3d file_sink      rocks wall=$wall%7.2f s  rows=$rows%9d  " +
+          f"rate=${rows / wall / 1e6}%5.2f Mrows/s  batches=$batches  " +
+          f"files=$nFiles  manifest_readback=$readSec%5.2f s (exactly-once: rows_back==rows)")
+      }
       println(s"  (x$k input = $nRows rows; sanity: state/row ratios above)")
     }
     spark.stop()

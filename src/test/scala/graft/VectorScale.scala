@@ -88,9 +88,24 @@ object VectorScale {
         results((name, m)) = sec
         val b = if (scaleBits) s" bits=${bitsFor(m)}" else ""
         println(f"x$m%-3d $name%-20s $sec%8.2f s  rows=$rows$b")
+        if (name == "llm_kmeans") {
+          // Round 11 (VERDICT r10 #7): the k=64 arm — real cluster
+          // counts. The broadcast-codebook shape is k-independent (each
+          // Lloyd round stays ONE job; per-vector work grows k-linearly
+          // in the argmin, the collect stays ≤k rows); this measures
+          // that claim instead of arguing it.
+          spark.conf.set("spark.graft.kmeans.k", "64")
+          try {
+            val (s64, r64) = timed(name, dir)
+            results(("llm_kmeans[k=64]", m)) = s64
+            println(f"x$m%-3d llm_kmeans[k=64]     $s64%8.2f s  rows=$r64")
+          } finally spark.conf.unset("spark.graft.kmeans.k")
+        }
       }
     }
-    for ((name, _) <- names; Seq(m1, m2) <- mults.sliding(2)) {
+    for ((name, _) <- names ++ (if (names.exists(_._1 == "llm_kmeans"))
+           Seq(("llm_kmeans[k=64]", false)) else Nil);
+         Seq(m1, m2) <- mults.sliding(2)) {
       (results.get((name, m1)), results.get((name, m2))) match {
         case (Some(t1), Some(t2)) if t1 > 0 =>
           val e = math.log(t2 / t1) / math.log(m2.toDouble / m1)
