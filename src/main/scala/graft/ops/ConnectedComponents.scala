@@ -37,9 +37,22 @@ object ConnectedComponents {
     * self-loop-only node gets a label row here and none there — enter
     * through `auto` (which normalizes first) for the branch-identical
     * contract. */
+  /** When `spark.graft.graph.cc.measureMemory=true`, the last local
+    * union-find run reports its in-task map footprint here (a
+    * SizeEstimator walk of the parent map — the single-task memory the
+    * localMaxEdges threshold actually bounds). Measurement-only: the
+    * estimate walk costs time, so scale harnesses take it on a
+    * NON-timed pass. */
+  @volatile private[graft] var lastLocalMapBytes: Option[org.apache.spark.util.LongAccumulator] = None
+
   def localUnionFind(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    val acc =
+      if (s.conf.get("spark.graft.graph.cc.measureMemory", "false") == "true") {
+        val a = s.sparkContext.longAccumulator("graft.cc.localMapBytes")
+        lastLocalMapBytes = Some(a); Some(a)
+      } else None
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)]
       .coalesce(1)
@@ -57,6 +70,7 @@ object ConnectedComponents {
             if (ra < rb) par(rb) = ra else par(ra) = rb
           }
         }
+        acc.foreach(_.add(org.apache.spark.util.SizeEstimator.estimate(par)))
         val nodes = par.keys.toArray // snapshot: find() mutates the map
         nodes.iterator.map(n => (n, find(n)))
       }

@@ -75,9 +75,31 @@ object GraphScale {
         val (sec, rows) = timed(name, dir)
         results((name, m)) = sec
         println(f"x$m%-3d $name%-18s $sec%8.2f s  rows=$rows")
+        if (name == "graph_cc") {
+          // forced-lss arm: the distributed-alternation wall on the same
+          // subgraph (the branch a 100 TB pair graph runs), plus the
+          // local arm's measured single-task union-find footprint — the
+          // memory bound the 4M localMaxEdges default actually encodes
+          // (VERDICT r10 #3). The footprint pass is NOT timed (the
+          // SizeEstimator walk itself costs wall).
+          spark.conf.set("spark.graft.graph.cc.localMaxEdges", "0")
+          try {
+            val (sec2, rows2) = timed(name, dir)
+            results(("graph_cc[lss]", m)) = sec2
+            println(f"x$m%-3d graph_cc[lss]      $sec2%8.2f s  rows=$rows2")
+          } finally spark.conf.unset("spark.graft.graph.cc.localMaxEdges")
+          spark.conf.set("spark.graft.graph.cc.measureMemory", "true")
+          try {
+            sweep()
+            SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+            graft.ops.ConnectedComponents.lastLocalMapBytes.foreach(a =>
+              println(f"x$m%-3d graph_cc local union-find map ${a.value / 1048576.0}%.1f MiB"))
+          } finally spark.conf.unset("spark.graft.graph.cc.measureMemory")
+        }
       }
     }
-    for (name <- names; Seq(m1, m2) <- mults.sliding(2)) {
+    for (name <- names ++ (if (names.contains("graph_cc")) Seq("graph_cc[lss]") else Nil);
+         Seq(m1, m2) <- mults.sliding(2)) {
       (results.get((name, m1)), results.get((name, m2))) match {
         case (Some(t1), Some(t2)) if t1 > 0 =>
           val e = math.log(t2 / t1) / math.log(m2.toDouble / m1)
