@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** When `spark.graft.graph.cc.measureMemory=true`, the last local
+    * union-find run reports its in-task map footprint here (a
+    * SizeEstimator walk of the parent map — the single-task memory the
+    * localMaxEdges threshold actually bounds). Measurement-only: the
+    * estimate walk costs time, so scale harnesses take it on a
+    * NON-timed pass — and they must RESET this to None first, since a
+    * run that routes to the lss branch leaves the previous value in
+    * place (GraphScale does). */
+  @volatile private[graft] var lastLocalMapBytes: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Partition-local exact components for a subgraph that FITS one
     * partition: coalesce(1) + a weighted-union union-find inside
     * mapPartitions, labels = the component's minimum node id — the
@@ -37,14 +47,6 @@ object ConnectedComponents {
     * self-loop-only node gets a label row here and none there — enter
     * through `auto` (which normalizes first) for the branch-identical
     * contract. */
-  /** When `spark.graft.graph.cc.measureMemory=true`, the last local
-    * union-find run reports its in-task map footprint here (a
-    * SizeEstimator walk of the parent map — the single-task memory the
-    * localMaxEdges threshold actually bounds). Measurement-only: the
-    * estimate walk costs time, so scale harnesses take it on a
-    * NON-timed pass. */
-  @volatile private[graft] var lastLocalMapBytes: Option[org.apache.spark.util.LongAccumulator] = None
-
   def localUnionFind(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._

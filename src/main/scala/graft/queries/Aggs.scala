@@ -78,12 +78,18 @@ object Aggs {
     // everything downstream needs — HLL state depends only on the SET of
     // hashed keys, so a sketch built from distinct pairs is bit-identical
     // to one built from all rows, and both exact twins are row counts of
-    // the same pair frame.
+    // the same pair frame. isNotNull keeps the twins' countDistinct
+    // semantics: the sketch skips nulls, so the pair frame must too
+    // (custkey is non-null in the fixture; this pins the general case).
     val kv = graft.ops.Lineage.cut(
-      vers.select("version", "o_custkey").distinct())
-    val sk = kv.groupBy("version")
+      vers.select("version", "o_custkey")
+        .where(col("o_custkey").isNotNull).distinct())
+    // the ≤2-row sketch frame is cut too: per-version and merged-total
+    // branches both consume it, and without the cut each would rebuild
+    // the sketches from the kv blocks (review r11)
+    val sk = graft.ops.Lineage.cut(kv.groupBy("version")
       .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-           count(lit(1)).as("n_exact"))
+           count(lit(1)).as("n_exact")))
     val per = sk.select(col("version"),
       hll_sketch_estimate(col("sk")).as("n_est"), col("n_exact"))
     val total = sk.agg(
@@ -186,9 +192,16 @@ object Aggs {
     // (version, custkey) pairs is bit-identical to one built from all
     // rows — and the same pair frame IS the exact-membership truth the
     // probes join against.
+    // isNotNull mirrors the bitmap's null-skipping inserts (a null pair
+    // row was inert downstream anyway — it can never equal a probe key)
     val kv = graft.ops.Lineage.cut(
-      vers.select("version", "o_custkey").distinct())
-    val sk = kv.groupBy("version").agg(bloomBuild(col("o_custkey")).as("sk"))
+      vers.select("version", "o_custkey")
+        .where(col("o_custkey").isNotNull).distinct())
+    // cut the ≤2-row bitmap frame: the per-version and merged branches
+    // both read it, and each would otherwise rebuild the bitmaps from
+    // the kv blocks (review r11)
+    val sk = graft.ops.Lineage.cut(
+      kv.groupBy("version").agg(bloomBuild(col("o_custkey")).as("sk")))
     val all = sk.unionAll(
       sk.agg(bloomMerge(col("sk")).as("sk"))
         .select(lit("total_merged").as("version"), col("sk")))

@@ -91,7 +91,12 @@ object Graphs {
           val tmp = new java.io.File(
             dir + s".tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
           build.write.mode("overwrite").parquet(tmp.getPath)
-          publish(tmp, new java.io.File(dir))
+          // a false return means neither our rename nor any competitor's
+          // produced a complete view — fail HERE with the cause instead
+          // of letting the read below throw an opaque PATH_NOT_FOUND
+          // (review r11)
+          require(publish(tmp, new java.io.File(dir)),
+            s"graph view publish failed: could not install a complete view at $dir")
         }
       }
       s.read.parquet(dir)
@@ -101,16 +106,23 @@ object Graphs {
     * `dir`. rename(2) is atomic on one filesystem and tmp is created as
     * a sibling of dir, so readers never observe a partial view. A
     * competitor that published a complete view first wins (our tmp is
-    * discarded); a stale PARTIAL target (a crashed build: dir exists
-    * without _SUCCESS — a live competitor can never leave that state,
-    * it also publishes by rename) is cleared and the rename retried.
-    * Returns true iff `dir` holds a complete view on exit. Exposed
-    * package-private for GraphSpec's two-writer race test. */
+    * discarded); a stale target without _SUCCESS (crash residue — a
+    * live competitor can never leave that state, it also publishes by
+    * rename) is MOVED ASIDE by another atomic rename and the publish
+    * retried — never deleted in place, so even if a competitor's
+    * complete view lands in the race window it is displaced whole by
+    * our own complete copy, and a reader-visible dir is always either
+    * absent or complete (review r11; the in-place rmRf had a TOCTOU
+    * that could file-by-file-delete a just-published view). Returns
+    * true iff `dir` holds a complete view on exit. Exposed
+    * package-private for GraphSpec's race tests. */
   private[graft] def publish(tmp: java.io.File, dir: java.io.File): Boolean = {
     def complete = new java.io.File(dir, "_SUCCESS").exists()
     var ok = tmp.renameTo(dir)
     if (!ok && !complete) {
-      Scans.rmRf(dir)
+      val aside = new java.io.File(
+        dir.getPath + s".stale_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      if (dir.renameTo(aside)) Scans.rmRf(aside)
       ok = tmp.renameTo(dir)
     }
     if (!ok) Scans.rmRf(tmp)
@@ -162,7 +174,19 @@ object Graphs {
   val graphEdgesBuild: Q = (s, d) => {
     val dir = viewDir(s, d, "edges")
     viewLock.synchronized {
-      rawCopurchaseEdges(s, d).write.mode("overwrite").parquet(dir)
+      // Fresh FULL build into a private sibling, atomically published
+      // like every other view write (review r11: the old in-place
+      // overwrite here bypassed publish() and could yank data files out
+      // from under a concurrent reader of the published view). The view
+      // content is deterministic from the mtime-stamped dataset, so if
+      // a complete view already exists the rename loses and our copy is
+      // discarded — the BUILD (extract + parquet write) is still fully
+      // priced, which is this query's whole job; readers never observe
+      // a partial or vanishing dir either way.
+      val tmp = new java.io.File(
+        dir + s".tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+      rawCopurchaseEdges(s, d).write.mode("overwrite").parquet(tmp.getPath)
+      publish(tmp, new java.io.File(dir))
     }
     val edges = s.read.parquet(dir)
     val nodes = edges.select(col("src").as("n"))

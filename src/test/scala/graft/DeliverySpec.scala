@@ -23,6 +23,26 @@ class DeliverySpec extends AnyFunSuite with Matchers with SparkFixture {
       s"$tmp/li", "parquet") shouldBe true
   }
 
+  test("Validate.profile on a non-deterministic input reports ONE consistent snapshot") {
+    // ADVICE r10: the per-column fan-out executes the input (cols+1)×,
+    // so a non-deterministic input must be cut once before it — else
+    // n_rows and each nd_* would describe DIFFERENT samples. The pin is
+    // behavioral: over a rand()-sampled frame, the unique-key column's
+    // distinct count must equal n_rows − n_null exactly, and every
+    // per-column row must agree on n_rows — true only for a single
+    // materialized snapshot (rand(seed) is still marked
+    // non-deterministic, so this exercises the cut path reproducibly).
+    val sampled = Tables.orders(spark, sfDir)
+      .where(rand(42) < 0.5).select("o_orderkey", "o_orderstatus")
+    val prof = graft.delivery.Validate
+      .profile(sampled, Seq("o_orderkey"), Seq("o_orderstatus")).collect()
+    prof.length shouldBe 2
+    prof.map(_.getLong(1)).distinct.length shouldBe 1 // one n_rows everywhere
+    val key = prof.find(_.getString(0) == "o_orderkey").get
+    key.getLong(1) should be > 0L
+    key.getLong(3) shouldBe (key.getLong(1) - key.getLong(2)) // nd == n − nulls
+  }
+
   test("Validate.profile is an equality witness across a delivered copy") {
     val tmp = Files.createTempDirectory("dlv_prof").toString
     Deliver.copy(spark, s"$sfDir/orders.parquet", s"$tmp/o",

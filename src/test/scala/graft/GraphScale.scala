@@ -91,9 +91,17 @@ object GraphScale {
           spark.conf.set("spark.graft.graph.cc.measureMemory", "true")
           try {
             sweep()
+            // reset first: a graph_cc that routes to lss at this scale
+            // never runs localUnionFind, and printing the PREVIOUS
+            // multiplier's accumulator labeled with this one would
+            // record a wrong memory bound (review r11)
+            graft.ops.ConnectedComponents.lastLocalMapBytes = None
             SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
-            graft.ops.ConnectedComponents.lastLocalMapBytes.foreach(a =>
-              println(f"x$m%-3d graph_cc local union-find map ${a.value / 1048576.0}%.1f MiB"))
+            graft.ops.ConnectedComponents.lastLocalMapBytes match {
+              case Some(a) => println(f"x$m%-3d graph_cc local union-find map " +
+                f"${a.value / 1048576.0}%.1f MiB")
+              case None => println(s"x$m   graph_cc routed to lss at this scale - no local map")
+            }
           } finally spark.conf.unset("spark.graft.graph.cc.measureMemory")
         }
       }
