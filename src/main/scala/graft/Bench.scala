@@ -75,6 +75,10 @@ object Bench {
       // absorbed the whole Janino/JIT cold start (BENCH_r09 max_spread
       // 35.3 s vs a 2.77 s min; VERDICT r9 #4)
       "llm_ann_pq" -> (() => SparkEntry.queries("llm_ann_pq")(spark, warm)),
+      // the minhash banding/UDAF units are likewise unique to this
+      // query — r11's spread_passes read [9.51, 5.47, 4.53, 4.85]: a
+      // 2× pass-1 cold start no other warmup covers
+      "llm_minhash" -> (() => SparkEntry.queries("llm_minhash")(spark, warm)),
     ).foreach { case (n, q) =>
       try q().queryExecution.toRdd.count()
       catch { case e: Throwable =>
