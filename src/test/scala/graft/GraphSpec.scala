@@ -232,6 +232,35 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     residue shouldBe empty
   }
 
+  test("graph_edges_build racing concurrent readers never exposes a partial or vanishing view") {
+    // review r11: the old edges_build overwrote the published dir in
+    // place — a reader that had already resolved the file listing could
+    // lose its data files mid-scan. With the atomic republish, readers
+    // must see correct, identical results on EVERY read while rebuilds
+    // run, and no read may throw.
+    val ds = java.nio.file.Files.createTempDirectory("graft_rebuild_ds").toFile
+    java.nio.file.Files.copy(
+      new java.io.File(sfDir, "lineitem.parquet").toPath,
+      new java.io.File(ds, "lineitem.parquet").toPath)
+    val expected = Graphs.queries("graph_degree_hist")(spark, ds.getPath)
+      .collect().toSeq.map(_.toString).sorted
+    val s2 = spark.newSession()
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val builder = pool.submit(() => {
+      (1 to 3).foreach(_ =>
+        Graphs.queries("graph_edges_build")(s2, ds.getPath).collect())
+      true
+    })
+    val reader = pool.submit(() => {
+      (1 to 6).map(_ => Graphs.queries("graph_degree_hist")(spark, ds.getPath)
+        .collect().toSeq.map(_.toString).sorted)
+    })
+    pool.shutdown(); pool.awaitTermination(180, TimeUnit.SECONDS) shouldBe true
+    builder.get() shouldBe true
+    reader.get().foreach(_ shouldBe expected)
+  }
+
   test("localUnionFind on a long path: one component labeled by its min node") {
     import spark.implicits._
     val path = (0 until 63).map(i => (i.toLong + 100, i.toLong + 101)).toDF("src", "dst")
