@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** When `spark.graft.graph.cc.measureMemory=true`, the last local
+  /** Diagnostic scope (review r12): the accumulator is added from inside
+    * mapPartitions, where Spark does NOT dedup retried/speculative task
+    * attempts or re-executions of an uncached upstream — the value is
+    * only the true footprint for a single clean execution with
+    * speculation off and zero task retries (the harness posture; the
+    * GraphScale/CcCrossover readers run exactly one non-timed pass per
+    * cell). Under retries it reads as a multiple of the real map size —
+    * treat it as an upper bound there, never a budget input.
+    *
+    * When `spark.graft.graph.cc.measureMemory=true`, the last local
     * union-find run reports its in-task map footprint here (a
     * SizeEstimator walk of the parent map — the single-task memory the
     * localMaxEdges threshold actually bounds). Measurement-only: the

@@ -115,7 +115,16 @@ object Graphs {
     * absent or complete (review r11; the in-place rmRf had a TOCTOU
     * that could file-by-file-delete a just-published view). Returns
     * true iff `dir` holds a complete view on exit. Exposed
-    * package-private for GraphSpec's race tests. */
+    * package-private for GraphSpec's race tests.
+    *
+    * Scope note (review r12): today the scratch key embeds the Spark
+    * applicationId (Scans.scratchDir), so two PROCESSES never share a
+    * view dir and same-JVM sessions serialize on viewLock — the
+    * cross-writer arm of this protocol is defense-in-depth, exercised
+    * directly by GraphSpec's publish()-level race tests rather than
+    * reachable through view(). It becomes the live protocol the day the
+    * appId is dropped from the key for intentional cross-process view
+    * sharing on a shared scratch root (`spark.graft.scratch.root`). */
   private[graft] def publish(tmp: java.io.File, dir: java.io.File): Boolean = {
     def complete = new java.io.File(dir, "_SUCCESS").exists()
     var ok = tmp.renameTo(dir)
@@ -186,7 +195,11 @@ object Graphs {
       val tmp = new java.io.File(
         dir + s".tmp_${ProcessHandle.current().pid()}_${System.nanoTime()}")
       rawCopurchaseEdges(s, d).write.mode("overwrite").parquet(tmp.getPath)
-      publish(tmp, new java.io.File(dir))
+      // mirror view(): a pathological publish failure must fail HERE
+      // with its cause, not as an opaque PATH_NOT_FOUND on the read
+      // below (review r12)
+      require(publish(tmp, new java.io.File(dir)),
+        s"graph view publish failed: could not install a complete view at $dir")
     }
     val edges = s.read.parquet(dir)
     val nodes = edges.select(col("src").as("n"))

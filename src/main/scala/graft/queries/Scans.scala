@@ -21,12 +21,25 @@ object Scans {
     * this back-ports the same discipline, VERDICT r8 #3); a FIXED dir
     * plus `mode("overwrite")` bounds the footprint to one copy per
     * (session, dataset) and the overwrite delete guarantees no stale
-    * file from a larger prior corpus survives into the read-back. */
+    * file from a larger prior corpus survives into the read-back.
+    *
+    * Root placement is a conf (`spark.graft.scratch.root`, default
+    * `java.io.tmpdir` — VERDICT r11 #7): a multi-tenant box or a real
+    * cluster points it at shared durable storage (an HDFS/S3A URI works
+    * once the path math moves to Hadoop Path; here the local-FS form
+    * covers the local[*] posture). The key embeds the Spark
+    * applicationId, so two PROCESSES never share a scratch dir even
+    * under a shared root — Graphs.publish()'s cross-writer rename
+    * protocol is therefore defense-in-depth today; dropping the appId
+    * from the key is the (supported) switch that would turn it into the
+    * live cross-process view-sharing protocol. */
   private[queries] def scratchDir(s: org.apache.spark.sql.SparkSession,
                                   d: String, tag: String): String = {
     val dKey = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+    val root = s.conf.get("spark.graft.scratch.root",
+      sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(root,
       s"graft_${tag}_${s.sparkContext.applicationId}_$dKey")
     dir.mkdirs()
     dir.toString

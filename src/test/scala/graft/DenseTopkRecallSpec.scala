@@ -109,6 +109,12 @@ class DenseTopkRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     def pairs(rows: Array[org.apache.spark.sql.Row], vidCol: Int) =
       rows.map(r => (r.getLong(0), r.getLong(vidCol))).toSet
     val exact = Llm.llmPrefPairs(spark, sfDir).collect()
+    // the qid-keyed margin map below is only well-defined because
+    // llmPrefPairs emits exactly ONE row per qid (k=1 both sides) — a
+    // future k>1 variant would silently compare margins of DIFFERENT
+    // pairs via last-wins map construction, so pin the invariant the
+    // map construction depends on (review r12)
+    exact.map(_.getLong(0)).distinct.length shouldBe exact.length
     val exactMargin = exact.map(r => r.getLong(0) -> r.getDouble(6)).toMap
     val exactByTriple = exact.map(r =>
       (r.getLong(0), r.getLong(2), r.getLong(4)) -> r.getDouble(6)).toMap

@@ -227,8 +227,14 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     val (ra, rb) = (fa.get(), fb.get())
     ra should not be empty
     rb shouldBe ra
+    // scope the residue check to dirs THIS JVM could have created (the
+    // scratch key embeds applicationId) — stray graft_gview_*.tmp_*
+    // residue from an unrelated process or a crashed prior run on the
+    // same box must not fail this test spuriously (review r12)
+    val appId = spark.sparkContext.applicationId
     val residue = new java.io.File(sys.props("java.io.tmpdir")).listFiles()
-      .filter(f => f.getName.startsWith("graft_gview_") && f.getName.contains(".tmp_"))
+      .filter(f => f.getName.startsWith("graft_gview_") &&
+        f.getName.contains(appId) && f.getName.contains(".tmp_"))
     residue shouldBe empty
   }
 
@@ -259,6 +265,35 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkFixture {
     pool.shutdown(); pool.awaitTermination(180, TimeUnit.SECONDS) shouldBe true
     builder.get() shouldBe true
     reader.get().foreach(_ shouldBe expected)
+  }
+
+  test("scratch root conf relocates the materialized views; results are root-invariant") {
+    // VERDICT r11 #7: spark.graft.scratch.root promotes the view scratch
+    // root from java.io.tmpdir to a conf (a multi-tenant box or cluster
+    // points it at shared durable storage). Two roots must each receive
+    // their own complete view artifacts and serve IDENTICAL results.
+    val ds = java.nio.file.Files.createTempDirectory("graft_root_ds").toFile
+    java.nio.file.Files.copy(
+      new java.io.File(sfDir, "lineitem.parquet").toPath,
+      new java.io.File(ds, "lineitem.parquet").toPath)
+    val rootA = java.nio.file.Files.createTempDirectory("graft_rootA").toFile
+    val rootB = java.nio.file.Files.createTempDirectory("graft_rootB").toFile
+    def viewsUnder(root: java.io.File) = {
+      val fs = root.listFiles()
+      if (fs == null) Array.empty[java.io.File]
+      else fs.filter(f => f.getName.startsWith("graft_gview_") &&
+        new java.io.File(f, "_SUCCESS").exists())
+    }
+    def run() = Graphs.queries("graph_degree_hist")(spark, ds.getPath)
+      .collect().toSeq.map(_.toString).sorted
+    val ra = withConf("spark.graft.scratch.root" -> rootA.getPath)(run())
+    val rb = withConf("spark.graft.scratch.root" -> rootB.getPath)(run())
+    ra should not be empty
+    rb shouldBe ra
+    viewsUnder(rootA) should not be empty
+    viewsUnder(rootB) should not be empty
+    // default root (conf unset) must keep serving too
+    run() shouldBe ra
   }
 
   test("localUnionFind on a long path: one component labeled by its min node") {
