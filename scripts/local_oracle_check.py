@@ -10,12 +10,20 @@ matching oracle_sql.json entry in DuckDB over the parquet tables in <sfDir>
   - row counts,
   - cell-by-cell values in produced row order (NaN==NaN, None==None).
 
+Results larger than GRAFT_MULTISET_THRESHOLD rows (default 200000 — the
+scale-oracle arm, VERDICT r11 #2) switch to an exact MULTISET compare run
+inside DuckDB (symmetric EXCEPT ALL, count of differing rows must be 0):
+same value semantics (DuckDB's total order has NaN == NaN, NULL == NULL),
+but row ORDER is not checked in that mode — fine for the deterministic
+scale sweep, where both sides are order-normalized by their own ORDER BYs.
+
 Exit 0 iff every oracle-declared query matches. Queries present in the dump
 but absent from oracle_sql.json are reported as rows-only (driver's weaker
 check) and only verified to have >0 rows.
 """
 import json
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -42,45 +50,73 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # StressGen ×k corpora are Spark-written parquet DIRECTORIES
+            # (the pristine fixtures are single files) — glob the parts
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
 
     dumped = sorted(d.name for d in out_dir.iterdir() if d.is_dir())
     n_ok = n_bad = 0
     failures = []
+    big = int(os.environ.get("GRAFT_MULTISET_THRESHOLD", "200000"))
     for name in dumped:
         files = list((out_dir / name).glob("*.parquet"))
         if not files:
             failures.append((name, "no parquet produced (Spark query failed)"))
             n_bad += 1
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({[str(f) for f in files]})").fetchdf()
+        got_src = f"read_parquet({[str(f) for f in files]})"
+        n_got = con.execute(f"SELECT count(*) FROM {got_src}").fetchone()[0]
         if name not in oracle:
-            status = "ROWS-ONLY" if len(got) > 0 else "EMPTY(!)"
-            print(f"  [{status}] {name}: {len(got)} rows, no oracle declared")
-            if len(got) == 0:
+            status = "ROWS-ONLY" if n_got > 0 else "EMPTY(!)"
+            print(f"  [{status}] {name}: {n_got} rows, no oracle declared")
+            if n_got == 0:
                 failures.append((name, "no oracle and 0 rows"))
                 n_bad += 1
             else:
                 n_ok += 1
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {oracle[name]}")
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             n_bad += 1
             continue
-        got_cols, exp_cols = sorted(got.columns), sorted(exp.columns)
+        got_cols = sorted(r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM {got_src}").fetchall())
+        exp_cols = sorted(r[0] for r in con.execute(
+            "DESCRIBE SELECT * FROM exp").fetchall())
         if got_cols != exp_cols:
             failures.append((name, f"columns differ: spark={got_cols} oracle={exp_cols}"))
             n_bad += 1
             continue
-        if len(got) != len(exp):
-            failures.append((name, f"row counts differ: spark={len(got)} oracle={len(exp)}"))
+        n_exp = con.execute("SELECT count(*) FROM exp").fetchone()[0]
+        if n_got != n_exp:
+            failures.append((name, f"row counts differ: spark={n_got} oracle={n_exp}"))
             n_bad += 1
             continue
+        if n_got > big:
+            # exact multiset compare inside DuckDB: zero rows may differ
+            # in either direction (row order unchecked in this mode)
+            cols = ", ".join(f'"{c}"' for c in got_cols)
+            diff = con.execute(
+                f"SELECT count(*) FROM ("
+                f" (SELECT {cols} FROM {got_src} EXCEPT ALL SELECT {cols} FROM exp)"
+                f" UNION ALL"
+                f" (SELECT {cols} FROM exp EXCEPT ALL SELECT {cols} FROM {got_src})"
+                f")").fetchone()[0]
+            if diff:
+                failures.append((name, f"multiset compare: {diff} differing rows"))
+                n_bad += 1
+            else:
+                print(f"  [OK] {name}: {n_got} rows multiset-equivalent (order unchecked)")
+                n_ok += 1
+            continue
+        got = con.execute(f"SELECT * FROM {got_src}").fetchdf()
+        exp = con.execute("SELECT * FROM exp").fetchdf()
         # dtype drift (e.g. DuckDB HUGEINT sums vs Spark BIGINT) can pass
         # value equality here but may fail a stricter driver-side hash —
         # surface it loudly.

@@ -90,6 +90,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // Hot-shape warmup (VERDICT r11 #3): the sf0.001 warmup above
+    // compiles the codegen CLASSES, but pass 1 at sf0.1 still paid
+    // ~1.8× min on the heavy dedup/minhash pipelines (r11 spread_passes
+    // [7.26, 4.03, 4.68, 4.41] on llm_cluster_sizes; [9.51, 5.47, 4.53,
+    // 4.85] on llm_minhash DESPITE its sf0.001 warmup) — the residue is
+    // C2/JIT tiering of the generated loops, which only trips at sf0.1
+    // row volume. Run the named offenders once UNTIMED against the
+    // benched sfDir itself, then sweep: the timed passes start from the
+    // same cold-cache state as before (hermeticity is block state, not
+    // JIT state), and min-of-N no longer depends on pass 1 being
+    // written off. Override with SPARK_GRAFT_HOT_WARM (empty disables).
+    sys.env.getOrElse("SPARK_GRAFT_HOT_WARM",
+        "llm_cluster_sizes,llm_dedup_incremental,llm_dedup_cluster,llm_minhash")
+      .split(",").map(_.trim)
+      .filter(n => n.nonEmpty && names.contains(n))
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"WARN bench hot-warm '$n' on $sfDir failed: $e") }
+        sweep()
+      }
     // full passes (not back-to-back reps): pass 2 hits each query with
     // the same cold-cache state as pass 1, so min is comparable run-to-run
     val samples: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>

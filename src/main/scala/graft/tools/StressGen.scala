@@ -221,11 +221,23 @@ object StressGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Seq("region", "nation", "customer", "supplier", "part")
-      .foreach(replicate(spark, src, dst, _, 1, Nil))
-    replicate(spark, src, dst, "orders", k, Seq("o_orderkey"))
-    replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey"))
-    replicate(spark, src, dst, "events", k, Seq("event_id"))
+    // Relational-mode arg (args(5), default "core"): "graph" replicates
+    // via graphStress — BOTH l_orderkey AND l_partkey shifted, so each
+    // copy is an independent co-purchase graph population and graph_cc's
+    // component structure (and the fixed-round oracle's convergence
+    // depth) is k-invariant. The legacy "core" shift densifies one fixed
+    // part graph instead (see graphStress scaladoc) — wrong input for a
+    // scaled GRAPH oracle check, kept as the default for the perf
+    // harnesses that want the classic key-shift. (VERDICT r11 #2)
+    if (args.lift(5).contains("graph"))
+      graphStress(spark, src, dst, k)
+    else {
+      Seq("region", "nation", "customer", "supplier", "part")
+        .foreach(replicate(spark, src, dst, _, 1, Nil))
+      replicate(spark, src, dst, "orders", k, Seq("o_orderkey"))
+      replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey"))
+      replicate(spark, src, dst, "events", k, Seq("event_id"))
+    }
     if (kDocsArg.startsWith("dup:"))
       documentsDup(spark, src, dst, kDocsArg.stripPrefix("dup:").toInt)
     else

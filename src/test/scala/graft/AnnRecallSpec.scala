@@ -28,8 +28,12 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     // Hamming≤1 multi-probe over the 3-bit quantizer: per-pair survival
     // ≈ q³+3q²(1-q), q = 1-θ/π; near-orthogonal random fixture vectors
     // are the worst case and still measure ≥ 0.6. Bits ↔ candidates ↔
-    // recall is the tunable triangle at real scale.
-    recall should be >= 0.55
+    // recall is the tunable triangle at real scale. Floor raised
+    // 0.55 -> 0.60 in r12 (VERDICT r11 #4): IvfCalibrate's bits x radius
+    // curve puts the default cell (bits=3, radius=1) at 0.677 on this
+    // deterministic fixture, so 0.60 is measured-minus-margin, close
+    // enough to catch a real quantizer/probe regression.
+    recall should be >= 0.60
   }
 
   test("llm_ann_ivf at spark.graft.ann.bits=4: recall floor re-pinned, still subset-sound") {
@@ -46,7 +50,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (truth & found).size.toDouble / truth.size
       info(f"llm_ann_ivf recall@3 at 4 bits = $recall%.3f over ${truth.size} truth pairs")
-      recall should be >= 0.40 // measured 0.517 at sf0.001; floor leaves margin
+      recall should be >= 0.45 // measured 0.517 (IvfCalibrate r12); floor within 0.1
     } finally spark.conf.unset("spark.graft.ann.bits")
   }
 
@@ -72,7 +76,7 @@ class AnnRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     (bucketed -- brute) shouldBe empty
     val recall = bucketed.size.toDouble / brute.size
     info(f"llm_embed_neardup multi-probe recall = $recall%.3f over ${brute.size} brute pairs")
-    recall should be >= 0.50
+    recall should be >= 0.65 // measured 0.733 (r12); floor within 0.1
   }
 
   test("llm_semdedup drops exactly the later copy of a near-parallel pair and keeps orthogonal vectors") {

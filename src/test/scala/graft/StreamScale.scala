@@ -79,11 +79,15 @@ object StreamScale {
         val prog = q.recentProgress.toSeq
         val rows = prog.map(_.numInputRows).sum
         val batches = prog.count(_.numInputRows > 0)
-        val stateRows = prog.flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
-          .map(_.numRowsTotal).maxOption.getOrElse(0L)
+        val stateOps = prog.flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        val stateRows = stateOps.map(_.numRowsTotal).maxOption.getOrElse(0L)
+        // state-store SIZE beside the row count (VERDICT r11 #5): bytes
+        // is what an executor actually budgets; rows alone hides a
+        // per-row payload regression (e.g. a fatter state encoder)
+        val stateMiB = stateOps.map(_.memoryUsedBytes).maxOption.getOrElse(0L) / 1024.0 / 1024.0
         val prov = if (provider == HDFS) "hdfs " else "rocks"
         println(f"x$k%-3d $name%-14s $prov wall=$wall%7.2f s  rows=$rows%9d  " +
-          f"rate=${rows / wall / 1e6}%5.2f Mrows/s  batches=$batches  stateRows=$stateRows%9d")
+          f"rate=${rows / wall / 1e6}%5.2f Mrows/s  batches=$batches  stateRows=$stateRows%9d  stateMiB=$stateMiB%8.1f")
       }
 
       for (prov <- Seq(HDFS, ROCKS)) {
