@@ -42,6 +42,19 @@ object DedupScale {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
+
+    // Task-retry census (VERDICT r11 #6): the ×100 heap-envelope claim
+    // is "zero task retries at the stated heap" — count retried/failed
+    // task attempts instead of eyeballing stderr for OOM stacks. The
+    // listener bus is async, so per-query deltas can lag by a few ms;
+    // a nonzero TOTAL at exit is the binding signal either way.
+    val retried = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null &&
+            (e.taskInfo.attemptNumber > 0 || !e.taskInfo.successful))
+          retried.incrementAndGet(): Unit
+    })
     def timed(fn: => DataFrame): (Double, Long) = {
       val runs = (1 to iters).map { _ =>
         sweep()
@@ -80,9 +93,11 @@ object DedupScale {
           d
         }
       for ((name, q) <- ops) {
+        val r0 = retried.get
         val (sec, rows) = timed(q(spark, dir))
         results((name, m)) = sec
-        println(f"x$m%-3d $name%-20s $sec%8.2f s  rows=$rows")
+        val dr = retried.get - r0
+        println(f"x$m%-3d $name%-20s $sec%8.2f s  rows=$rows  retriedTasks=$dr")
       }
       // collapseExact A/B on the corpus where duplicates actually exist
       if (only.forall(_.contains("llm_dedup_cluster"))) {
@@ -107,6 +122,7 @@ object DedupScale {
         case _ =>
       }
     }
+    println(s"retriedTasks total=${retried.get} (0 = clean run, the heap-envelope claim)")
     spark.stop()
   }
 }
