@@ -48,6 +48,13 @@ def cells_equal(a, b):
 def main():
     sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     con = duckdb.connect()
+    # scale-oracle posture: the ×k doc-family oracles build corpus-sized
+    # intermediates — cap memory well under the box and let DuckDB spill
+    # instead of riding the OOM killer. (preserve_insertion_order stays
+    # at its default: the small-result path compares in produced row
+    # order, which the parquet read and CTAS must keep honoring.)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEM', '48GB')}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():

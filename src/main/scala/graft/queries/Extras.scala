@@ -1232,6 +1232,10 @@ object Extras {
       | ${r4Sql("0.4 * ttr + 0.4 * (1.0 - swr) + 0.2 * least(avg_len / 10.0, 1.0)")} AS quality
       | FROM per_doc)""".stripMargin
 
+  /** Shared by the llm_dedup_cluster / llm_cluster_sizes oracles. `ni`
+    * via len(list_intersect) over per-doc token lists since r12 — see
+    * Llm.jaccardPairsSql for the rationale (the token equi-join form
+    * OOM'd DuckDB at the ×10 scale-oracle arm; values identical). */
   private val jaccardCtes =
     s"""tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
       |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
@@ -1241,6 +1245,7 @@ object Extras {
       |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
       |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn <= 4),
       |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+      |doclist AS MATERIALIZED (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
       |cand AS (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
@@ -1249,11 +1254,11 @@ object Extras {
       | SELECT doc_a, doc_b FROM (
       |  SELECT i.doc_a, i.doc_b,
       |   ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
-      |  FROM (SELECT c.doc_a, c.doc_b, count(*) AS ni
+      |  FROM (SELECT c.doc_a, c.doc_b,
+      |         len(list_intersect(da.toks, db.toks)) AS ni
       |        FROM cand c
-      |         JOIN tok ta ON ta.doc_id = c.doc_a
-      |         JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
-      |        GROUP BY c.doc_a, c.doc_b) i
+      |         JOIN doclist da ON da.doc_id = c.doc_a
+      |         JOIN doclist db ON db.doc_id = c.doc_b) i
       |   JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
       | WHERE jac >= 0.8)""".stripMargin
 

@@ -1287,7 +1287,13 @@ object Llm {
 
   /** Oracle body shared by llm_jaccard_pairs (floor 0.8) and
     * llm_pair_table (artifact floor 0.6) — identical pipeline, different
-    * Jaccard floor. */
+    * Jaccard floor. `ni` computes as len(list_intersect) over per-doc
+    * token lists (r12): the previous per-pair token equi-join form
+    * materialized a Σ|A∩B| ≈ |cand| × doc-length intermediate — ~10^10
+    * rows at the ×10 scale-oracle arm, which ran DuckDB to the memory
+    * wall; the doclist form carries one list row per doc and is
+    * value-identical on tok's distinct-token rows (every cand pair
+    * shares a block token, so no ni=0 row is lost by either form). */
   private def jaccardPairsSql(floor: String): String =
       s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
@@ -1297,16 +1303,17 @@ object Llm {
         |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
         |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn <= 4),
         |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |doclist AS MATERIALIZED (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
         |cand AS (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
         |  AND a.doc_id < b.doc_id),
         |inter AS (
-        | SELECT c.doc_a, c.doc_b, count(*) AS ni
+        | SELECT c.doc_a, c.doc_b,
+        |  len(list_intersect(da.toks, db.toks)) AS ni
         | FROM cand c
-        |  JOIN tok ta ON ta.doc_id = c.doc_a
-        |  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
-        | GROUP BY c.doc_a, c.doc_b)
+        |  JOIN doclist da ON da.doc_id = c.doc_a
+        |  JOIN doclist db ON db.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, jac FROM (
         | SELECT i.doc_a, i.doc_b,
         |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
