@@ -33,6 +33,81 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def split_ctes(sql):
+    """Split a WITH-chain into [(name, body), ...] plus the final query.
+
+    Used only in staged mode (GRAFT_STAGE_CTES=1, set by the scale-oracle
+    arm): DuckDB's optimizer flattens a deep CTE pipeline into one join
+    tree and at ×10 corpus scale picked join orders that never finished
+    (the 8-round label propagation became a reorderable 9-way join);
+    executing each CTE body verbatim as its own TEMP TABLE pins the
+    left-deep evaluation the SQL spells. The scanner is quote-aware
+    (handles '' escapes); bodies are copied byte-for-byte, so staged
+    results are the same SQL, same values.
+    """
+    s = sql.strip()
+    if not s[:4].upper() == "WITH":
+        return [], s
+    i, ctes = 4, []
+    while True:
+        while s[i].isspace():
+            i += 1
+        j = i
+        while s[j] not in " \t\n(":
+            j += 1
+        name = s[i:j]
+        # optional column list: `name(col, ...) AS (body)` — capture it so
+        # the staged table can re-alias via SELECT * FROM (body) AS t(cols)
+        j2 = j
+        while s[j2].isspace():
+            j2 += 1
+        collist = None
+        if s[j2] == "(":
+            depth, p = 0, j2
+            while True:
+                c = s[p]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p += 1
+            collist = s[j2 + 1:p]
+            j = p + 1
+        k = s.index("(", j)
+        depth, p = 0, k
+        while True:
+            c = s[p]
+            if c == "'":
+                p += 1
+                while True:
+                    if s[p] == "'":
+                        if p + 1 < len(s) and s[p + 1] == "'":
+                            p += 2
+                            continue
+                        break
+                    p += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            p += 1
+        body = s[k + 1:p]
+        if collist is not None:
+            body = f'SELECT * FROM ({body}) AS "{name}"({collist})'
+        ctes.append((name, body))
+        q = p + 1
+        while s[q].isspace():
+            q += 1
+        if s[q] == ",":
+            i = q + 1
+        else:
+            return ctes, s[q:]
+
+
 def cells_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -87,7 +162,16 @@ def main():
                 n_ok += 1
             continue
         try:
-            con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {oracle[name]}")
+            if os.environ.get("GRAFT_STAGE_CTES") == "1":
+                ctes, final = split_ctes(oracle[name])
+                for cte_name, body in ctes:
+                    con.execute(
+                        f'CREATE OR REPLACE TEMP TABLE "{cte_name}" AS {body}')
+                con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {final}")
+                for cte_name, _ in ctes:
+                    con.execute(f'DROP TABLE IF EXISTS "{cte_name}"')
+            else:
+                con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {oracle[name]}")
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             n_bad += 1

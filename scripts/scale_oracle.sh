@@ -45,4 +45,7 @@ echo "[scale_oracle] verifying subset: $QUERIES" 1>&2
 SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   "${JAVA[@]}" graft.Verify "$DST" "$OUT" 1>&2
 
-python3 scripts/local_oracle_check.py "$DST" "$OUT"
+# staged-CTE evaluation: same SQL text per stage, but each WITH body
+# materializes as its own temp table — DuckDB's flattened join tree on
+# the deep doc-family pipelines never finished at x10 otherwise
+GRAFT_STAGE_CTES=1 python3 scripts/local_oracle_check.py "$DST" "$OUT"

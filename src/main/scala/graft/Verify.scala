@@ -41,7 +41,12 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.view.filterKeys(ks).toMap)
-    queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_SKIP_DUMP=1 regenerates oracle_sql.json WITHOUT
+    // re-running the queries (local aid: iterate on oracle SQL plan
+    // hints against an existing scale dump without re-paying the
+    // multi-minute Spark dumps). Never set by the driver.
+    val skipDump = sys.env.get("SPARK_GRAFT_SKIP_DUMP").contains("1")
+    if (!skipDump) queries.foreach { case (name, fn) =>
       try naiveTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

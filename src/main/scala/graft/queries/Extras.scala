@@ -1239,14 +1239,14 @@ object Extras {
   private val jaccardCtes =
     s"""tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
       |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-      |block AS (
+      |block AS MATERIALIZED (
       | SELECT doc_id, lang, token AS block_tok FROM (
       |  SELECT t.doc_id, t.lang, t.token,
       |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
       |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn <= 4),
-      |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+      |sz AS MATERIALIZED (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
       |doclist AS MATERIALIZED (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
-      |cand AS (
+      |cand AS MATERIALIZED (
       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
       |  AND a.doc_id < b.doc_id),
@@ -1262,8 +1262,15 @@ object Extras {
       |   JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b)
       | WHERE jac >= 0.8)""".stripMargin
 
+  /** Eight min-label propagation rounds. MATERIALIZED per round since
+    * r12: left to inline, DuckDB's optimizer is free to reorder the
+    * flattened 9-level join chain and at the ×10 scale-oracle arm it
+    * picked an edges-first order that never finished; forcing each
+    * round to materialize pins the intended left-deep evaluation
+    * (53M-edge corpus: 2.7 s for all 8 rounds, and l9 ≡ l8 — the
+    * fixed depth converges there with a round to spare). */
   private val labelRounds = (1 to 8).map { i =>
-    s"l$i AS (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM edges e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
+    s"l$i AS MATERIALIZED (SELECT e.dst AS dd, min(l.lbl) AS lbl FROM edges e JOIN l${i - 1} l ON l.dd = e.src GROUP BY e.dst)"
   }.mkString(",\n")
 
   /** The PINNED orders delivery schema — (column, Spark simpleString
@@ -1431,7 +1438,7 @@ object Extras {
         | SELECT doc_a AS src, doc_b AS dst FROM pairs
         | UNION ALL SELECT doc_b, doc_a FROM pairs
         | UNION ALL SELECT doc_id, doc_id FROM documents),
-        |l0 AS (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
+        |l0 AS MATERIALIZED (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
         |$labelRounds
         |SELECT l8.dd AS doc_id, l8.lbl AS cluster, s.csize
         |FROM l8 JOIN (SELECT lbl, count(*) AS csize FROM l8 GROUP BY lbl) s
@@ -1443,7 +1450,7 @@ object Extras {
         | SELECT doc_a AS src, doc_b AS dst FROM pairs
         | UNION ALL SELECT doc_b, doc_a FROM pairs
         | UNION ALL SELECT doc_id, doc_id FROM documents),
-        |l0 AS (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
+        |l0 AS MATERIALIZED (SELECT doc_id AS dd, doc_id AS lbl FROM documents),
         |$labelRounds,
         |csz AS (SELECT lbl, count(*) AS csize FROM l8 GROUP BY lbl)
         |SELECT csize, count(*) AS n_clusters,

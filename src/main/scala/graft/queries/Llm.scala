@@ -1295,16 +1295,16 @@ object Llm {
     * value-identical on tok's distinct-token rows (every cand pair
     * shares a block token, so no ni=0 row is lost by either form). */
   private def jaccardPairsSql(floor: String): String =
-      s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      s"""WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-        |block AS (
+        |block AS MATERIALIZED (
         | SELECT doc_id, lang, token AS block_tok FROM (
         |  SELECT t.doc_id, t.lang, t.token,
         |   row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.token) AS rn
         |  FROM tok t JOIN dfr d ON t.token = d.token) WHERE rn <= 4),
-        |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
         |doclist AS MATERIALIZED (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
-        |cand AS (
+        |cand AS MATERIALIZED (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM block a JOIN block b ON a.block_tok = b.block_tok AND a.lang = b.lang
         |  AND a.doc_id < b.doc_id),
