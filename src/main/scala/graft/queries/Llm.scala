@@ -1250,10 +1250,11 @@ object Llm {
     "llm_jaccard_pairs" -> jaccardPairsSql("0.8"),
     "llm_pair_table"    -> jaccardPairsSql("0.6"),
     "llm_containment" ->
-      s"""WITH tok AS (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      s"""WITH tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |dfr AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-        |sz AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
-        |td AS (
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS nt FROM tok GROUP BY doc_id),
+        |doclist AS MATERIALIZED (SELECT doc_id, list(token) AS toks FROM tok GROUP BY doc_id),
+        |td AS MATERIALIZED (
         | SELECT t.doc_id, t.lang, t.token, d.df, s.nt
         | FROM tok t JOIN dfr d ON d.token = t.token JOIN sz s ON s.doc_id = t.doc_id
         | WHERE d.df <= 1000),
@@ -1261,7 +1262,7 @@ object Llm {
         | SELECT doc_id AS pid, lang, token, nt AS nt_p FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn FROM td)
         | WHERE rn <= nt // 10 + 1),
-        |cand AS (
+        |cand AS MATERIALIZED (
         | SELECT DISTINCT
         |  least(p.pid, i.doc_id) AS doc_a, greatest(p.pid, i.doc_id) AS doc_b,
         |  CASE WHEN p.pid < i.doc_id THEN p.nt_p ELSE i.nt END AS na,
@@ -1269,11 +1270,11 @@ object Llm {
         | FROM probe p JOIN td i ON i.token = p.token AND i.lang = p.lang
         |  AND i.doc_id <> p.pid),
         |inter AS (
-        | SELECT c.doc_a, c.doc_b, c.na, c.nb, count(*) AS ni
+        | SELECT c.doc_a, c.doc_b, c.na, c.nb,
+        |  len(list_intersect(da.toks, db.toks)) AS ni
         | FROM cand c
-        |  JOIN tok ta ON ta.doc_id = c.doc_a
-        |  JOIN tok tb ON tb.doc_id = c.doc_b AND ta.token = tb.token
-        | GROUP BY c.doc_a, c.doc_b, c.na, c.nb)
+        |  JOIN doclist da ON da.doc_id = c.doc_a
+        |  JOIN doclist db ON db.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, small_doc, containment FROM (
         | SELECT doc_a, doc_b,
         |  CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS small_doc,

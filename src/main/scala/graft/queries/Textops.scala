@@ -1226,27 +1226,28 @@ object Textops {
         | LEFT JOIN tst ON tst.doc_id = ts.doc_id
         |ORDER BY ts.doc_id""".stripMargin,
     "llm_ngram_jaccard" ->
-      s"""WITH sh AS (
+      s"""WITH sh AS MATERIALIZED (
         | SELECT DISTINCT doc_id, lang,
         |  unnest([md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]) for i in generate_series(1, len(l) - 2)]) AS shg
         | FROM (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents)
         | WHERE len(l) >= 3),
-        |block AS (
+        |block AS MATERIALIZED (
         | SELECT doc_id, lang, shg AS block_shg FROM (
         |  SELECT doc_id, lang, shg,
         |   row_number() OVER (PARTITION BY doc_id ORDER BY shg) AS rn
         |  FROM sh) WHERE rn <= 4),
-        |sz AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
-        |cand AS (
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) AS nt FROM sh GROUP BY doc_id),
+        |doclist AS MATERIALIZED (SELECT doc_id, list(shg) AS shgs FROM sh GROUP BY doc_id),
+        |cand AS MATERIALIZED (
         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         | FROM block a JOIN block b ON a.block_shg = b.block_shg AND a.lang = b.lang
         |  AND a.doc_id < b.doc_id),
         |inter AS (
-        | SELECT c.doc_a, c.doc_b, count(*) AS ni
+        | SELECT c.doc_a, c.doc_b,
+        |  len(list_intersect(da.shgs, db.shgs)) AS ni
         | FROM cand c
-        |  JOIN sh ta ON ta.doc_id = c.doc_a
-        |  JOIN sh tb ON tb.doc_id = c.doc_b AND ta.shg = tb.shg
-        | GROUP BY c.doc_a, c.doc_b)
+        |  JOIN doclist da ON da.doc_id = c.doc_a
+        |  JOIN doclist db ON db.doc_id = c.doc_b)
         |SELECT doc_a, doc_b, jac FROM (
         | SELECT i.doc_a, i.doc_b,
         |  ${r4Sql("i.ni * 1.0 / (sa.nt + sb.nt - i.ni)")} AS jac
