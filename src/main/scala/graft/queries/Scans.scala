@@ -296,10 +296,21 @@ object Scans {
     // exactly the "watch this landing directory" production shape.
     // Footer schema is RAW; the loader's one NTZ normalization applies
     // on top.
+    //
+    // Layout note (r12, caught by the ×10 scale-oracle arm): the
+    // pristine fixtures ship events.parquet as a single FILE, which the
+    // pathGlobFilter-over-dataset-dir form streams fine — but a
+    // Spark-WRITTEN table is a DIRECTORY of part files whose leaf names
+    // never match the filter, so that form silently streamed ZERO rows
+    // (spark=0 vs oracle=5 at ×10). A directory is itself a valid
+    // stream source, so route on the layout; both forms are the same
+    // landing-zone contract.
     val raw = s.read.parquet(s"$d/events.parquet").schema
+    val evSrc = new java.io.File(d, "events.parquet")
+    val reader = s.readStream.schema(raw)
     val stream = graft.Tables.castTimestampCols(
-      s.readStream.schema(raw).option("pathGlobFilter", "events.parquet")
-        .parquet(d),
+      if (evSrc.isDirectory) reader.parquet(evSrc.getPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(d),
       org.apache.spark.sql.types.TimestampNTZType, "timestamp")
     val q = stream
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
