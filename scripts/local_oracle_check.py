@@ -42,8 +42,11 @@ def split_ctes(sql):
     (the 8-round label propagation became a reorderable 9-way join);
     executing each CTE body verbatim as its own TEMP TABLE pins the
     left-deep evaluation the SQL spells. The scanner is quote-aware
-    (handles '' escapes); bodies are copied byte-for-byte, so staged
-    results are the same SQL, same values.
+    (handles '' escapes, "..." identifiers, and -- line comments); bodies
+    are copied byte-for-byte, so staged results are the same SQL, same
+    values. Staged-vs-normal equivalence is re-checked on every staged
+    run by selftest_split() below (ADVICE r12) — a scanner bug fails the
+    gate instead of silently mis-splitting.
     """
     s = sql.strip()
     if not s[:4].upper() == "WITH":
@@ -52,10 +55,24 @@ def split_ctes(sql):
     while True:
         while s[i].isspace():
             i += 1
-        j = i
-        while s[j] not in " \t\n(":
+        if s[i] == '"':
+            # double-quoted CTE name ("" escapes): store the inner text
+            # so run_staged's "{name}" re-quoting round-trips it
+            j = i + 1
+            while True:
+                if s[j] == '"':
+                    if j + 1 < len(s) and s[j + 1] == '"':
+                        j += 2
+                        continue
+                    break
+                j += 1
+            name = s[i + 1:j]
             j += 1
-        name = s[i:j]
+        else:
+            j = i
+            while s[j] not in " \t\n(":
+                j += 1
+            name = s[i:j]
         # optional column list: `name(col, ...) AS (body)` — capture it so
         # the staged table can re-alias via SELECT * FROM (body) AS t(cols)
         j2 = j
@@ -88,6 +105,20 @@ def split_ctes(sql):
                             continue
                         break
                     p += 1
+            elif c == '"':
+                # double-quoted identifier ("" escapes a quote)
+                p += 1
+                while True:
+                    if s[p] == '"':
+                        if p + 1 < len(s) and s[p + 1] == '"':
+                            p += 2
+                            continue
+                        break
+                    p += 1
+            elif c == "-" and p + 1 < len(s) and s[p + 1] == "-":
+                # -- line comment: parens/quotes inside it are not syntax
+                nl = s.find("\n", p)
+                p = len(s) - 1 if nl < 0 else nl
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -108,6 +139,49 @@ def split_ctes(sql):
             return ctes, s[q:]
 
 
+def run_staged(con, sql, table):
+    """Execute `sql` via the staged split into TEMP TABLE `table`."""
+    ctes, final = split_ctes(sql)
+    for cte_name, body in ctes:
+        con.execute(f'CREATE OR REPLACE TEMP TABLE "{cte_name}" AS {body}')
+    con.execute(f'CREATE OR REPLACE TEMP TABLE "{table}" AS {final}')
+    for cte_name, _ in ctes:
+        con.execute(f'DROP TABLE IF EXISTS "{cte_name}"')
+
+
+def selftest_split():
+    """Staged ≡ normal on WITH-chains exercising every scanner hazard:
+    -- comments (with parens/quotes inside), double-quoted identifiers,
+    '' escapes, column lists, parens in strings, nested subqueries.
+    Runs on every staged invocation (< 0.1 s); a mis-split either throws
+    or lands a value diff here before it can corrupt a real compare."""
+    cases = [
+        "WITH a AS (SELECT 1 AS x), b AS (SELECT x+1 AS y FROM a) "
+        "SELECT * FROM b",
+        # -- comment containing an unbalanced paren and a quote
+        "WITH a AS (SELECT 1 AS x -- not a real ( or '\n"
+        ", 2 AS y) SELECT x, y FROM a",
+        # double-quoted identifier containing parens and a '' escape
+        'WITH "odd (name)" AS (SELECT 1 AS "c (1)", \'it''s\' AS s) '
+        'SELECT * FROM "odd (name)"',
+        # column list + string literal with parens
+        "WITH t(a, b) AS (SELECT 1, '(((' ) SELECT a, b FROM t",
+        # nested subquery depth + chained CTE reference
+        "WITH x AS (SELECT * FROM (SELECT 2 AS v) q), "
+        "y AS (SELECT v*2 AS w FROM x) SELECT w FROM y, x",
+    ]
+    con = duckdb.connect()
+    for i, sql in enumerate(cases):
+        normal = con.execute(sql).fetchall()
+        run_staged(con, sql, f"_st{i}")
+        staged = con.execute(f'SELECT * FROM "_st{i}"').fetchall()
+        if sorted(map(repr, normal)) != sorted(map(repr, staged)):
+            print(f"[selftest] split_ctes case {i} staged != normal:\n  {sql}\n"
+                  f"  normal={normal}\n  staged={staged}")
+            sys.exit(2)
+    con.close()
+
+
 def cells_equal(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -121,6 +195,12 @@ def cells_equal(a, b):
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest_split()
+        print("[selftest] split_ctes staged == normal on all cases")
+        return
+    if os.environ.get("GRAFT_STAGE_CTES") == "1":
+        selftest_split()
     sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     con = duckdb.connect()
     # scale-oracle posture: the ×k doc-family oracles build corpus-sized
@@ -163,23 +243,19 @@ def main():
             continue
         try:
             if os.environ.get("GRAFT_STAGE_CTES") == "1":
-                ctes, final = split_ctes(oracle[name])
-                for cte_name, body in ctes:
-                    con.execute(
-                        f'CREATE OR REPLACE TEMP TABLE "{cte_name}" AS {body}')
-                con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {final}")
-                for cte_name, _ in ctes:
-                    con.execute(f'DROP TABLE IF EXISTS "{cte_name}"')
+                run_staged(con, oracle[name], "exp")
             else:
                 con.execute(f"CREATE OR REPLACE TEMP TABLE exp AS {oracle[name]}")
         except Exception as e:
             failures.append((name, f"oracle SQL error: {e}"))
             n_bad += 1
             continue
-        got_cols = sorted(r[0] for r in con.execute(
-            f"DESCRIBE SELECT * FROM {got_src}").fetchall())
-        exp_cols = sorted(r[0] for r in con.execute(
-            "DESCRIBE SELECT * FROM exp").fetchall())
+        got_desc = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM {got_src}").fetchall()}
+        exp_desc = {r[0]: r[1] for r in con.execute(
+            "DESCRIBE SELECT * FROM exp").fetchall()}
+        got_cols = sorted(got_desc)
+        exp_cols = sorted(exp_desc)
         if got_cols != exp_cols:
             failures.append((name, f"columns differ: spark={got_cols} oracle={exp_cols}"))
             n_bad += 1
@@ -190,6 +266,14 @@ def main():
             n_bad += 1
             continue
         if n_got > big:
+            # dtype drift check mirrors the small path (ADVICE r12): the
+            # EXCEPT ALL below implicitly coerces, so a HUGEINT-vs-BIGINT
+            # sum drift would pass silently exactly at the scale this arm
+            # targets — surface it loudly before the compare.
+            for c in got_cols:
+                if got_desc[c] != exp_desc[c]:
+                    print(f"  [WARN] {name}: dtype {c}: spark={got_desc[c]}"
+                          f" oracle={exp_desc[c]} (multiset compare coerces)")
             # exact multiset compare inside DuckDB: zero rows may differ
             # in either direction (row order unchecked in this mode)
             cols = ", ".join(f'"{c}"' for c in got_cols)

@@ -34,11 +34,19 @@ JAVA=(java $ADD_OPENS "-Xmx${SPARK_DRIVER_MEM:-16g}"
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC
       -cp "$CLASSES:/opt/spark/jars/*")
 
-if [ ! -f "$DST/_DONE" ] || [ "${SPARK_GRAFT_REUSE:-1}" != "1" ]; then
+# _DONE records the GENERATION PARAMETERS, not just completion (ADVICE
+# r12): reusing a corpus built from a different SRC/k/mode would silently
+# check the wrong data. Mismatched params regenerate.
+# gen= bumps when StressGen's synthesis changes (r13a: URL-bearing docs +
+# BUILDING-skewed customer copies) — same CLI params, different corpus
+GEN_PARAMS="src=$SRC k=$K docs=dup:$K emb=$K mode=graph gen=r13a"
+if [ ! -f "$DST/_DONE" ] || [ "$(cat "$DST/_DONE" 2>/dev/null)" != "$GEN_PARAMS" ] \
+   || [ "${SPARK_GRAFT_REUSE:-1}" != "1" ]; then
   echo "[scale_oracle] generating $DST = $SRC x$K (graph mode, dup:$K docs)" 1>&2
+  rm -rf "$DST"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
     "${JAVA[@]}" graft.tools.StressGen "$SRC" "$DST" "$K" "dup:$K" "$K" graph 1>&2
-  touch "$DST/_DONE"
+  printf '%s' "$GEN_PARAMS" > "$DST/_DONE"
 fi
 
 echo "[scale_oracle] verifying subset: $QUERIES" 1>&2

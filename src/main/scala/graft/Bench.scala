@@ -108,17 +108,25 @@ object Bench {
     // 2.49 — the kept25/oriented25 sub-views). The build is priced by
     // graph_edges_build, so warming leaves every timed graph pass
     // reading the artifacts, which is those queries' actual claim.
-    sys.env.getOrElse("SPARK_GRAFT_HOT_WARM",
-        "llm_cluster_sizes,llm_dedup_incremental,llm_dedup_cluster,llm_minhash," +
-          "graph_cc,graph_cluster_coeff")
-      .split(",").map(_.trim)
-      .filter(n => n.nonEmpty && names.contains(n))
-      .foreach { n =>
-        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
-          System.err.println(s"WARN bench hot-warm '$n' on $sfDir failed: $e") }
-        sweep()
-      }
+    // graph_pagerank joined in round 13: its iteration loop's codegen
+    // units (DECIMAL r8 contrib sums, broadcast msg joins) belong to it
+    // alone, and BENCH_r12's max_spread was its pass-1 cold start
+    // ([16.30, 4.25, 2.48, 2.40]). `SPARK_GRAFT_HOT_WARM=all` warms the
+    // whole inventory once untimed (one extra ~bench-pass of wall) —
+    // the nothing-left-to-warm arm for diagnosing residual spread.
+    val hotWarmConf = sys.env.getOrElse("SPARK_GRAFT_HOT_WARM",
+      "llm_cluster_sizes,llm_dedup_incremental,llm_dedup_cluster,llm_minhash," +
+        "graph_cc,graph_cluster_coeff,graph_pagerank")
+    val hotWarm =
+      if (hotWarmConf.trim == "all") names
+      else hotWarmConf.split(",").map(_.trim)
+        .filter(n => n.nonEmpty && names.contains(n)).toSeq
+    hotWarm.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"WARN bench hot-warm '$n' on $sfDir failed: $e") }
+      sweep()
+    }
     // full passes (not back-to-back reps): pass 2 hits each query with
     // the same cold-cache state as pass 1, so min is comparable run-to-run
     val samples: Seq[Seq[(String, Double)]] = (1 to iters).map { _ =>
@@ -180,6 +188,10 @@ object Bench {
       s""","worst":["${worst._1}",${fmt(worst._2)}]""" +
       s""","max_spread":["${wSpread._1}",${fmt(wSpread._3)}]""" +
       s""","spread_passes":$wPasses""" +
+      // effective hot-warm config inline (ADVICE r12): warmed runs'
+      // pass-1/min numbers are not comparable to unwarmed rounds', so
+      // the artifact must say which queries were warmed by itself
+      s""","hot_warm":"${if (hotWarmConf.trim == "all") "all" else hotWarm.mkString(",")}"""" +
       s""","top":$top8,"iters":$iters,"n":${names.size}}""")
     spark.stop()
   }

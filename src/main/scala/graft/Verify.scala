@@ -39,6 +39,13 @@ object Verify {
     // byte-identical behavior.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on unknown names (ADVICE r12): a typo'd query would be
+    // silently dropped from BOTH the dump and oracle_sql.json, and the
+    // scale-oracle gate would exit 0 without ever checking it.
+    only.foreach { ks =>
+      val unknown = ks -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val queries = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.view.filterKeys(ks).toMap)
     // SPARK_GRAFT_SKIP_DUMP=1 regenerates oracle_sql.json WITHOUT

@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** A raw event row as both batch and stream sides see it. */
 case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
@@ -55,6 +56,12 @@ case class RevenueInc(cohort_s: Long, offset: Long, value: Double)
   * queries.Events.evAttribution: the report is a stateless
   * groupBy(touch) over this stream. */
 case class PurchaseCredit(event_id: Long, user_id: Long, touch: String, value: Double)
+
+/** One CLOSED session emitted by `sessionTimeoutTws` when the event-time
+  * watermark passes last-event + gap — the timer-driven twin of
+  * `sessionAgg`'s session_window output. */
+case class SessionClosed(user_id: Long, sess_start: java.sql.Timestamp,
+                         n_events: Long, sum_value: Double)
 
 /** Structured Streaming twins of the batch event-time operators in
   * graft.queries.Events (SURVEY.md §2.9). Each takes any events
@@ -157,6 +164,87 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningUserStateProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Timer-driven session close on transformWithState — the state-EXPIRY
+    * surface a production stateful job actually uses (VERDICT r12 #7):
+    * per-user session state plus ONE live event-time timer at
+    * last-event + gap; when the watermark passes it, handleExpiredTimer
+    * emits the closed session and CLEARS the state. That is event-time
+    * TTL done explicitly — unlike TTLConfig (wall-clock TTL, useful for
+    * compliance expiry but untestable without a clock), the timer expiry
+    * is a pure function of the data and the watermark, so StreamingSpec
+    * pins it against the batch session_window answer exactly.
+    *
+    * Timer discipline: exactly one live timer per key — the state tuple
+    * carries the registered expiry and each batch with new events
+    * deleteTimer()s the old one before registering the extension
+    * (cheaper than listTimers() and leaves no stale-fire window; a
+    * stale expiry is additionally ignored by the timerAt guard in
+    * handleExpiredTimer — belt and braces, both load-bearing at
+    * scale where task retries can replay a batch). In-batch gaps close
+    * sessions inline, so a key's state is always the ONE open session.
+    * State is 5 longs/doubles per user — bounded, RocksDB-friendly,
+    * evicted on close. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, SessionClosed] {
+    // (startMs, lastMs, n, sum, timerAt)
+    @transient private var sess: ValueState[(Long, Long, Long, Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long, Double, Long)](
+        "sess", Encoders.product[(Long, Long, Long, Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[SessionClosed] = {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionClosed]
+      var cur: Option[(Long, Long, Long, Double)] =
+        if (sess.exists()) {
+          val (st, last, n, sum, timerAt) = sess.get()
+          getHandle.deleteTimer(timerAt)
+          Some((st, last, n, sum))
+        } else None
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          // strict <: session_window's [last, last+gap) does not absorb
+          // an event AT last+gap, so the timer twin must not either
+          case Some((st, last, n, sum)) if t - last < gapMs =>
+            cur = Some((st, math.max(last, t), n + 1, sum + e.value))
+          case Some((st, _, n, sum)) =>
+            closed += SessionClosed(key, new java.sql.Timestamp(st), n, sum)
+            cur = Some((t, t, 1L, e.value))
+          case None =>
+            cur = Some((t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { case (st, last, n, sum) =>
+        val timerAt = last + gapMs
+        sess.update((st, last, n, sum, timerAt))
+        getHandle.registerTimer(timerAt)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClosed] = {
+      if (!sess.exists()) return Iterator.empty
+      val (st, _, n, sum, timerAt) = sess.get()
+      if (expired.getExpiryTimeInMs != timerAt) return Iterator.empty // stale
+      sess.clear()
+      Iterator.single(SessionClosed(key, new java.sql.Timestamp(st), n, sum))
+    }
+  }
+
+  /** ev_session twin on event-time timers (see processor above). */
+  def sessionTimeoutTws(events: Dataset[Ev], gapMinutes: Int = 30,
+                        watermarkDelay: String = "10 minutes"): Dataset[SessionClosed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** ev_funnel twin: per-user ordered funnel (first view → first later

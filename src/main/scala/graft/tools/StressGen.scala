@@ -38,6 +38,23 @@ object StressGen {
     *                      with the replica index — Jaccard 0 against
     *                      every other replica class.
     *
+    * URL synthesis (round 13, VERDICT r12 #4): 75% of base docs (keyed
+    * on the PRE-shift doc_id, so a whole duplicate cluster agrees) carry
+    * one appended URL token `https://www.siteX.example/gG/pY?u=1` keyed
+    * on (doc_id mod 97, cohort, doc_id mod 997) — llm_url_dedup /
+    * url_extract / domain_* compared empty-vs-empty on the old corpus
+    * (the pristine fixtures carry no URLs), which checks nothing. The
+    * cohort lands in the PATH so canonical URLs stay cohort-disjoint
+    * (the `?u=1` query would be stripped by canonicalization, so a
+    * cohort marker there would alias across cohorts); exact replicas
+    * share the URL byte-for-byte (text stays exact-equal), the near-dup
+    * keeps it (Jaccard (n+1)/(n+2), still ≥ the 0.8 floor), distinct
+    * replicas suffix it like every other token. The mod-97/997 keying
+    * creates real cross-doc canonical collisions inside a cohort, so
+    * the dedup output exercises n_docs > 1 clusters beyond the exact
+    * replica structure. One extra token per doc leaves the cohort
+    * token-disjointness and pairs-linear-in-k construction intact.
+    *
     * The cohort decomposition is what makes the MEASUREMENT mean
     * something: duplicate-cluster sizes, per-doc near-pair counts and
     * the base corpus's own intra-cohort near-dup structure are all
@@ -53,9 +70,15 @@ object StressGen {
     val out = (0 until k).map { i =>
       val g = i / 5; val r = i % 5
       val c = pmod(xxhash64(col("doc_id")), lit(4)) + lit(2) // 2..5
+      // cohort text WITH the synthesized URL token (before the replica
+      // transforms, so exact replicas share it byte-for-byte and the
+      // distinct replicas suffix it like any other token)
+      val urlSql = s"CASE WHEN pmod(doc_id, 4) = 3 THEN text ELSE concat(text," +
+        s" ' https://www.site', pmod(doc_id, 97), '.example/g$g/p'," +
+        s" pmod(doc_id, 997), '?u=1') END"
       val cohortSql =
-        if (g == 0) "text"
-        else s"array_join(transform(split(text, ' '), t -> concat(t, '_g$g')), ' ')"
+        if (g == 0) urlSql
+        else s"array_join(transform(split($urlSql, ' '), t -> concat(t, '_g$g')), ' ')"
       val text =
         when(lit(r) < c, expr(cohortSql))
           .when(lit(r) === c, concat(expr(cohortSql), lit(s" pert_g$g")))
@@ -121,10 +144,35 @@ object StressGen {
     * (independent customer populations: per-customer SCD2 change
     * streams stay fixture-depth, customer COUNT grows); events shift
     * event_id/user_id as in coreStress. The part FK intentionally
-    * dangles — no graph/SCD2/corr query joins the part dimension. */
+    * dangles — no graph/SCD2/corr query joins the part dimension.
+    *
+    * Customer replicates k× with c_custkey co-shifted (round 13: the
+    * o_custkey populations now RESOLVE instead of dangling), and copies
+    * i ≥ 1 flip a deterministic half-slice (pmod(c_custkey, 2) = 0) of
+    * segments to BUILDING. The flip is multiplicity-surviving synthesis
+    * for set_except_all (VERDICT r12 #4): on the pristine distribution
+    * every nation has more acctbal>5000 customers (~45%) than BUILDING
+    * ones (~20%), so BUILDING EXCEPT ALL rich is empty at every k and
+    * the ×k oracle cell compared empty-vs-empty — checking nothing.
+    * Flipped copies carry BUILDING share 0.5 + 0.5·0.2 = 0.6 > 0.45, so
+    * per-nation BUILDING multiplicity exceeds rich multiplicity and the
+    * multiset difference survives with real rows. Segment is the one
+    * column no numeric aggregate reads — acctbal/nationkey stay
+    * pristine, so only segment-keyed queries see the synthesis (both
+    * engines, consistently). */
   def graphStress(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part")
+    Seq("region", "nation", "supplier", "part")
       .foreach(replicate(spark, src, dst, _, 1, Nil))
+    val base = spark.read.parquet(s"$src/customer.parquet")
+    val cust = (0 until k).map { i =>
+      val shifted = base.withColumn("c_custkey", col("c_custkey") + lit(i * OFF))
+      if (i == 0) shifted
+      else shifted.withColumn("c_mktsegment",
+        when(pmod(col("c_custkey"), lit(2)) === 0, lit("BUILDING"))
+          .otherwise(col("c_mktsegment")))
+    }.reduce(_ union _)
+    cust.write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    println(s"stress: customer x$k (BUILDING-skewed copies >0) -> ${cust.count()} rows")
     replicate(spark, src, dst, "orders", k, Seq("o_orderkey", "o_custkey"))
     replicate(spark, src, dst, "lineitem", k, Seq("l_orderkey", "l_partkey"))
     replicate(spark, src, dst, "events", k, Seq("event_id", "user_id"))

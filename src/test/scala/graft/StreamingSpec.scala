@@ -145,6 +145,54 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkFixture {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("event-time timers close sessions exactly like batch session_window (state expiry parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // u1: two sessions (10,20 | 120); u2: one merged session (15,40 — 25 min
+    // gap) then 100; u3: an IN-BATCH gap (90 vs 125 in one microbatch) so
+    // the inline-close path is exercised beside the timer path. Feeds stay
+    // event-time-ordered across batches — rows behind the watermark would
+    // be dropped by the stream but kept by the batch twin.
+    val rows = Seq(
+      Ev(1, ts(10), 1, "click", 1.0), Ev(2, ts(20), 1, "view", 2.0),
+      Ev(3, ts(120), 1, "click", 4.0),
+      Ev(4, ts(15), 2, "click", 0.5), Ev(5, ts(40), 2, "view", 0.25),
+      Ev(6, ts(100), 2, "click", 8.0),
+      Ev(7, ts(90), 3, "view", 16.0), Ev(8, ts(125), 3, "click", 32.0))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val q = EventStreams.sessionTimeoutTws(stream.toDS())
+        .writeStream.format("memory").queryName("sessTws")
+        .outputMode(OutputMode.Append).start()
+      stream.addData(rows(0), rows(3))                     // wm -> epoch
+      q.processAllAvailable()
+      stream.addData(rows(1), rows(4))                     // wm -> 0:05
+      q.processAllAvailable()
+      stream.addData(rows(2), rows(5), rows(6), rows(7))   // wm -> 0:30
+      q.processAllAvailable()
+      // sentinel batches: watermark is global, so a far-future event for an
+      // excluded user fires every pending timer — the second batch is what
+      // lets the first sentinel's event time become the watermark
+      stream.addData(Ev(98, ts(600), 99, "view", 0.0))     // wm -> 1:50
+      q.processAllAvailable()
+      stream.addData(Ev(99, ts(601), 99, "view", 0.0))     // wm -> 9:50
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("sessTws").where(col("user_id") < 99)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventStreams.sessionAgg(rows.toDF()).collect()
+        .map(r => (r.getLong(1), r.getTimestamp(0), r.getLong(2), r.getDouble(3)))
+        .toSet
+      got should equal(batch)
+      got.size shouldBe 6 // 2 + 2 + 2 closed sessions, none left open
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("funnelState last-snapshot matches the ordered funnel across microbatches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
