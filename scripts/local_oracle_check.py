@@ -24,7 +24,9 @@ check) and only verified to have >0 rows.
 import json
 import math
 import os
+import resource
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -225,6 +227,7 @@ def main():
     failures = []
     big = int(os.environ.get("GRAFT_MULTISET_THRESHOLD", "200000"))
     for name in dumped:
+        t_q0 = time.monotonic()
         files = list((out_dir / name).glob("*.parquet"))
         if not files:
             failures.append((name, "no parquet produced (Spark query failed)"))
@@ -287,7 +290,8 @@ def main():
                 failures.append((name, f"multiset compare: {diff} differing rows"))
                 n_bad += 1
             else:
-                print(f"  [OK] {name}: {n_got} rows multiset-equivalent (order unchecked)")
+                print(f"  [OK] {name}: {n_got} rows multiset-equivalent"
+                      f" (order unchecked, {time.monotonic() - t_q0:.1f}s oracle wall)")
                 n_ok += 1
             continue
         got = con.execute(f"SELECT * FROM {got_src}").fetchdf()
@@ -319,7 +323,8 @@ def main():
             failures.append((name, f"row {bad[0]} col {bad[1]}: spark={bad[2]!r} oracle={bad[3]!r}"))
             n_bad += 1
         else:
-            print(f"  [OK] {name}: {len(got)} rows hash-equivalent")
+            print(f"  [OK] {name}: {len(got)} rows hash-equivalent"
+                  f" ({time.monotonic() - t_q0:.1f}s oracle wall)")
             n_ok += 1
 
     missing = sorted(set(oracle) - set(dumped))
@@ -327,7 +332,10 @@ def main():
         failures.append((name, "oracle declared but no dump dir (query not in queries map?)"))
         n_bad += 1
 
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    # the checker's own ceiling, for the scale-sweep record: peak RSS of
+    # this process (DuckDB is in-process; ru_maxrss is KiB on Linux)
+    peak_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1024 * 1024)
+    print(f"\n{n_ok} ok, {n_bad} failed (checker peak RSS {peak_gib:.1f} GiB)")
     for name, why in failures:
         print(f"  [FAIL] {name}: {why}")
     sys.exit(1 if failures else 0)

@@ -91,7 +91,9 @@ object CorpusPrep {
     rows.toDF("stage_no", "stage", "rows", "dropped", "drop_share_of_input")
   }
 
-  private def stageFrames(spark: SparkSession, sfDir: String,
+  // private[graft]: ComposedScale (test harness) times each stage's
+  // incremental count for the composed-pipeline pricing record
+  private[graft] def stageFrames(spark: SparkSession, sfDir: String,
           stopK: Int, jaccardTheta: Double,
           labelRounds: Int, xentMax: Option[Double],
           spanDupMax: Option[Double],

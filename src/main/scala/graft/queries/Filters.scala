@@ -20,7 +20,11 @@ object Filters {
         col("l_orderkey"), col("l_linenumber"),
         r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         r4(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture (fn_map
+      // relies on that); the derived columns complete the total order so
+      // tie rows cannot swap when the scan order changes (round-13
+      // layout normalization made the latent tie-order dependence real)
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
 
   /** filter_pred — TPC-H Q6-shape compound predicate (range AND between AND
     * less-than); all three conjuncts reach PushedFilters. */
@@ -31,7 +35,9 @@ object Filters {
              col("l_discount").between(0.02, 0.06) &&
              col("l_quantity") < 24)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // full-tiebreak total order — see project_arith
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_extendedprice")
 
   /** filter_in_like — IN-list + LIKE prefix + IS NULL handling over part
     * (fixture p_type domain is single-word: FIXTURES.md §3). */
@@ -56,7 +62,7 @@ object Filters {
       """SELECT l_orderkey, l_linenumber,
         | floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) / 10000 AS revenue,
         | floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) / 10000 AS charge
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge""".stripMargin,
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
         |FROM lineitem
@@ -64,7 +70,7 @@ object Filters {
         |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice""".stripMargin,
     "filter_in_like" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size,
         | coalesce(nullif(p_type, 'PROMO'), 'NOT_PROMO') AS promo_tag

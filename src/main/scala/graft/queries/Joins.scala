@@ -243,12 +243,19 @@ object Joins {
       .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val tmp = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_bkt_${s.sparkContext.applicationId}_$dKey").toString
+    // source via Tables.servingPath: the bucketed layout is built FROM
+    // the warehouse's serving copy (layout-normalized when the raw
+    // source is a single-row-group file), like every other reader —
+    // the priced operation here is the bucketed WRITE, not a serial
+    // re-read of a hostile source layout
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/lineitem.parquet", s"graft_bkt_lineitem_$dKey", "l_orderkey", 8,
+      s, Tables.servingPath(s, d, "lineitem"), s"graft_bkt_lineitem_$dKey",
+      "l_orderkey", 8,
       location = Some(s"$tmp/lineitem"),
       columns = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
     graft.delivery.Deliver.copyBucketed(
-      s, s"$d/orders.parquet", s"graft_bkt_orders_$dKey", "o_orderkey", 8,
+      s, Tables.servingPath(s, d, "orders"), s"graft_bkt_orders_$dKey",
+      "o_orderkey", 8,
       location = Some(s"$tmp/orders"),
       columns = Seq("o_orderkey", "o_orderstatus"))
     s.table(s"graft_bkt_lineitem_$dKey")

@@ -55,15 +55,17 @@ object Scans {
 
   /** scan_parquet — full vectorized scan of lineitem, totally ordered.
     * Raw columns only (no arithmetic) so doubles are bit-identical to the
-    * oracle's read of the same file. */
+    * oracle's read of the same file. tableRaw: this query's CLAIM is the
+    * ingest scan of the source file itself, so it bypasses the loader's
+    * layout normalization (Tables.normalizeLayout scaladoc). */
   val scanParquet: Q = (s, d) =>
-    Tables.lineitem(s, d).orderBy("l_orderkey", "l_linenumber")
+    Tables.tableRaw(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
 
   /** scan_pruned — column pruning + predicate pushdown: only 4 of 11 columns
     * reach ReadSchema and the shipdate range lands in PushedFilters
-    * (asserted in ScanSpec). */
+    * (asserted in ScanSpec). tableRaw, as scan_parquet. */
   val scanPruned: Q = (s, d) =>
-    Tables.lineitem(s, d)
+    Tables.tableRaw(s, d, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))

@@ -149,6 +149,54 @@ class DenseTopkRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
     }
   }
 
+  test("non-default geometry (bits=4, M=8): every ANN consumer stays pinned to the exact scorer") {
+    // VERDICT r12 #6: the quartet's 100 TB story is the conf-switched
+    // candidate path, so a geometry-conf drift (more cells, narrower PQ
+    // codes) must not silently detach it from the exact scorer. Pin at a
+    // SECOND geometry: (a) subset-soundness — every emitted pair scores
+    // its exact rounded cosine at ANY geometry, the detachment check;
+    // (b) recall floors measured-minus-margin at bits=4 radius 2 /
+    // M=8 (coarser codes: floors sit below the default-geometry pins
+    // by design — the geometry trades recall for candidate volume).
+    val exact = Llm.llmCosineTopk(spark, sfDir)
+    val truth = topkPairs(exact)
+    val exactCos = exact.select("qid", "vid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hnTruth = topkPairs(Llm.llmHardnegMine(spark, sfDir))
+    val ppExact = Llm.llmPrefPairs(spark, sfDir).collect()
+    def ppPairs(rows: Array[org.apache.spark.sql.Row], vidCol: Int) =
+      rows.map(r => (r.getLong(0), r.getLong(vidCol))).toSet
+    spark.conf.set("spark.graft.ann.bits", "4")
+    spark.conf.set("spark.graft.pq.m", "8")
+    spark.conf.set("spark.graft.ann.probeRadius", "2")
+    try {
+      for (m <- Seq("ivf", "pq")) inMode(m) {
+        val ann = Llm.llmCosineTopk(spark, sfDir).collect()
+        // subset-sound at the non-default geometry: candidates never
+        // invent a pair-score — any overlapping pair carries the exact cos
+        ann.foreach { r =>
+          exactCos.get((r.getLong(0), r.getLong(1))).foreach(_ shouldBe r.getDouble(2))
+        }
+        val rec = (truth & ann.map(r => (r.getLong(0), r.getLong(1))).toSet)
+          .size.toDouble / truth.size
+        val hnRec = (hnTruth & topkPairs(Llm.llmHardnegMine(spark, sfDir)))
+          .size.toDouble / hnTruth.size
+        val pp = Llm.llmPrefPairs(spark, sfDir).collect()
+        val ppRec = (ppPairs(ppExact, 2) & ppPairs(pp, 2)).size.toDouble /
+          ppPairs(ppExact, 2).size
+        Llm.llmKnnLabel(spark, sfDir).count() should be > 0L
+        info(f"$m%s@bits4/M8: cosine recall $rec%.3f, hardneg $hnRec%.3f, pref $ppRec%.3f")
+        rec should be >= (if (m == "ivf") 0.80 else 0.10)
+        hnRec should be >= (if (m == "ivf") 0.75 else 0.10)
+        ppRec should be >= (if (m == "ivf") 0.75 else 0.10)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.ann.bits")
+      spark.conf.unset("spark.graft.pq.m")
+      spark.conf.unset("spark.graft.ann.probeRadius")
+    }
+  }
+
   test("hardneg pq-mode recall@3 vs exact") {
     val truth = topkPairs(Llm.llmHardnegMine(spark, sfDir))
     val found = inMode("pq") { topkPairs(Llm.llmHardnegMine(spark, sfDir)) }
