@@ -186,9 +186,13 @@ class DenseTopkRecallSpec extends AnyFunSuite with Matchers with SparkFixture {
           ppPairs(ppExact, 2).size
         Llm.llmKnnLabel(spark, sfDir).count() should be > 0L
         info(f"$m%s@bits4/M8: cosine recall $rec%.3f, hardneg $hnRec%.3f, pref $ppRec%.3f")
-        rec should be >= (if (m == "ivf") 0.80 else 0.10)
-        hnRec should be >= (if (m == "ivf") 0.75 else 0.10)
-        ppRec should be >= (if (m == "ivf") 0.75 else 0.10)
+        // floors = measured-minus-~0.05 on the deterministic fixture
+        // (r12 floor discipline): ivf 0.835/0.843/0.788, pq
+        // 0.909/0.929/0.802 — pq holds up at M=8 because the ADC
+        // candidate pool is exact-rescored with a generous budget
+        rec should be >= (if (m == "ivf") 0.78 else 0.85)
+        hnRec should be >= (if (m == "ivf") 0.78 else 0.85)
+        ppRec should be >= (if (m == "ivf") 0.72 else 0.75)
       }
     } finally {
       spark.conf.unset("spark.graft.ann.bits")
