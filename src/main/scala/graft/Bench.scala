@@ -114,9 +114,13 @@ object Bench {
     // ([16.30, 4.25, 2.48, 2.40]). `SPARK_GRAFT_HOT_WARM=all` warms the
     // whole inventory once untimed (one extra ~bench-pass of wall) —
     // the nothing-left-to-warm arm for diagnosing residual spread.
+    // graph_khop and agg_ttest joined after the r13 hand-off runs: with
+    // everything else warmed they became the residual spread leaders,
+    // both pass-1-JIT-shaped (khop [5.62, 2.07, 1.88, 1.86] — its BFS
+    // join units are unique to it; ttest [3.33, 0.87, 0.64, 1.00])
     val hotWarmConf = sys.env.getOrElse("SPARK_GRAFT_HOT_WARM",
       "llm_cluster_sizes,llm_dedup_incremental,llm_dedup_cluster,llm_minhash," +
-        "graph_cc,graph_cluster_coeff,graph_pagerank")
+        "graph_cc,graph_cluster_coeff,graph_pagerank,graph_khop,agg_ttest")
     val hotWarm =
       if (hotWarmConf.trim == "all") names
       else hotWarmConf.split(",").map(_.trim)
