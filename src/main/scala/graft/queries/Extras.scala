@@ -714,6 +714,22 @@ object Extras {
     * not (ScaleLinearitySpec pins both the equivalence and the round
     * advantage on a 64-chain). */
   val llmDedupCluster: Q = (s, d) => {
+    val labels = dedupLabels(s, d)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "lbl")
+      .select(col("dd").as("doc_id"), col("lbl").as("cluster"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared label frame (dd, lbl) of llm_dedup_cluster /
+    * llm_cluster_sizes — extracted (round 13 optimization) so the census
+    * can derive from the per-CLUSTER size frame directly instead of
+    * Lineage.cutting the full per-doc cluster table: the census needs
+    * only (lbl, csize), and every census column is computable from it
+    * (n_clusters = rows per size, n_docs = Σ csize per size — identical
+    * values to the former countDistinct/count over the per-doc join). */
+  private def dedupLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
     // cut: the pair list (759k narrow rows at sf0.1) is referenced twice
     // by the symmetric edge union — without the cut the whole blocked
     // jaccard pipeline executes once per reference
@@ -792,14 +808,10 @@ object Extras {
         docs.join(lbl.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
           .select(col("doc_id").as("dd"), coalesce(col("label"), col("doc_id")).as("lbl"))
       } else minLabelLabels(s, pairs, docs)
-    val labels = mapping.fold(repLabels) { m =>
+    mapping.fold(repLabels) { m =>
       m.join(repLabels.withColumnRenamed("dd", "rep"), "rep")
         .select(col("doc_id").as("dd"), col("lbl"))
     }
-    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "lbl")
-      .select(col("dd").as("doc_id"), col("lbl").as("cluster"), col("csize"))
-      .orderBy("doc_id")
   }
 
   /** llm_cluster_sizes — near-dup cluster-size census: for each
@@ -812,12 +824,23 @@ object Extras {
     * cluster table aggregates to ≤distinct-sizes rows; the census is
     * two bounded aggs over it plus a 1-row total broadcast. */
   val llmClusterSizes: Q = (s, d) => {
-    // cut: the labeled cluster table feeds the census and the total
-    val cl = graft.ops.Lineage.cut(llmDedupCluster(s, d))
-    val tot = cl.agg(count(lit(1)).as("n_total"))
-    cl.groupBy("csize")
-      .agg(countDistinct("cluster").as("n_clusters"), count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(tot))
+    // Census straight off the per-CLUSTER size frame (round 13
+    // optimization): one row per cluster carries everything the census
+    // needs — n_clusters = rows per csize, n_docs = Σ csize per csize —
+    // value-identical to the former countDistinct(cluster)/count(*) over
+    // the per-doc cluster table (sizes has exactly one row per cluster),
+    // so the per-doc join, its Lineage.cut materialization, the per-doc
+    // orderBy and the separate n_total pass all drop out of the plan.
+    // n_total rides a single-partition window over the census frame,
+    // which is ≤ distinct-cluster-sizes rows BY CONSTRUCTION (the same
+    // bounded class as the 1-row total it replaces — never corpus-sized).
+    val sizes = dedupLabels(s, d).groupBy("lbl").agg(count(lit(1)).as("csize"))
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    sizes.groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"), sum("csize").as("n_docs"))
+      .withColumn("n_total", sum(col("n_docs")).over(whole))
       .select(col("csize"), col("n_clusters"), col("n_docs"),
         r4(col("n_docs") * lit(1.0) / col("n_total")).as("doc_share"))
       .orderBy("csize")

@@ -180,7 +180,12 @@ object Joins {
     val e = Tables.embeddings(s, d)
     val a = e.select(col("vec_id").as("vid_a"), col("embedding").cast("array<double>").as("ea"))
     val b = e.select(col("vec_id").as("vid_b"), col("embedding").cast("array<double>").as("eb"))
-    a.crossJoin(b)
+    // spread the streamed side of the quadratic scorer (spreadProbe
+    // rationale in queries/package.scala): the 4M-dot-product stage ran
+    // as ONE task off the single-row-group fixture scan; the global
+    // top-100 (TakeOrderedAndProject) is per-partition-pruned, so wider
+    // input also shrinks what reaches the driver-side merge
+    spreadProbe(a, col("vid_a")).crossJoin(broadcast(b))
       .where(col("vid_a") < col("vid_b"))
       .select(col("vid_a"), col("vid_b"), r4(expr("graft_dot(ea, eb)")).as("dot"))
       .orderBy(col("dot").desc, col("vid_a"), col("vid_b"))

@@ -84,7 +84,15 @@ object Llm {
                          col("e").as("ea"), col("nrm").as("na"))
         val b = v.select(col("vec_id").as("vid"), col("label").as("nb_label"),
                          col("e").as("eb"), col("nrm").as("nb"))
-        rescore(a.crossJoin(b).where(col("qid") =!= col("vid")))
+        // broadcast pinned to the query side + probe side spread
+        // (spreadProbe): the N² dot-product scan below otherwise inherits
+        // the probe SCAN's parallelism — one task on a single-row-group
+        // source — and runs serially however many cores the session has.
+        // Exact mode is the bounded-corpus oracle baseline by declaration
+        // (the 100 TB candidate path is the ivf/pq conf), so an O(N)
+        // exchange under an O(N²) stage is always the right trade here.
+        rescore(broadcast(a).crossJoin(spreadProbe(b, col("vid")))
+          .where(col("qid") =!= col("vid")))
       case "ivf" =>
         val v = Ann.bucketed(s, d)
         val a = Ann.withProbes(s, v).select(col("vec_id").as("qid"),
