@@ -192,6 +192,29 @@ object ShardedSelfJoin {
       .withColumn("q", col("srow"))
       .withColumn("p", explode(sequence(lit(0), col("srow"))))
     val joinKeys = keys ++ Seq("p", "q")
+    // Width-pin the candidate join's input exchanges (round 13
+    // optimization). This join's INPUT is narrow and small (one
+    // ~24-byte row per (doc, bucket)) but its intra-stage fan-out is
+    // O(Σ|cell|²) — at sf0.1 the minhash banding feeds ~80k rows in and
+    // expands to ~20M raw candidates INSIDE the stage, each paying the
+    // emit-once merge scan. AQE's byte-based coalescing prices the stage
+    // by input bytes only (it cannot see join fan-out), so it folded the
+    // heaviest stage of the whole pair family onto a handful of tasks
+    // (llm_minhash 4.41 → 2.58 s min with coalescing disabled — the
+    // diagnosis A/B; the global conf stays ON because the same
+    // coalescing WINS on the family's many genuinely-tiny stages).
+    // Explicit numPartitions exempts exactly these two exchanges from
+    // coalescing; hashing the FULL join key (bucket ++ (p, q)) keeps a
+    // sharded hot bucket's triangle cells on distinct tasks (hashing the
+    // bucket key alone would re-serialize the skew the sharding exists
+    // to spread). Width = max(defaultParallelism, session shuffle
+    // width): scales with cores/conf, never a local constant; at corpus
+    // scale the exchange is the same one the join would have inserted —
+    // only its immunity to size-based coalescing changes.
+    val width = math.max(banded.sparkSession.sparkContext.defaultParallelism,
+      banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val aW = a.repartition(width, joinKeys.map(col): _*)
+    val bW = b.repartition(width, joinKeys.map(col): _*)
     // A pair whose lower-shard doc has the HIGHER doc_id only meets in
     // its one (sx, sy) cell with that doc on the A side, so a blanket
     // `a.doc_id < b.doc_id` predicate would drop it. In OFF-diagonal
@@ -208,8 +231,8 @@ object ShardedSelfJoin {
       carry.flatMap(c => Seq(
         when(aLower, col(s"a.$c")).otherwise(col(s"b.$c")).as(s"${c}_a"),
         when(aLower, col(s"b.$c")).otherwise(col(s"a.$c")).as(s"${c}_b")))
-    val joinedRaw = a.as("a")
-      .join(b.as("b"),
+    val joinedRaw = aW.as("a")
+      .join(bW.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         (col("a.p") =!= col("a.q") || aLower))
     // Operator order (round 8, the reorder that flipped round 6's
