@@ -256,7 +256,11 @@ object Extras {
       keys = Seq("bkt"),
       threshold = graft.ops.ShardedSelfJoin.confThreshold(s),
       carry = Seq("e", "nrm"),
-      uniqueMembership = true)
+      uniqueMembership = true,
+      // the carried embedding payloads would ride the width-pin's extra
+      // exchange (measured +0.10 s here); cell occupancy is bounded by
+      // spark.graft.ann.bits at scale, so keep the coalesced plan
+      pinWidth = false)
     // pairs normalizes doc_a < doc_b, so the HIGHER id (doc_b) is the
     // potential duplicate and doc_a its lower-id witness — the same
     // (vid_b < vec_id) orientation as the pre-r9 direct join

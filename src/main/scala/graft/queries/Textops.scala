@@ -100,7 +100,13 @@ object Textops {
           least(col("nt_a"), col("nt_b")) * 100000L >=
           greatest(col("nt_a"), col("nt_b")) * 59995L),
         emitOnce = Some(("block_shg", "bshg_set")),
-        emitOnceByConstruction = true)
+        emitOnceByConstruction = true,
+        // candidate volume is small by construction here (min-shingle
+        // blocks over md5 shingles pair almost nothing that the θ=0.6
+        // prefilter keeps) — the width pin measured +0.45 s of pure
+        // exchange/task overhead on this query, so keep AQE's coalesced
+        // plan (ShardedSelfJoin pinWidth note)
+        pinWidth = false)
       .select(col("doc_a"), col("doc_b"), col("nt_a").as("na"), col("nt_b").as("nb"))
     // intern the 32-char md5 shingle strings to xxhash64 longs before
     // the set agg (same move + collision argument as Llm's token
