@@ -101,7 +101,19 @@ object Tables {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try (r.getRecordCount, r.getRowGroups.size) finally r.close()
         } catch { case _: Throwable => (0L, Int.MaxValue) } // unreadable → raw
-      if (rows < 200000 || rowGroups >= math.max(2, cores / 4)) rawPath
+      // Threshold conf'd + re-derived (round 13 optimization). The
+      // original 200k gate was sized against the FIRST-cut split count
+      // (cores flat = 32 files), where the 2-3 MB tables' multi-scan
+      // queries lost more to per-scan open overhead than the parallel
+      // scan bought (dq_referential 1.47 → 3.49 under 32-way orders).
+      // Under the CURRENT ~50k-row sizing (orders → 3 files, events →
+      // 2) the same-phase A/B flips decisively: fn_try 1.60 → 0.64,
+      // dq_referential 1.64 → 1.41 (the old canary now WINS), agg_gini/
+      // dq_profile/ev_session/ev_dedup/fn_struct/join_multiway −0.03..
+      // −0.12 each, nothing worse. 100k keeps every measured-flat
+      // sub-100k fixture (customer 15k, part 20k, documents 5k) raw.
+      val minRows = s.conf.get("spark.graft.layout.minRows", "100000").toLong
+      if (rows < minRows || rowGroups >= math.max(2, cores / 4)) rawPath
       else {
         val dKey = java.security.MessageDigest.getInstance("MD5")
           .digest(sfDir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString

@@ -267,7 +267,20 @@ object Graphs {
       edges.groupBy("src").agg(count(lit(1)).as("outd")))
       .select(col("src").as("node"), col("outd"))
     var rank: DataFrame = deg.select(col("node"), lit(1.0).as("rank"))
-    for (_ <- 1 to 3) {
+    // Lineage cut every K rounds, not every round (round 13
+    // optimization): unlike khop's frontier — referenced TWICE per hop,
+    // where an uncut plan recomputes exponentially — rank is referenced
+    // exactly ONCE per round (the msgs join), so batching K rounds into
+    // one plan changes no value and recomputes nothing; it only nests K
+    // (broadcast-join + agg) layers, the same depth class as
+    // minLabelLabels' 2-round batches. At the declared 3 rounds the
+    // default batch of 8 runs the whole iteration as ONE job, dropping
+    // three per-round localCheckpoint barriers (~0.15 s each of pure
+    // job-launch + block write at bench scale); a 50-round production
+    // run still cuts every 8 rounds, keeping plans bounded (the
+    // "50-round jobs plannable" posture the per-round cut existed for).
+    val cutEvery = s.conf.get("spark.graft.pagerank.cutEvery", "8").toInt
+    for (i <- 1 to 3) {
       val msgs = rank.join(deg, Seq("node"))
         .select(col("node").as("src"), r8(col("rank") / col("outd")).as("contrib"))
       val contribs = edges.join(broadcast(msgs), "src")
@@ -275,9 +288,9 @@ object Graphs {
         .agg(sumR8(col("contrib")).as("s"))
       // symmetric graph: indeg == outdeg >= 1, so every node receives
       // mail every round — no zero-contrib outer-join case
-      rank = Lineage.cut(
-        contribs.select(col("node"),
-          r8(lit(0.15) + lit(0.85) * col("s")).as("rank")))
+      rank = contribs.select(col("node"),
+        r8(lit(0.15) + lit(0.85) * col("s")).as("rank"))
+      if (i % cutEvery == 0) rank = Lineage.cut(rank)
     }
     rank.join(deg, Seq("node"))
       .select(col("node"), col("outd").as("degree"), col("rank"))
