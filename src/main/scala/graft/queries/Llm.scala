@@ -478,10 +478,15 @@ object Llm {
     // broadcast-codebook shape holds at real cluster counts.
     val k = s.conf.get("spark.graft.kmeans.k", "8").toInt
     val rounds = s.conf.get("spark.graft.kmeans.rounds", "2").toInt
-    val v = graft.ops.Lineage.cut(
+    // spread before the cut (queries.spreadProbe): each Lloyd round's
+    // assign fans this frame out ×k against the broadcast codebook, and
+    // the cut preserves the source's single-split partitioning — without
+    // the spread every round ran one task (round 13 optimization)
+    val v = graft.ops.Lineage.cut(spreadProbe(
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .withColumn("ne", expr("graft_dot(e, e)")))
+        .withColumn("ne", expr("graft_dot(e, e)")),
+      col("vec_id")))
     val seeds: Seq[(Int, Seq[Double])] =
       v.select("vec_id", "e").orderBy("vec_id").limit(k)
         .collect().toSeq.zipWithIndex

@@ -201,14 +201,24 @@ object Sketches {
       s.conf.getOption("spark.graft.pq.iters").map(_.toInt).getOrElse(2))
 
     /** (vec_id, sub, sv, nsv): one row per (vector, subspace). Callers
-      * that reference the stream repeatedly own the Lineage.cut. */
+      * that reference the stream repeatedly own the Lineage.cut.
+      * Spread across cores first (queries.spreadProbe): every consumer
+      * fans this frame out ×K against a broadcast codebook (assign /
+      * queryTables — O(N·M·K) rows inside the stage), so a
+      * single-row-group source would otherwise run every Lloyd round's
+      * assign single-task (round 13: llm_ann_pq's 2M-row assign stages
+      * ran 1 task each off the one-split embeddings fixture). One
+      * narrow O(N·M) exchange, amortized across all consumers by the
+      * caller's cut. */
     def subvectors(vecs: DataFrame, m: Int): DataFrame =
-      vecs
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
-        .withColumn("sd", (size(col("e")) / m).cast("int"))
-        .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
-        .withColumn("nsv", expr("graft_dot(sv, sv)"))
+      graft.queries.spreadProbe(
+        vecs
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+          .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
+          .withColumn("sd", (size(col("e")) / m).cast("int"))
+          .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
+          .withColumn("nsv", expr("graft_dot(sv, sv)")),
+        col("vec_id"))
 
     /** Nearest-centroid assignment: broadcast the bounded codebook, keep
       * the winner per (vector, subspace) via min_by under the strict
