@@ -52,6 +52,15 @@ object GraftExtensions {
     ("graft_emit_once",
       new ExpressionInfo(classOf[EmitOnceMin].getName, "graft_emit_once"),
       exprs => EmitOnceMin(exprs(0), exprs(1), exprs(2))),
+    ("graft_pq_argmin",
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin"),
+      exprs => PqArgmin.fromArgs(exprs)),
+    ("graft_pq_dists",
+      new ExpressionInfo(classOf[PqDistRow].getName, "graft_pq_dists"),
+      exprs => PqDistRow.fromArgs(exprs)),
+    ("graft_pq_argmin_r4",
+      new ExpressionInfo(classOf[PqArgmin].getName, "graft_pq_argmin_r4"),
+      exprs => PqArgmin.fromArgsR4(exprs)),
     ("graft_cms_est",
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_est"),
       exprs => CmsEstimate(exprs(0), exprs(1))),

@@ -512,6 +512,310 @@ object BloomProbe {
   }
 }
 
+/** graft_pq_argmin(codebook, sub, sv, nsv) — nearest-centroid code for
+  * one (vector, subspace) row, as a tight codegen loop over the DENSE
+  * driver-local codebook (round 14). Replaces Pq.assign's broadcast-join
+  * fan-out + min_by re-aggregation: that form pushed N·M·K rows through
+  * a join and a two-phase aggregate (plus its ENSURE_REQUIREMENTS
+  * exchange, since a localCheckpoint scan reports UnknownPartitioning)
+  * only to pick one winner per input row — this expression scans the
+  * same K centroids INSIDE the row, so the assign stage stays N·M rows
+  * with no exchange and no aggregation at all.
+  *
+  * Value-identical to the join + min_by(struct(code, sv), struct(d2,
+  * code)) form it replaces: the dot product is the same left-to-right
+  * graft_dot loop over min(|sv|, |c|) elements; d2 = nsv − dot·2 + ncc
+  * with the same association (ncc precomputed by the same loop on the
+  * driver); the comparison is java.lang.Double.compare — exactly
+  * Spark's SQLOrderingUtil.compareDoubles total order (−0.0 < 0.0, NaN
+  * greatest) that min_by's struct ordering used — with ascending code
+  * iteration and a strict `<` keeping the LOWEST code on d2 ties.
+  *
+  * The codebook rides the expression as a CONSTRUCTOR FIELD shipped via
+  * the codegen references array (the graft_bloom_probe mechanism): the
+  * registry builder consumes a FOLDABLE array<array<array<double>>>
+  * literal indexed [sub][code] (Pq.train's dense-code invariant — the
+  * same density PqIndex.search validates on load), so plans never carry
+  * the ~M·K·sd-double literal. Fail-loud on a sub outside the codebook
+  * (the graft_adc convention): a geometry mismatch must error, never
+  * silently drop rows. */
+case class PqArgmin(cb: Array[Array[Array[Double]]],
+                    first: Expression, second: Expression, third: Expression,
+                    round4: Boolean = false)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String =
+    if (round4) "graft_pq_argmin_r4" else "graft_pq_argmin"
+
+  // ncc = dot(c, c) per [sub][code], precomputed once with graft_dot's
+  // exact loop so d2 is bit-identical to the join form's ncc column
+  @transient private lazy val ncc: Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  // content-based equality (the BloomProbe note): the case-class default
+  // compares the nested array by reference, defeating canonicalization
+  override def equals(o: Any): Boolean = o match {
+    case p: PqArgmin =>
+      round4 == p.round4 &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], p.cb.asInstanceOf[Array[AnyRef]]) &&
+        first.equals(p.first) && second.equals(p.second) && third.equals(p.third)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (((java.util.Arrays.deepHashCode(cb.asInstanceOf[Array[AnyRef]]) * 31 +
+      first.hashCode()) * 31 + second.hashCode()) * 31 + third.hashCode()) * 31 +
+      round4.hashCode()
+
+  override def toString: String =
+    s"$prettyName(cb[${cb.length}x${cb.headOption.map(_.length).getOrElse(0)}], " +
+      s"$first, $second, $third)"
+  override def sql: String = toString
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType | LongType, ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_argmin expects (int sub, array<double> sv, double nsv), got ($a, $b, $c)")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqArgmin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  private def subIndex(sub: Any): Int = {
+    val si = sub match {
+      case i: Int  => i
+      case l: Long => l.toInt
+    }
+    if (si < 0 || si >= cb.length)
+      throw new ArrayIndexOutOfBoundsException(
+        s"graft_pq_argmin: sub $si outside codebook of ${cb.length} subspaces")
+    si
+  }
+
+  override def nullSafeEval(sub: Any, sv: Any, nsv: Any): Any = {
+    val si = subIndex(sub)
+    val x = sv.asInstanceOf[ArrayData]
+    val nv = nsv.asInstanceOf[Double]
+    val cs = cb(si); val ns = ncc(si)
+    var best = -1; var bestD = 0.0
+    var code = 0
+    while (code < cs.length) {
+      val c = cs(code)
+      val n = math.min(x.numElements(), c.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getDouble(i) * c(i); i += 1 }
+      val raw = nv - dot * 2 + ns(code)
+      // round4 replicates Det.r4 bit-for-bit: floor(x·10⁴ + 0.5) is
+      // Spark's LONG-typed floor(double), the division re-widens —
+      // kmeans ranks ROUNDED distances (ties broken by code at the
+      // 1e-4 grain), pq ranks raw ones
+      val d2 =
+        if (round4) math.floor(raw * 10000 + 0.5).toLong.toDouble / 10000
+        else raw
+      if (best < 0 || java.lang.Double.compare(d2, bestD) < 0) {
+        best = code; bestD = d2
+      }
+      code += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sub, sv, nsv) => {
+      val cbRef = ctx.addReferenceObj("graftPqCb", cb, "double[][][]")
+      val nccRef = ctx.addReferenceObj("graftPqNcc", ncc, "double[][]")
+      val si = ctx.freshName("si"); val cs = ctx.freshName("cs")
+      val ns = ctx.freshName("ns"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val code = ctx.freshName("code")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val d2 = ctx.freshName("d2")
+      val d2Expr =
+        if (round4)
+          s"((double) (long) java.lang.Math.floor(($nsv - $dot * 2 + $ns[$code]) * 10000 + 0.5)) / 10000"
+        else s"$nsv - $dot * 2 + $ns[$code]"
+      s"""
+      |int $si = (int) $sub;
+      |if ($si < 0 || $si >= $cbRef.length)
+      |  throw new ArrayIndexOutOfBoundsException(
+      |    "$prettyName: sub " + $si + " outside codebook of " + $cbRef.length + " subspaces");
+      |double[][] $cs = $cbRef[$si];
+      |double[] $ns = $nccRef[$si];
+      |int $best = -1; double $bestD = 0.0;
+      |for (int $code = 0; $code < $cs.length; $code++) {
+      |  double[] $c = $cs[$code];
+      |  int $n = java.lang.Math.min($sv.numElements(), $c.length);
+      |  double $dot = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) { $dot += $sv.getDouble($i) * $c[$i]; }
+      |  double $d2 = $d2Expr;
+      |  if ($best < 0 || java.lang.Double.compare($d2, $bestD) < 0) {
+      |    $best = $code; $bestD = $d2;
+      |  }
+      |}
+      |${ev.value} = $best;
+      |""".stripMargin
+    })
+}
+
+object PqArgmin {
+  /** Shared builder guts: unwrap a FOLDABLE array<array<array<double>>>
+    * codebook literal into plain Java arrays so plans never carry the
+    * blob literal. */
+  private[functions] def unwrapCb(name: String, ce: Expression): Array[Array[Array[Double]]] =
+    ce match {
+      case c if c.foldable && (c.dataType match {
+            case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.ArrayType(DoubleType, _), _), _) => true
+            case _ => false
+          }) =>
+        val outer = c.eval(null).asInstanceOf[ArrayData]
+        Array.tabulate(outer.numElements()) { s =>
+          val mid = outer.getArray(s)
+          Array.tabulate(mid.numElements())(k => mid.getArray(k).toDoubleArray())
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name requires a FOLDABLE array<array<array<double>>> codebook " +
+            s"(a literal) as its first argument, got $other")
+    }
+
+  /** Registry builder: codebook indexed [sub][code], dense codes —
+    * Pq.train's invariant. */
+  def fromArgs(exprs: Seq[Expression]): Expression =
+    PqArgmin(unwrapCb("graft_pq_argmin", exprs(0)), exprs(1), exprs(2), exprs(3))
+
+  /** The r4-ranked variant (llm_kmeans: distances are rounded to the
+    * 1e-4 grain BEFORE the (d², code) argmin — the cross-engine tie
+    * discipline). */
+  def fromArgsR4(exprs: Seq[Expression]): Expression =
+    PqArgmin(unwrapCb("graft_pq_argmin_r4", exprs(0)), exprs(1), exprs(2), exprs(3),
+      round4 = true)
+}
+
+/** graft_pq_dists(codebook, sub, sv, nsv) — the per-(query, subspace)
+  * ADC partial-distance ROW: array<long> indexed by code with
+  * p9[code] = floor((nsv − dot(sv, c)·2 + ncc)·1e9 + 0.5), the exact
+  * integers Pq.queryTables produced via its broadcast-join fan-out
+  * (identical IEEE expression per element; code-ascending order is the
+  * sort_array(struct(code, p9)) order packQueryTables imposed). Same
+  * round-14 rationale as graft_pq_argmin: the join form fanned every
+  * (query, subspace) row out ×K and re-aggregated it back into this
+  * very array — in-row generation keeps the stage at N·M rows with no
+  * join and no pack aggregation, which also removes the one corpus-wide
+  * fan-out the pq candidate mode still had. Codebook rides the
+  * references array (never a plan literal); fail-loud on sub mismatch. */
+case class PqDistRow(cb: Array[Array[Array[Double]]],
+                     first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "graft_pq_dists"
+
+  @transient private lazy val ncc: Array[Array[Double]] =
+    cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  override def equals(o: Any): Boolean = o match {
+    case p: PqDistRow =>
+      java.util.Arrays.deepEquals(
+        cb.asInstanceOf[Array[AnyRef]], p.cb.asInstanceOf[Array[AnyRef]]) &&
+        first.equals(p.first) && second.equals(p.second) && third.equals(p.third)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    ((java.util.Arrays.deepHashCode(cb.asInstanceOf[Array[AnyRef]]) * 31 +
+      first.hashCode()) * 31 + second.hashCode()) * 31 + third.hashCode()
+
+  override def toString: String =
+    s"graft_pq_dists(cb[${cb.length}x${cb.headOption.map(_.length).getOrElse(0)}], " +
+      s"$first, $second, $third)"
+  override def sql: String = toString
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    (first.dataType, second.dataType, third.dataType) match {
+      case (IntegerType | LongType, ArrayType(DoubleType, _), DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_dists expects (int sub, array<double> sv, double nsv), got ($a, $b, $c)")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqDistRow =
+    copy(first = newFirst, second = newSecond, third = newThird)
+
+  override def nullSafeEval(sub: Any, sv: Any, nsv: Any): Any = {
+    val si = sub match { case i: Int => i; case l: Long => l.toInt }
+    if (si < 0 || si >= cb.length)
+      throw new ArrayIndexOutOfBoundsException(
+        s"graft_pq_dists: sub $si outside codebook of ${cb.length} subspaces")
+    val x = sv.asInstanceOf[ArrayData]
+    val nv = nsv.asInstanceOf[Double]
+    val cs = cb(si); val ns = ncc(si)
+    val out = new Array[Long](cs.length)
+    var code = 0
+    while (code < cs.length) {
+      val c = cs(code)
+      val n = math.min(x.numElements(), c.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getDouble(i) * c(i); i += 1 }
+      out(code) = math.floor((nv - dot * 2 + ns(code)) * 1e9 + 0.5).toLong
+      code += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (sub, sv, nsv) => {
+      val cbRef = ctx.addReferenceObj("graftPqCb", cb, "double[][][]")
+      val nccRef = ctx.addReferenceObj("graftPqNcc", ncc, "double[][]")
+      val si = ctx.freshName("si"); val cs = ctx.freshName("cs")
+      val ns = ctx.freshName("ns"); val out = ctx.freshName("out")
+      val code = ctx.freshName("code"); val c = ctx.freshName("c")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+      |int $si = (int) $sub;
+      |if ($si < 0 || $si >= $cbRef.length)
+      |  throw new ArrayIndexOutOfBoundsException(
+      |    "graft_pq_dists: sub " + $si + " outside codebook of " + $cbRef.length + " subspaces");
+      |double[][] $cs = $cbRef[$si];
+      |double[] $ns = $nccRef[$si];
+      |long[] $out = new long[$cs.length];
+      |for (int $code = 0; $code < $cs.length; $code++) {
+      |  double[] $c = $cs[$code];
+      |  int $n = java.lang.Math.min($sv.numElements(), $c.length);
+      |  double $dot = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) { $dot += $sv.getDouble($i) * $c[$i]; }
+      |  $out[$code] = (long) java.lang.Math.floor(($nsv - $dot * 2 + $ns[$code]) * 1e9 + 0.5);
+      |}
+      |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+      |""".stripMargin
+    })
+}
+
+object PqDistRow {
+  def fromArgs(exprs: Seq[Expression]): Expression =
+    PqDistRow(PqArgmin.unwrapCb("graft_pq_dists", exprs(0)),
+      exprs(1), exprs(2), exprs(3))
+}
+
 /** Session-scoped registration so query bodies can use the expressions
   * via `expr("graft_dot(a, b)")` — the Spark-4-safe way to build a
   * Column from a custom Expression. Idempotent. The function table is

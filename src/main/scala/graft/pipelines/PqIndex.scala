@@ -136,7 +136,7 @@ object PqIndex {
     val (m, k, iters) = geometry(spark)
     val bits = graft.queries.Ann.annBits(spark)
     val sv = graft.ops.Lineage.cut(Pq.subvectors(vecs, m))
-    val cb = Pq.train(sv, k, iters)
+    val cb = Pq.train(sv, k, iters, m)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$out/codebook.parquet")
     // cell join: both sides hash-partition on vec_id (packed's groupBy
     // already did) — one extra (id, int) shuffle at build time buys

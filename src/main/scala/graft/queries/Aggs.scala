@@ -432,16 +432,42 @@ object Aggs {
     * integer rank) and ride the DECIMAL(38,4) wide sum (Σ i·x reaches
     * ~1e15 at bench scale), so the index is merge-order-free.
     *
-    * Scale shape: ONE hash exchange on the segment + per-segment sort
-    * (the §2.5 window shape) feeding one map-side-combined aggregate;
-    * output |segments| rows. The unpartitioned-global-Gini variant is
-    * the llm_shard_balance two-pass prefix-sum case, documented there. */
+    * Scale shape (round 14, guide §2.6 — the llm_shard_balance two-pass
+    * prefix machinery): the former per-priority ranking window had
+    * |priorities| = 5-way parallelism — five single-task sorts of a
+    * fifth of the corpus each, however many cores the session has.
+    * Instead, bucket rows by a MONOTONE function of the first order key
+    * (floor(price / bucketWidth) — ties on price can never split across
+    * buckets, and bucket(p1) < bucket(p2) ⇒ p1 < p2), rank within each
+    * (priority, bucket) cell, and add the per-cell offset (count of
+    * earlier buckets, a window over the bounded bucket-census frame).
+    * offset + within-bucket row_number under the full (price, key)
+    * order ≡ the global per-priority rank, exactly, in integers — the
+    * same i feeds the same exact-decimal Σi·x, so the output is
+    * hash-identical. Parallelism = |priorities|·|buckets| cells;
+    * spark.graft.gini.bucketWidth (value-space units, default 4096)
+    * is the production dial. */
   val aggGini: Q = (s, d) => {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
+    val width = s.conf.get("spark.graft.gini.bucketWidth", "4096").toDouble
+    require(width > 0, s"spark.graft.gini.bucketWidth must be > 0, got $width")
+    val rows = Tables.orders(s, d)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("bkt",
+        floor(col("o_totalprice").cast("double") / width).cast("long"))
+    val offsets = rows
+      .groupBy(col("o_orderpriority").as("pr"), col("bkt").as("bk"))
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("boff",
+        sum("bn").over(Window.partitionBy("pr").orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bn"))
+      .select("pr", "bk", "boff")
+    val ww = Window.partitionBy("o_orderpriority", "bkt")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    rows
+      .join(broadcast(offsets),
+        col("o_orderpriority") === col("pr") && col("bkt") === col("bk"))
+      .withColumn("i", (row_number().over(ww) + col("boff")).cast("long"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"),
            sumR4W(col("i") * col("o_totalprice")).as("sixy"),

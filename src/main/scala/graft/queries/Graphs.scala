@@ -585,19 +585,38 @@ object Graphs {
     * lazy 1-row aggregates; n_new derives from lag over the 4-row
     * result — all exact longs, merge-order-free. */
   def khopProfile(kept: DataFrame, hops: Int): DataFrame = {
+    // Batched frontier cuts (round 14, guide §5 — the pagerank cutEvery
+    // dial): each Lineage.cut is a sequential job barrier. Unlike
+    // pagerank's rank (referenced once per round), reach_h is referenced
+    // ≤3× when uncut (its level count, the next hop's union leg and join
+    // leg), and each reference re-derives a full edge-scan join —
+    // measured A/B at sf0.1 min-of-4, same phase: cutEvery=2 1.737 s vs
+    // cutEvery=1 1.473 s (task-seconds doubled, 16.6 → 31.2). The
+    // recompute costs more than the barrier it saves on this dense
+    // graph, so the DEFAULT stays 1 (per-hop cut) and the conf remains
+    // the dial for sparse/deep graphs where a hop is cheap; the final
+    // hop is never cut (referenced once, by its own level count).
+    val cutEvery = kept.sparkSession.conf
+      .get("spark.graft.khop.cutEvery", "1").toInt
+    require(cutEvery >= 1, s"spark.graft.khop.cutEvery must be >= 1, got $cutEvery")
     val sym = kept.union(kept.select(col("dst").as("src"), col("src").as("dst")))
-    val nodes = Lineage.cut(sym.select(col("src").as("n")).distinct())
-    var reach = Lineage.cut(nodes.where(col("n") % 97 === 0))
+    // Seed set in ONE cut (round 14): the former all-nodes distinct was
+    // materialized only to be filtered to the ~1% seed set — filter
+    // BEFORE the distinct (filter∘distinct ≡ distinct∘filter on a
+    // deterministic predicate) and one barrier replaces two, with the
+    // distinct exchange carrying seed rows instead of every node.
+    var reach = Lineage.cut(
+      sym.select(col("src").as("n")).where(col("n") % 97 === 0).distinct())
     def level(h: Int, r: DataFrame): DataFrame =
       r.agg(count(lit(1)).as("n_reached"))
         .select(lit(h.toLong).as("hop"), col("n_reached"))
     var out = level(0, reach)
     for (h <- 1 to hops) {
-      reach = Lineage.cut(
-        reach.union(
+      val next = reach.union(
           sym.join(broadcast(reach.select(col("n").as("src"))), "src")
             .select(col("dst").as("n")))
-        .distinct())
+        .distinct()
+      reach = if (h % cutEvery == 0 && h < hops) Lineage.cut(next) else next
       out = out.union(level(h, reach))
     }
     out.select(col("hop"), col("n_reached"),

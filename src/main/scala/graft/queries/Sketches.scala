@@ -202,33 +202,82 @@ object Sketches {
 
     /** (vec_id, sub, sv, nsv): one row per (vector, subspace). Callers
       * that reference the stream repeatedly own the Lineage.cut.
-      * Spread across cores first (queries.spreadProbe): every consumer
-      * fans this frame out ×K against a broadcast codebook (assign /
-      * queryTables — O(N·M·K) rows inside the stage), so a
-      * single-row-group source would otherwise run every Lloyd round's
-      * assign single-task (round 13: llm_ann_pq's 2M-row assign stages
-      * ran 1 task each off the one-split embeddings fixture). One
-      * narrow O(N·M) exchange, amortized across all consumers by the
-      * caller's cut. */
+      * History: round 13 spread this frame across cores (spreadProbe)
+      * because every consumer fanned it out ×K against a broadcast
+      * codebook (assign / queryTables — O(N·M·K) rows inside the
+      * stage, serial off a single-split source). Round 14 moved that
+      * ×K scan INSIDE the row (graft_pq_argmin / graft_pq_dists), so
+      * the stages over this frame are O(N·M) rows again and the
+      * exchange bought nothing but per-task overhead on the bench
+      * corpus (A/B below); parallelism at real scale comes from the
+      * source's own splits, exactly like every other scan. The one
+      * remaining quadratic consumer (the pq candidate mode's flat ADC
+      * scan) spreads its own packed query-table frame at the cross
+      * join (Llm.densePairs). */
     def subvectors(vecs: DataFrame, m: Int): DataFrame =
-      graft.queries.spreadProbe(
-        vecs
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-          .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
-          .withColumn("sd", (size(col("e")) / m).cast("int"))
-          .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
-          .withColumn("nsv", expr("graft_dot(sv, sv)")),
-        col("vec_id"))
+      vecs
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("e"))
+        .withColumn("sd", (size(col("e")) / m).cast("int"))
+        .select(col("vec_id"), col("sub"), expr("slice(e, sub * sd + 1, sd)").as("sv"))
+        .withColumn("nsv", expr("graft_dot(sv, sv)"))
 
-    /** Nearest-centroid assignment: broadcast the bounded codebook, keep
-      * the winner per (vector, subspace) via min_by under the strict
-      * (d², code) order — never a ranking window. */
+    /** Nearest-centroid assignment under the strict (d², code) order.
+      * Since round 14 this is an IN-ROW argmin loop over the dense
+      * local codebook (functions.PqArgmin — same d² expression, same
+      * total order, value-identical to the former broadcast-join +
+      * min_by form): the join form fanned every (vector, subspace) row
+      * out ×K through a join and re-aggregated it back down, paying an
+      * ENSURE_REQUIREMENTS exchange per call (a localCheckpoint scan
+      * reports UnknownPartitioning, so the groupBy could never reuse
+      * the spread's partitioning) — the stage is now N·M rows, no
+      * exchange, no aggregation. The ≤M·K-row codebook frame collects
+      * to the driver (the bounded-collect class — for Pq.train's
+      * LocalRelation output this is a plan-local fold, for a stored
+      * codebook a tiny read the former broadcast paid anyway). */
     def assign(sv: DataFrame, cb: DataFrame): DataFrame =
-      sv.join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
-        .withColumn("d2", col("nsv") - expr("graft_dot(sv, c)") * 2 + col("ncc"))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(struct(col("code"), col("sv")), struct(col("d2"), col("code"))).as("t"))
-        .select(col("vec_id"), col("sub"), col("t.code").as("code"), col("t.sv").as("sv"))
+      assignLocal(sv, localCb(cb))
+
+    /** Collect a ≤M·K-row codebook frame to the driver-local form (the
+      * bounded-collect class). */
+    private def localCb(cb: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      cb.select(col("sub").cast("int"), col("code").cast("int"),
+          col("c").cast("array<double>"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+
+    /** Driver-local codebook → the dense [sub][code] nesting the in-row
+      * expressions consume. Codes must be dense 0..K'−1 per subspace and
+      * subs dense 0..M'−1 (Pq.train's seeding invariant, validated on
+      * index load by PqIndex.search); violations fail loud here rather
+      * than silently drop rows the way the former inner join did. */
+    private def nestedCb(cb: Seq[(Int, Int, Seq[Double])]): Seq[Seq[Seq[Double]]] = {
+      val bySub = cb.groupBy(_._1)
+      val nSub = bySub.keys.max + 1
+      require(bySub.keySet == (0 until nSub).toSet,
+        s"Pq codebook: subs must be dense 0..${nSub - 1}, got ${bySub.keys.toSeq.sorted}")
+      (0 until nSub).map { s0 =>
+        val codes = bySub(s0).sortBy(_._2)
+        require(codes.map(_._2) == codes.indices,
+          s"Pq codebook: codes of sub $s0 must be dense 0..${codes.size - 1}")
+        codes.map(_._3)
+      }
+    }
+
+    /** `assign` over a driver-local codebook (the form Pq.train holds
+      * between rounds — no DataFrame round-trip). */
+    def assignLocal(sv: DataFrame, cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+      graft.functions.VectorExprs.register(sv.sparkSession)
+      // empty codebook (empty corpus) → empty assignment, the same
+      // zero-row frame the former inner join produced (EmptyInputSpec)
+      if (cb.isEmpty)
+        return sv.select(col("vec_id"), col("sub"),
+          lit(0).cast("int").as("code"), col("sv")).where(lit(false))
+      sv.select(col("vec_id"), col("sub"),
+        call_function("graft_pq_argmin",
+          typedlit(nestedCb(cb)), col("sub"), col("sv"), col("nsv")).as("code"),
+        col("sv"))
+    }
 
     /** Lloyd training: K centroids per subspace, `iters` rounds, seeded
       * by the K lowest-id vectors. Centroid means accumulate as exact
@@ -239,13 +288,17 @@ object Sketches {
       * ≤ M·K rows BY CONSTRUCTION (the bounded-collect class — the
       * Deliver-manifest precedent, never corpus-sized), so each Lloyd
       * round is exactly ONE Spark job (scan sv → broadcast-join the
-      * local codebook → two bounded aggs → collect the new ≤M·K-row
-      * codebook) and the returned frame is a LocalRelation the final
+      * local codebook → ONE bounded agg → collect the ≤M·K·sd partial
+      * rows) and the returned frame is a LocalRelation the final
       * encode/ADC plan folds flat — no per-round lineage cut, no
       * iteration-deep plan. Values are identical to the distributed
       * form: the same aggregation expressions compute the means; only
-      * where the bounded result lives changes. */
-    def train(sv: DataFrame, k: Int, iters: Int): DataFrame = {
+      * where the bounded result lives changes.
+      *
+      * `m` is the subspace count of `sv` (every Pq.subvectors frame
+      * carries EXACTLY m rows per vector — explode of sequence(0, m−1)),
+      * which lets the seed collect in ONE TakeOrdered job. */
+    def train(sv: DataFrame, k: Int, iters: Int, m: Int): DataFrame = {
       val spark = sv.sparkSession
       import spark.implicits._
       // Seed = the K lowest-id vectors with codes REMAPPED to dense
@@ -255,48 +308,70 @@ object Sketches {
       // breaks positional ADC lookup in PqIndex.search (element_at by
       // code) and could even seed an empty codebook. On a dense-id
       // corpus (the fixture) rank(vec_id) == vec_id, so outputs are
-      // unchanged. Bounded: K ids via TakeOrdered, then K·M seed rows.
-      val seedIds = sv.select("vec_id").distinct().orderBy("vec_id").limit(k)
-        .collect().map(_.getLong(0))
+      // unchanged. Fused seeding (round 14, guide §2.4/§5): sv carries
+      // exactly m rows per vector, so the first K·m rows under the
+      // (vec_id, sub) total order ARE the K lowest vec_ids' complete
+      // subvector sets — one TakeOrdered job (no shuffle) replaces the
+      // former distinct+orderBy+limit collect AND the filtered second
+      // collect (two sequential jobs, one a distinct exchange).
+      val seedRows = sv.select(col("vec_id"), col("sub"), col("sv"))
+        .orderBy("vec_id", "sub").limit(k * m)
+        .collect()
       // empty corpus → empty codebook → empty ranking (the EmptyInputSpec
-      // contract): zero seed ids is a VALID input, not a geometry error
-      if (seedIds.isEmpty)
+      // contract): zero seed rows is a VALID input, not a geometry error
+      if (seedRows.isEmpty)
         return Seq.empty[(Int, Int, Seq[Double])].toDF("sub", "code", "c")
-      val rank: Map[Long, Int] = seedIds.sorted.zipWithIndex.toMap
+      val rank: Map[Long, Int] =
+        seedRows.map(_.getLong(0)).distinct.sorted.zipWithIndex.toMap
       var cb: Seq[(Int, Int, Seq[Double])] =
-        sv.where(col("vec_id").isin(seedIds.toSeq: _*))
-          .select(col("sub"), col("vec_id"), col("sv").as("c"))
-          .collect().toSeq
-          .map(r => (r.getInt(0), rank(r.getLong(1)), r.getSeq[Double](2)))
+        seedRows.toSeq
+          .map(r => (r.getInt(1), rank(r.getLong(0)), r.getSeq[Double](2)))
       for (_ <- 1 to iters) {
-        val means = assign(sv, cb.toDF("sub", "code", "c"))
+        // ONE aggregation exchange per round (round 14, guide §2.4): the
+        // (sub, code, p) partial-sum frame is ≤ M·K·sd rows BY
+        // CONSTRUCTION (bounded-collect class), so the former second
+        // groupBy(sub, code) + collect_list exchange — a whole extra
+        // shuffle + AQE barrier per round regrouping an already-bounded
+        // frame — is replaced by driver-side assembly of the same rows.
+        // Mean values are bit-identical: the same sx9/1e9/n double
+        // division, now in Scala (Long/Double → Double, then /n).
+        val rows = assignLocal(sv, cb)
           .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("p", "x")))
           .groupBy("sub", "code", "p")
           .agg(sum(floor(col("x") * 1e9 + lit(0.5)).cast("long")).as("sx9"),
                count(lit(1)).as("n"))
-          .withColumn("mean", col("sx9") / 1e9 / col("n"))
-          .groupBy("sub", "code")
-          .agg(expr("transform(sort_array(collect_list(struct(p, mean))), t -> t.mean)")
-            .as("cnew"))
           .collect()
-          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        val means: Map[(Int, Int), Seq[Double]] = rows
+          .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+          .groupBy(_._1)
+          .map { case (sc, g) =>
+            sc -> g.map(_._2).sortBy(_._1).map(t => t._2 / 1e9 / t._3).toSeq
+          }
         // empty clusters keep their previous centroid
         cb = cb.map { case (s0, c0, old) => (s0, c0, means.getOrElse((s0, c0), old)) }
       }
       cb.toDF("sub", "code", "c")
     }
 
-    /** Per-query ADC partial-distance tables: (qid, sub, code, p9) with
-      * p9 = floor(d²(q_sub, c)·1e9 + 0.5) — exact integers, so ADC sums
-      * are merge-order-free. ≤ queries·M·K rows by construction. */
-    def queryTables(qsv: DataFrame, cb: DataFrame): DataFrame =
-      qsv
-        .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"),
-                col("nsv").as("qn"))
-        .join(broadcast(cb.withColumn("ncc", expr("graft_dot(c, c)"))), Seq("sub"))
-        .select(col("qid"), col("sub"), col("code"),
-          floor((col("qn") - expr("graft_dot(qsv, c)") * 2 + col("ncc")) * 1e9 + lit(0.5))
-            .cast("long").as("p9"))
+    /** Per-query ADC partial-distance rows: (qid, sub, row: array<long>)
+      * with row[code] = floor(d²(q_sub, c)·1e9 + 0.5) — the same exact
+      * integers the former (qid, sub, code, p9) broadcast-join fan-out
+      * produced, generated IN-ROW (functions.PqDistRow, round 14 — the
+      * graft_pq_argmin rationale: the ×K join existed only to be packed
+      * straight back into this array). Exact integers, so ADC sums stay
+      * merge-order-free; ≤ queries·M rows by construction. */
+    def queryTables(qsv: DataFrame, cb: DataFrame): DataFrame = {
+      graft.functions.VectorExprs.register(qsv.sparkSession)
+      val local = localCb(cb)
+      // empty codebook → empty table frame (the former inner join's
+      // zero-row result; EmptyInputSpec)
+      if (local.isEmpty)
+        return qsv.select(col("vec_id").as("qid"), col("sub"),
+          lit(null).cast("array<bigint>").as("row")).where(lit(false))
+      qsv.select(col("vec_id").as("qid"), col("sub"),
+        call_function("graft_pq_dists",
+          typedlit(nestedCb(local)), col("sub"), col("sv"), col("nsv")).as("row"))
+    }
 
     /** Top-k over exact integer ADC sums (qid, vid, ad2_9) →
       * (qid, vid, ad2, rn) — the one ranking tail both the in-query
@@ -320,12 +395,6 @@ object Sketches {
 
     /** Top-k by summed ADC distance over per-(vec, sub, code) rows
       * joined with `queryTables` output: (qid, vid, ad2, rn). */
-    def topkByAdc(joined: DataFrame, k: Int): DataFrame =
-      topkOfSums(
-        joined.groupBy(col("qid"), col("vec_id").as("vid"))
-          .agg(sum("p9").as("ad2_9")),
-        k)
-
     /** (vec_id, codes: array<int>) — `assign` output packed to the
       * M-cell-per-vector layout (sort_array fixes collect_list's
       * arrival order): the row shape PqIndex persists and the packed
@@ -339,10 +408,7 @@ object Sketches {
       * tab[sub][code]: the per-query lookup table `adcExpr` reads.
       * ≤ queries·M·K cells by construction. */
     def packQueryTables(qtab: DataFrame): DataFrame =
-      qtab.groupBy("qid", "sub")
-        .agg(expr("transform(sort_array(collect_list(struct(code, p9))), t -> t.p9)")
-          .as("row"))
-        .groupBy("qid")
+      qtab.groupBy("qid")
         .agg(expr("transform(sort_array(collect_list(struct(sub, row))), t -> t.row)")
           .as("tab"))
 
@@ -367,12 +433,23 @@ object Sketches {
     val nq = s.conf.getOption("spark.graft.pq.queries").map(_.toInt).getOrElse(10)
     // subvector stream re-read every Lloyd round — cut once
     val sv = graft.ops.Lineage.cut(Pq.subvectors(Tables.embeddings(s, d), m))
-    val cb = Pq.train(sv, k, iters)
-    val codes = Pq.assign(sv, cb).select("vec_id", "sub", "code")
-    val qtab = Pq.queryTables(sv.where(col("vec_id") < nq), cb)
-    Pq.topkByAdc(
-      codes.join(broadcast(qtab), Seq("sub", "code"))
-        .where(col("qid") =!= col("vec_id")),
+    val cb = Pq.train(sv, k, iters, m)
+    // Packed ADC scan (round 14) — the IVFADC shape every other ADC
+    // consumer already shared (PqIndex.search, the densePairs pq/ivfpq
+    // candidate modes): codes pack to one M-int array per vector, the
+    // per-query tables nest to tab[sub][code], and each (query, vector)
+    // pair pays M in-row integer lookups (graft_adc). Value-identical
+    // to the former per-(sub, code) join + sum (exact integer adds in
+    // subspace order — the adcExpr scaladoc contract), but the N·M-row
+    // join output and its (qid, vid) hash-aggregate exchange drop out
+    // of the plan; only the ≤N-row pack aggregate shuffles.
+    val codesPk = Pq.packCodes(Pq.assign(sv, cb).select("vec_id", "sub", "code"))
+      .withColumnRenamed("vec_id", "vid")
+    val qtabPk = Pq.packQueryTables(
+      Pq.queryTables(sv.where(col("vec_id") < nq), cb))
+    Pq.topkOfSums(
+      codesPk.join(broadcast(qtabPk), col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"), Pq.adcExpr),
       k = 3)
   }
 

@@ -45,7 +45,7 @@ class PqIndexSpec extends AnyFunSuite with Matchers with SparkFixture {
     val (m, k, iters) = (16, 64, 2)
     graft.functions.VectorExprs.register(spark)
     val svOld = graft.ops.Lineage.cut(queries.Sketches.Pq.subvectors(oldV, m))
-    val cb = queries.Sketches.Pq.train(svOld, k, iters)
+    val cb = queries.Sketches.Pq.train(svOld, k, iters, m)
     // write the truth index by hand: stored codebook + both batches
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dAll/codebook.parquet")
     queries.Sketches.Pq.assign(

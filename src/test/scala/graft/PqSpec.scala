@@ -85,13 +85,24 @@ class PqSpec extends AnyFunSuite with Matchers with SparkFixture {
     all(a.map(_.getDouble(2))) should be >= 0.0
   }
 
-  test("training and ADC joins keep the bounded-broadcast shape — no SMJ, no cartesian") {
+  test("the ADC scan keeps the bounded-broadcast shape — no SMJ, no cartesian") {
+    // round 14: the former per-(sub, code) BroadcastHashJoin fan-out is
+    // gone (graft_pq_argmin / graft_pq_dists compute in-row); the one
+    // remaining join is the packed ADC scan pipelined off the EXPLICIT
+    // broadcast of the ≤nq-row query-table frame — a
+    // BroadcastNestedLoopJoin on the qid ≠ vid theta predicate, bounded
+    // by construction (never corpus×corpus: the broadcast side is the
+    // query batch). Pin that shape, and that the in-row expressions
+    // actually reached the plan.
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = queries.Sketches.llmAnnPq(spark, sfDir)
         .queryExecution.executedPlan.toString
-      plan should include("BroadcastHashJoin")
+      plan should include("BroadcastNestedLoopJoin")
+      plan should include("graft_pq_argmin")
+      plan should include("graft_pq_dists")
+      plan should include("graft_adc")
       plan should not include "SortMergeJoin"
       plan should not include "CartesianProduct"
       plan should not include "Window"
